@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Headline benchmark: Mrays/s on the Cornell box (BASELINE.json metric).
+
+Renders the mixed-BSDF Cornell scene at 1024x1024, 8-bounce max depth,
+importance sampling + NEE on (BASELINE.json config 2/4 geometry), on the
+default JAX backend (the real TPU chip under the driver; auto-shrinks on
+CPU so the script stays runnable anywhere). Ray counts come from the
+renderer's own telemetry: radiance rays actually alive per bounce plus NEE
+shadow rays — masked-out lanes are NOT counted, so the number is honest
+about wavefront occupancy.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+``vs_baseline`` is value / 100 Mrays/s — the north-star target; the
+reference publishes no numbers of its own (BASELINE.md).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+NORTH_STAR_MRAYS = 100.0
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+
+    import tpu_pt
+    from tpu_pt.render import CameraArrays, render_frame, init_accum
+
+    obj = os.path.join(REPO, "assets", "cornell_box_mixed.obj")
+    if not os.path.exists(obj):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "make_assets.py")],
+                       check=True)
+    scene = tpu_pt.load_scene(obj)
+
+    size = int(os.environ.get("BENCH_SIZE", 1024 if on_tpu else 256))
+    spp = int(os.environ.get("BENCH_SPP", 16 if on_tpu else 4))
+    frames = int(os.environ.get("BENCH_FRAMES", 4 if on_tpu else 2))
+    cfg = tpu_pt.RenderConfig(width=size, height=size, spp=spp, max_depth=8,
+                              use_direct_lighting=True,
+                              use_importance_sampling=True)
+    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+
+    # Warmup / compile.
+    accum = init_accum(cfg)
+    accum, img, stats = render_frame(scene, cam, cfg, 0, accum)
+    jax.block_until_ready((accum, img))
+    rays_per_frame = float(stats.rays_traced) + float(stats.shadow_rays)
+
+    t0 = time.perf_counter()
+    for f in range(1, frames + 1):
+        accum, img, stats = render_frame(scene, cam, cfg, f, accum)
+    jax.block_until_ready((accum, img))
+    dt = time.perf_counter() - t0
+
+    total_rays = rays_per_frame * frames
+    mrays = total_rays / dt / 1e6
+    ms_per_frame = dt / frames * 1e3
+
+    print(json.dumps({
+        "metric": f"Mrays/s/chip, {size}x{size} Cornell (mixed BSDF), "
+                  f"8 bounces, {spp} spp, IS+NEE on",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
+        "backend": backend,
+        "ms_per_frame": round(ms_per_frame, 2),
+        "rays_per_frame": int(rays_per_frame),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_pt
+from tpu_pt import dist
+from tpu_pt.render import CameraArrays, render_frame, init_accum
+
+
+@pytest.fixture(scope="module")
+def cam():
+    return CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def cfg_small(**kw):
+    base = dict(width=32, height=32, spp=8, max_depth=3,
+                use_direct_lighting=True, use_importance_sampling=True)
+    base.update(kw)
+    return tpu_pt.RenderConfig(**base)
+
+
+def test_mesh_factory():
+    m = dist.device_mesh()
+    assert m.shape["tile"] * m.shape["spp"] == 8
+    m2 = dist.device_mesh(n_tile=8, n_spp=1)
+    assert m2.shape["tile"] == 8
+    m4 = dist.device_mesh(n_tile=2, n_spp=4)
+    assert m4.shape["spp"] == 4
+
+
+@pytest.mark.parametrize("n_tile,n_spp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_single_device(cornell_scene, cam, n_tile, n_spp):
+    """Tile/spp sharding must be bitwise identical to single-chip rendering
+    (counter-based RNG makes this exact, not just statistical)."""
+    cfg = cfg_small()
+    accum = init_accum(cfg)
+    ref_accum, ref_img, ref_stats = render_frame(cornell_scene, cam, cfg, 0,
+                                                 accum)
+
+    mesh = dist.device_mesh(n_tile=n_tile, n_spp=n_spp)
+    step = dist.make_sharded_renderer(cornell_scene, cfg, mesh)
+    accum_s = dist.init_accum_sharded(cfg, mesh)
+    out_accum, out_img, out_stats = step(cam, 0, accum_s)
+
+    if n_spp == 1:
+        # Pure tile sharding: identical sample set, identical summation
+        # order -> bitwise equal.
+        np.testing.assert_array_equal(np.asarray(ref_accum),
+                                      np.asarray(out_accum))
+        np.testing.assert_array_equal(np.asarray(ref_img),
+                                      np.asarray(out_img))
+    else:
+        # spp sharding changes fp summation order (mean of shard means);
+        # same samples, so agreement is to fp rounding only.
+        np.testing.assert_allclose(np.asarray(ref_accum),
+                                   np.asarray(out_accum), atol=1e-5,
+                                   rtol=1e-5)
+    np.testing.assert_allclose(float(ref_stats.rays_traced),
+                               float(out_stats.rays_traced))
+    np.testing.assert_allclose(np.asarray(ref_stats.done_histogram),
+                               np.asarray(out_stats.done_histogram))
+
+
+def test_sharded_progressive_frames(cornell_scene, cam):
+    cfg = cfg_small(spp=2)
+    mesh = dist.device_mesh(n_tile=4, n_spp=2)
+    step = dist.make_sharded_renderer(cornell_scene, cfg, mesh)
+    accum_s = dist.init_accum_sharded(cfg, mesh)
+    for f in range(3):
+        accum_s, img, stats = step(cam, f, accum_s)
+
+    # Single-device progressive reference.
+    accum = init_accum(cfg)
+    for f in range(3):
+        accum, ref_img, _ = render_frame(cornell_scene, cam, cfg, f, accum)
+    np.testing.assert_array_equal(np.asarray(accum), np.asarray(accum_s))
+
+
+def test_accum_stays_sharded(cornell_scene, cam):
+    cfg = cfg_small(spp=2)
+    mesh = dist.device_mesh(n_tile=8, n_spp=1)
+    step = dist.make_sharded_renderer(cornell_scene, cfg, mesh)
+    accum_s = dist.init_accum_sharded(cfg, mesh)
+    out, _, _ = step(cam, 0, accum_s)
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(cfg.height // 8, cfg.width, 3)}

@@ -1,0 +1,70 @@
+"""Film tests: accumulation identity, tonemap parity, image IO roundtrip."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_pt import film
+
+
+def test_accumulate_is_running_mean():
+    r = np.random.RandomState(0)
+    frames = r.rand(5, 4, 4, 3).astype(np.float32)
+    accum = jnp.zeros((4, 4, 3))
+    for k in range(5):
+        accum = film.accumulate(accum, jnp.asarray(frames[k]), k)
+    np.testing.assert_allclose(np.asarray(accum), frames.mean(axis=0),
+                               rtol=1e-5)
+
+
+def test_srgb_reference_points():
+    # Known sRGB transfer values.
+    np.testing.assert_allclose(float(film.to_srgb(jnp.asarray(0.0))), 0.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(film.to_srgb(jnp.asarray(1.0))), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(film.to_srgb(jnp.asarray(0.5))),
+                               0.7353569, atol=1e-4)
+    # Linear segment below the knee.
+    np.testing.assert_allclose(float(film.to_srgb(jnp.asarray(0.003))),
+                               12.92 * 0.003, atol=1e-6)
+
+
+def test_quantize_parity():
+    # quantizeUnsigned8Bits: min(uint(x*256), 255), cuda/helpers.h:50-55.
+    xs = jnp.asarray([0.0, 0.5, 0.999, 1.0, 2.0, -1.0])
+    out = np.asarray(film.quantize_u8(xs))
+    np.testing.assert_array_equal(out, [0, 128, 255, 255, 255, 0])
+
+
+def test_make_color_white_black():
+    white = np.asarray(film.make_color(jnp.ones((1, 3))))
+    black = np.asarray(film.make_color(jnp.zeros((1, 3))))
+    np.testing.assert_array_equal(white[0], [255, 255, 255])
+    np.testing.assert_array_equal(black[0], [0, 0, 0])
+
+
+def test_png_roundtrip(tmp_path):
+    r = np.random.RandomState(1)
+    img = (r.rand(33, 47, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    film.write_png(p, img)
+    back = film.read_png(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_ppm_write(tmp_path):
+    img = np.zeros((2, 3, 3), np.uint8)
+    img[0, 0] = [255, 0, 0]
+    p = str(tmp_path / "x.ppm")
+    film.write_ppm(p, img)
+    with open(p, "rb") as f:
+        data = f.read()
+    assert data.startswith(b"P6\n3 2\n255\n")
+    assert data[-18:-15] == bytes([255, 0, 0])
+
+
+def test_rmse():
+    a = np.zeros((4, 4, 3))
+    b = np.ones((4, 4, 3)) * 0.5
+    np.testing.assert_allclose(film.rmse(a, b), 0.5)
+    np.testing.assert_allclose(film.rmse(a, a), 0.0)

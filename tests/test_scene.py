@@ -1,0 +1,99 @@
+"""Scene loader tests (TinyObjWrapper parity)."""
+
+import numpy as np
+
+from tpu_pt.scene import (BSDF_DIFFUSE, BSDF_METALLIC, BSDF_REFRACTION,
+                          classify_bsdf, detect_area_light, load_obj,
+                          load_scene)
+
+
+def test_classify_bsdf_name_rule():
+    # TinyObjWrapper.cpp:153-164.
+    assert classify_bsdf("RefractiveSphere") == BSDF_REFRACTION
+    assert classify_bsdf("MetallicBlock") == BSDF_METALLIC
+    assert classify_bsdf("WhiteDiffuse") == BSDF_DIFFUSE
+    assert classify_bsdf("whatever") == BSDF_DIFFUSE
+    # Substring, not prefix.
+    assert classify_bsdf("MyMetallicThing") == BSDF_METALLIC
+
+
+def test_load_cornell_counts(assets_dir):
+    mesh = load_obj(str(assets_dir / "cornell_box.obj"))
+    # 5 walls + light + 2 blocks x 5 quads = 16 quads = 32 triangles.
+    assert mesh.indices.shape == (32, 3)
+    assert mesh.mat_indices.shape == (32,)
+    assert mesh.get_num_materials() >= 4
+    # All triangle indices in range.
+    assert mesh.indices.min() >= 0
+    assert mesh.indices.max() < mesh.vertices.shape[0]
+
+
+def test_tinyobj_parity_getters(assets_dir):
+    mesh = load_obj(str(assets_dir / "cornell_box.obj"))
+    v4 = mesh.get_vertices_float()
+    assert v4.shape[1] == 4
+    np.testing.assert_array_equal(v4[:, 3], 1.0)  # w=1, TinyObjWrapper 200-221
+    flat = mesh.get_index_buffer()
+    assert flat.shape == (32 * 3,)
+
+
+def test_detect_area_light_matches_reference(assets_dir):
+    mesh = load_obj(str(assets_dir / "cornell_box.obj"))
+    light = detect_area_light(mesh)
+    assert light is not None
+    corner = np.asarray(light.corner)
+    v1 = np.asarray(light.v1)
+    v2 = np.asarray(light.v2)
+    # The emissive quad is built exactly at the reference's hardcoded light
+    # (PathTracerMain.cpp:154-158); the detector must recover it (up to
+    # corner/edge permutation — check the rectangle and the normal).
+    area = np.linalg.norm(np.cross(v1, v2))
+    np.testing.assert_allclose(area, 130.0 * 105.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(light.normal), [0.0, -1.0, 0.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(corner[1], 547.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(light.emission), [10.0, 10.0, 10.0])
+
+
+def test_scene_arrays_padding(cornell_scene):
+    s = cornell_scene
+    assert s.num_tris_padded % 128 == 0
+    valid = np.asarray(s.tri_valid)
+    assert valid.sum() == 32
+    # Padding triangles are degenerate (zero edges -> never hit).
+    np.testing.assert_array_equal(np.asarray(s.tri_e1)[~valid], 0.0)
+    # Normals are unit length on valid triangles.
+    n = np.asarray(s.tri_normal)[valid]
+    np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1.0, atol=1e-5)
+
+
+def test_mixed_scene_bsdfs(mixed_scene):
+    bsdf = np.asarray(mixed_scene.mat_bsdf)
+    assert (bsdf == BSDF_METALLIC).any()
+    assert (bsdf == BSDF_REFRACTION).any()
+    assert (bsdf == BSDF_DIFFUSE).any()
+    ior = np.asarray(mixed_scene.mat_ior)
+    refr = bsdf == BSDF_REFRACTION
+    np.testing.assert_allclose(ior[refr], 1.5)
+
+
+def test_negative_indices_and_polygons(tmp_path):
+    # OBJ with relative indices and a quad face.
+    p = tmp_path / "t.obj"
+    p.write_text("""
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+f -4 -3 -2 -1
+""")
+    mesh = load_obj(str(p))
+    assert mesh.indices.shape == (2, 3)  # fan-triangulated quad
+    np.testing.assert_array_equal(mesh.indices[0], [0, 1, 2])
+    np.testing.assert_array_equal(mesh.indices[1], [0, 2, 3])
+
+
+def test_load_scene_end_to_end(assets_dir):
+    s = load_scene(str(assets_dir / "cornell_box_mixed.obj"))
+    assert s.num_tris_padded >= 672  # 52 box tris + 2*sphere tris, padded
+    assert np.asarray(s.mat_is_emissive).any()

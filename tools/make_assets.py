@@ -1,0 +1,209 @@
+#!/usr/bin/env python3
+"""Generate the test/benchmark scenes (OBJ + MTL) deterministically.
+
+The reference hardcodes a user-local ``CornellBoxWithMonkey.obj``
+(``PathTracerMain.cpp:50``) that is not in its repo; these generators produce
+equivalent scenes from the classic (public) Cornell box coordinates, with the
+emissive quad placed exactly where the reference hardcodes its NEE area light
+(corner (343,547,227), v1 (0,0,105), v2 (-130,0,0); ``PathTracerMain.cpp:
+154-158``) so geometry and light sampling agree.
+
+Scenes:
+- cornell_box.obj           all-diffuse classic box + two blocks
+- cornell_box_mixed.obj     tall block Metallic, refractive sphere on the
+                            short block (exercises all three BSDFs)
+- cornell_box_sphere.obj    + ~2k-tri diffuse sphere (monkey stand-in)
+- big_mesh.obj (--big)      ~100k-tri displaced sphere for BVH benchmarks
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+
+def quad(f, a, b, c, d):
+    """Two CCW triangles for quad a-b-c-d (indices are 1-based absolute)."""
+    f.append((a, b, c))
+    f.append((a, c, d))
+
+
+class ObjWriter:
+    def __init__(self):
+        self.v = []
+        self.groups = []  # (mtl_name, faces)
+
+    def add_vert(self, x, y, z) -> int:
+        self.v.append((x, y, z))
+        return len(self.v)
+
+    def add_quad(self, mtl, p0, p1, p2, p3):
+        ids = [self.add_vert(*p) for p in (p0, p1, p2, p3)]
+        faces = []
+        quad(faces, *ids)
+        self.groups.append((mtl, faces))
+
+    def add_tris(self, mtl, verts, tris):
+        base = len(self.v)
+        for p in verts:
+            self.add_vert(*p)
+        faces = [(base + a + 1, base + b + 1, base + c + 1)
+                 for a, b, c in tris]
+        self.groups.append((mtl, faces))
+
+    def write(self, path, mtl_file):
+        with open(path, "w") as f:
+            f.write(f"mtllib {mtl_file}\n")
+            for x, y, z in self.v:
+                f.write(f"v {x:.6g} {y:.6g} {z:.6g}\n")
+            for mtl, faces in self.groups:
+                f.write(f"usemtl {mtl}\n")
+                for a, b, c in faces:
+                    f.write(f"f {a} {b} {c}\n")
+
+
+def cornell_shell(w: ObjWriter, light: bool = True):
+    """Classic Cornell box: floor/ceiling/back/left(red)/right(green)."""
+    # Floor (y=0)
+    w.add_quad("WhiteDiffuse", (552.8, 0, 0), (0, 0, 0), (0, 0, 559.2),
+               (549.6, 0, 559.2))
+    # Ceiling (y=548.8)
+    w.add_quad("WhiteDiffuse", (556, 548.8, 0), (556, 548.8, 559.2),
+               (0, 548.8, 559.2), (0, 548.8, 0))
+    # Back wall (z=559.2)
+    w.add_quad("WhiteDiffuse", (549.6, 0, 559.2), (0, 0, 559.2),
+               (0, 548.8, 559.2), (556, 548.8, 559.2))
+    # Right wall (x=0) — green
+    w.add_quad("GreenDiffuse", (0, 0, 559.2), (0, 0, 0), (0, 548.8, 0),
+               (0, 548.8, 559.2))
+    # Left wall (x~555) — red
+    w.add_quad("RedDiffuse", (552.8, 0, 0), (549.6, 0, 559.2),
+               (556, 548.8, 559.2), (556, 548.8, 0))
+    if light:
+        # Emissive quad exactly at the reference's hardcoded NEE light.
+        w.add_quad("Light", (343, 547, 227), (343, 547, 332),
+                   (213, 547, 332), (213, 547, 227))
+
+
+def short_block(w: ObjWriter, mtl="WhiteDiffuse"):
+    p = [(130, 165, 65), (82, 165, 225), (240, 165, 272), (290, 165, 114),
+         (130, 0, 65), (82, 0, 225), (240, 0, 272), (290, 0, 114)]
+    _block(w, mtl, p)
+
+
+def tall_block(w: ObjWriter, mtl="WhiteDiffuse"):
+    p = [(423, 330, 247), (265, 330, 296), (314, 330, 456), (472, 330, 406),
+         (423, 0, 247), (265, 0, 296), (314, 0, 456), (472, 0, 406)]
+    _block(w, mtl, p)
+
+
+def _block(w: ObjWriter, mtl, p):
+    top = p[0], p[1], p[2], p[3]
+    w.add_quad(mtl, *top)
+    for i in range(4):
+        j = (i + 1) % 4
+        w.add_quad(mtl, p[i], p[4 + i], p[4 + j], p[j])
+
+
+def uv_sphere(cx, cy, cz, r, n_lat, n_lon):
+    verts, tris = [], []
+    for i in range(n_lat + 1):
+        th = math.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * math.pi * j / n_lon
+            verts.append((cx + r * math.sin(th) * math.cos(ph),
+                          cy + r * math.cos(th),
+                          cz + r * math.sin(th) * math.sin(ph)))
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            if i > 0:
+                tris.append((a, b, c))
+            if i < n_lat - 1:
+                tris.append((b, d, c))
+    return verts, tris
+
+
+def displaced_sphere(cx, cy, cz, r, n_lat, n_lon):
+    """Bumpy sphere — a deterministic stand-in for a scanned mesh."""
+    verts, tris = uv_sphere(0, 0, 0, 1.0, n_lat, n_lon)
+    out = []
+    for x, y, z in verts:
+        bump = 1.0 + 0.08 * math.sin(9 * x) * math.sin(7 * y) * math.sin(5 * z)
+        out.append((cx + r * bump * x, cy + r * bump * y, cz + r * bump * z))
+    return out, tris
+
+
+MTL = """\
+newmtl WhiteDiffuse
+Kd 0.73 0.73 0.73
+newmtl RedDiffuse
+Kd 0.65 0.05 0.05
+newmtl GreenDiffuse
+Kd 0.12 0.45 0.15
+newmtl Light
+Kd 0.78 0.78 0.78
+Ke 10 10 10
+newmtl MetallicBlock
+Kd 0.9 0.9 0.9
+Pr 0.2
+Pm 1.0
+newmtl RefractiveSphere
+Kd 0.99 0.99 0.99
+Ni 1.5
+newmtl GreyDiffuse
+Kd 0.6 0.6 0.6
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "assets"))
+    ap.add_argument("--big", action="store_true",
+                    help="also write big_mesh.obj (~100k tris)")
+    args = ap.parse_args()
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+
+    with open(os.path.join(out, "cornell.mtl"), "w") as f:
+        f.write(MTL)
+
+    w = ObjWriter()
+    cornell_shell(w)
+    short_block(w)
+    tall_block(w)
+    w.write(os.path.join(out, "cornell_box.obj"), "cornell.mtl")
+
+    w = ObjWriter()
+    cornell_shell(w)
+    short_block(w)
+    tall_block(w, mtl="MetallicBlock")
+    sv, st = uv_sphere(185, 165 + 80, 169, 80, 12, 18)
+    w.add_tris("RefractiveSphere", sv, st)
+    w.write(os.path.join(out, "cornell_box_mixed.obj"), "cornell.mtl")
+
+    w = ObjWriter()
+    cornell_shell(w)
+    short_block(w)
+    tall_block(w)
+    sv, st = uv_sphere(185, 165 + 90, 169, 90, 32, 36)
+    w.add_tris("GreyDiffuse", sv, st)
+    w.write(os.path.join(out, "cornell_box_sphere.obj"), "cornell.mtl")
+
+    if args.big:
+        w = ObjWriter()
+        cornell_shell(w)
+        sv, st = displaced_sphere(278, 220, 280, 160, 224, 224)
+        w.add_tris("GreyDiffuse", sv, st)
+        w.write(os.path.join(out, "big_mesh.obj"), "cornell.mtl")
+
+    print(f"assets written to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Vectorized BSDF sampling and Fresnel terms.
+
+Behavior parity with the reference's device shading math, redesigned as
+wavefront-wide vector ops instead of per-thread divergent branches:
+- cosine / uniform hemisphere sampling (``pathTracerPrograms.cu:341-380``)
+- GGX microfacet sampling (``pathTracerPrograms.cu:455-476``)
+- conductor Fresnel (``pathTracerPrograms.cu:494-510``)
+- dielectric Fresnel with TIR (``pathTracerPrograms.cu:534-559``)
+
+All functions broadcast over leading ray axes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import vmath as vm
+
+# The reference hardcodes the metal's complex IOR (eta slightly refracting
+# blue, k absorbing red/blue; ``pathTracerPrograms.cu:943-944``).
+METAL_ETA = (1.45, 0.7, 1.55)
+METAL_K = (3.0, 2.2, 3.5)
+
+
+def cosine_sample_hemisphere(u1, u2):
+    """Cosine-weighted local-frame direction (z-up); pdf = cos(theta)/pi.
+
+    Same construction as the reference (theta = acos(sqrt(u1)),
+    ``pathTracerPrograms.cu:341-353``) but algebraically simplified:
+    cos(theta) = sqrt(u1), sin(theta) = sqrt(1-u1).
+    """
+    cos_t = jnp.sqrt(u1)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    phi = (2.0 * jnp.pi) * u2
+    return vm.vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
+
+
+def uniform_sample_hemisphere(u1, u2):
+    """Uniform local-frame hemisphere direction; pdf = 1/(2 pi).
+
+    Parity: ``pathTracerPrograms.cu:368-380`` (z = u1, r = sqrt(1-u1^2)).
+    """
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - u1 * u1, 0.0))
+    phi = (2.0 * jnp.pi) * u2
+    return vm.vec3(jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, u1)
+
+
+def sample_hemisphere_world(n, u1, u2, importance: bool):
+    """Sample a direction about world normal ``n`` via the reference ONB."""
+    local = (cosine_sample_hemisphere(u1, u2) if importance
+             else uniform_sample_hemisphere(u1, u2))
+    t, b, nn = vm.onb_from_normal(n)
+    return vm.onb_transform(local, t, b, nn)
+
+
+def sample_ggx(u1, u2, roughness, n):
+    """Sample a GGX microfacet normal about ``n``.
+
+    Parity: ``sampleGGX`` (``pathTracerPrograms.cu:455-476``) — including its
+    tangent frame built from up=(0,0,1) (or (1,0,0) near the pole), which
+    differs from the diffuse ONB. Roughness is clamped to [0.001, 1]
+    (the reference's clamp at :458 is a no-op bug; we apply it for real —
+    see SURVEY.md §7 "known reference bugs", quirk-mode uses 0.2 anyway).
+    """
+    a = jnp.clip(roughness, 0.001, 1.0)
+    phi = (2.0 * jnp.pi) * u1
+    cos_t = jnp.sqrt((1.0 - u2) / (1.0 + (a * a - 1.0) * u2))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    h_local = vm.vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
+
+    nz = n[..., 2]
+    pole = jnp.abs(nz) >= 0.999
+    up = jnp.where(pole[..., None],
+                   jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                   jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+    tangent = vm.normalize(vm.cross(up, n))
+    bitangent = vm.cross(n, tangent)
+    h = (h_local[..., 0:1] * tangent + h_local[..., 1:2] * bitangent
+         + h_local[..., 2:3] * n)
+    return vm.normalize(h)
+
+
+def fresnel_conductor(cos_theta, eta, k):
+    """Conductor Fresnel reflectance per RGB channel.
+
+    Parity: ``fresnelSchlickConductor`` (``pathTracerPrograms.cu:494-510``).
+    ``eta``/``k`` are [..., 3] (or broadcastable constants).
+    """
+    cos_theta = jnp.asarray(cos_theta, jnp.float32)[..., None]
+    eta = jnp.asarray(eta, jnp.float32)
+    k = jnp.asarray(k, jnp.float32)
+    c2 = cos_theta * cos_theta
+    eta2 = eta * eta
+    k2 = k * k
+    t1 = eta2 - k2 - c2
+    a2b2 = jnp.sqrt(jnp.maximum(t1 * t1 + 4.0 * eta2 * k2, 0.0))
+    t2 = a2b2 + c2
+    rs = (t2 - 2.0 * eta * cos_theta + c2) / (t2 + 2.0 * eta * cos_theta + c2)
+    rp = rs * (t2 - 2.0 * eta * cos_theta + 1.0) / (
+        t2 + 2.0 * eta * cos_theta + 1.0)
+    return 0.5 * (rs + rp)
+
+
+def fr_dielectric(cos_theta_i, eta_i, eta_t):
+    """Dielectric Fresnel with total internal reflection.
+
+    Parity: ``FrDielectric`` (``pathTracerPrograms.cu:534-559``, PBRT-style):
+    a negative cos_theta_i means the ray is inside the medium -> swap etas.
+    """
+    cos_i = jnp.clip(jnp.asarray(cos_theta_i, jnp.float32), -1.0, 1.0)
+    entering = cos_i > 0.0
+    ei = jnp.where(entering, eta_i, eta_t)
+    et = jnp.where(entering, eta_t, eta_i)
+    cos_i = jnp.abs(cos_i)
+
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    sin_t = ei / et * sin_i
+    tir = sin_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+
+    r_parl = ((et * cos_i) - (ei * cos_t)) / ((et * cos_i) + (ei * cos_t))
+    r_perp = ((ei * cos_i) - (et * cos_t)) / ((ei * cos_i) + (et * cos_t))
+    f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
+    return jnp.where(tir, 1.0, f)

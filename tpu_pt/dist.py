@@ -1,0 +1,108 @@
+"""Multi-chip rendering over a device mesh.
+
+TPU-native replacement for the reference's multi-GPU scaffolding: the 8x4
+round-robin tile assignment of ``StaticWorkDistribution``
+(``sutil/WorkDistribution.h:34-90``) becomes row-tile sharding of the frame
+over a ``tile`` mesh axis, and the ZERO_COPY/CUDA_P2P frame assembly modes of
+``CUDAOutputBuffer`` (``sutil/CUDAOutputBuffer.h:45-51``) become XLA ICI
+collectives: samples are additionally sharded over an ``spp`` axis and
+combined with ``psum`` (BASELINE.json config 5). The accumulation buffer
+stays sharded and device-resident across frames.
+
+Because the RNG is counter-based, an (n_tile x n_spp)-sharded render is
+bitwise identical to the single-chip render of the same (pixel, sample) set.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import film
+from .config import RenderConfig
+from .render import CameraArrays, RenderStats, render_wavefront
+from .scene.arrays import SceneArrays
+
+
+def device_mesh(n_tile: int | None = None, n_spp: int | None = None,
+                devices=None) -> Mesh:
+    """Build a (tile, spp) mesh. Defaults: split samples 2-way when the
+    device count is even, tiles take the rest."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_tile is None and n_spp is None:
+        n_spp = 2 if n % 2 == 0 and n > 1 else 1
+        n_tile = n // n_spp
+    elif n_tile is None:
+        n_tile = n // n_spp
+    elif n_spp is None:
+        n_spp = n // n_tile
+    assert n_tile * n_spp == n, (n_tile, n_spp, n)
+    import numpy as np
+    dev_array = np.asarray(devices).reshape(n_tile, n_spp)
+    return Mesh(dev_array, ("tile", "spp"))
+
+
+def _render_block(scene, cam, cfg_local: RenderConfig, frame_idx, n_spp,
+                  pixel_ids, accum_block):
+    """Per-device body: render this device's pixel rows with its sample
+    shard, psum sample means over the spp axis, fold into the accumulator."""
+    spp_shard = jax.lax.axis_index("spp")
+    offset = spp_shard.astype(jnp.uint32) * jnp.uint32(cfg_local.spp)
+    rad, stats = render_wavefront(scene, cam, cfg_local, pixel_ids,
+                                  frame_idx, sample_offset=offset)
+    # Mean of per-shard means == global mean (equal shard sizes).
+    rad = jax.lax.psum(rad, "spp") / n_spp
+    stats = jax.tree.map(lambda x: jax.lax.psum(x, ("tile", "spp")), stats)
+
+    rows = pixel_ids.shape[0] // cfg_local.width
+    frame = rad.reshape(rows, cfg_local.width, 3)
+    new_accum = film.accumulate(accum_block, frame, frame_idx)
+    frame_u8 = film.make_color(new_accum)
+    return new_accum, frame_u8, stats
+
+
+def make_sharded_renderer(scene: SceneArrays, cfg: RenderConfig, mesh: Mesh):
+    """Compile a progressive frame step sharded over ``mesh``.
+
+    Returns ``step(cam, frame_idx, accum) -> (accum, frame_u8, stats)`` where
+    ``accum`` is [H, W, 3] sharded over rows. Use :func:`init_accum_sharded`
+    to create it.
+    """
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    assert cfg.height % n_tile == 0, (cfg.height, n_tile)
+    assert cfg.spp % n_spp == 0, (cfg.spp, n_spp)
+    cfg_local = cfg.with_(spp=cfg.spp // n_spp)
+
+    stats_spec = RenderStats(rays_traced=P(), shadow_rays=P(),
+                             done_histogram=P())
+
+    def step(cam: CameraArrays, frame_idx, accum):
+        pixel_ids = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
+        body = partial(_render_block, scene, cam, cfg_local, frame_idx,
+                       n_spp)
+        # check_vma=False: the intersection scans init their carries from
+        # constants, which JAX 0.9's varying-manual-axes analysis rejects
+        # inside shard_map; the math is shard-local either way.
+        sharded = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("tile"), P("tile", None, None)),
+            out_specs=(P("tile", None, None), P("tile", None, None),
+                       stats_spec),
+            check_vma=False,
+        )
+        return sharded(pixel_ids, accum)
+
+    return jax.jit(step, donate_argnums=(2,))
+
+
+def init_accum_sharded(cfg: RenderConfig, mesh: Mesh) -> jnp.ndarray:
+    """Row-sharded accumulation buffer resident across the mesh."""
+    sharding = NamedSharding(mesh, P("tile", None, None))
+    return jax.device_put(jnp.zeros((cfg.height, cfg.width, 3), jnp.float32),
+                          sharding)

@@ -1,0 +1,80 @@
+"""Intersection backends.
+
+``get_intersectors`` picks the backend per config:
+- ``bruteforce``: chunked jnp Möller-Trumbore (always available, any device)
+- ``pallas``: fused Pallas TPU kernel of the same dense test
+- ``bvh``: LBVH build + traversal for large meshes
+- ``auto``: pallas on TPU when available, else bruteforce; bvh once the
+  triangle count crosses its crossover.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+
+from ..config import RenderConfig
+from ..scene.arrays import SceneArrays
+from .moller import Hit, intersect_closest, intersect_occluded
+
+__all__ = ["Hit", "intersect_closest", "intersect_occluded",
+           "get_intersectors"]
+
+# Dense all-pairs testing beats BVH below roughly this many triangles.
+BVH_CROSSOVER_TRIS = 4096
+
+
+def _available(mod: str) -> bool:
+    import importlib.util
+    return importlib.util.find_spec(f"tpu_pt.intersect.{mod}") is not None
+
+
+def _resolve(scene: SceneArrays, cfg: RenderConfig) -> str:
+    if cfg.intersector != "auto":
+        return cfg.intersector
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if scene.num_tris_padded > BVH_CROSSOVER_TRIS and _available("lbvh"):
+        return "bvh"
+    if on_tpu and _available("pallas_bf"):
+        return "pallas"
+    return "bruteforce"
+
+
+def get_intersectors(scene: SceneArrays, cfg: RenderConfig):
+    """Returns (closest_fn(o, d) -> Hit, occluded_fn(o, d, tmax) -> bool)."""
+    backend = _resolve(scene, cfg)
+
+    if backend == "pallas":
+        from . import pallas_bf
+        closest = partial(pallas_bf.intersect_closest, scene,
+                          tmin=cfg.t_min, tmax=cfg.t_max)
+        occluded = partial(pallas_bf.intersect_occluded, scene,
+                           tmin=cfg.t_min,
+                           quirk_first_hit=cfg.quirks.occlusion_first_hit_only)
+        return closest, occluded
+
+    if backend == "bvh":
+        from . import lbvh
+        closest = partial(lbvh.intersect_closest, scene,
+                          tmin=cfg.t_min, tmax=cfg.t_max)
+        occluded = partial(lbvh.intersect_occluded, scene,
+                           tmin=cfg.t_min,
+                           quirk_first_hit=cfg.quirks.occlusion_first_hit_only)
+        return closest, occluded
+
+    assert backend == "bruteforce", backend
+    closest = partial(intersect_closest, scene, tmin=cfg.t_min,
+                      tmax=cfg.t_max, ray_chunk=cfg.ray_chunk,
+                      tri_block=cfg.tri_block)
+
+    def occluded(o, d, tmax):
+        return intersect_occluded(
+            scene, o, d, tmax, tmin=cfg.t_min, ray_chunk=cfg.ray_chunk,
+            tri_block=cfg.tri_block,
+            quirk_first_hit=cfg.quirks.occlusion_first_hit_only)
+
+    return closest, occluded
