@@ -49,23 +49,30 @@ def test_sharded_matches_single_device(cornell_scene, cam, n_tile, n_spp):
     accum_s = dist.init_accum_sharded(cfg, mesh)
     out_accum, out_img, out_stats = step(cam, 0, accum_s)
 
-    if n_spp == 1:
-        # Pure tile sharding: identical sample set, identical summation
-        # order -> bitwise equal.
-        np.testing.assert_array_equal(np.asarray(ref_accum),
-                                      np.asarray(out_accum))
-        np.testing.assert_array_equal(np.asarray(ref_img),
-                                      np.asarray(out_img))
-    else:
-        # spp sharding changes fp summation order (mean of shard means);
-        # same samples, so agreement is to fp rounding only.
-        np.testing.assert_allclose(np.asarray(ref_accum),
-                                   np.asarray(out_accum), atol=1e-5,
-                                   rtol=1e-5)
+    # The regen scheduler's work queue is device-local, so same-pixel sample
+    # contributions interleave differently across shardings: identical terms,
+    # fp-add reordering only (~1 ulp).
+    np.testing.assert_allclose(np.asarray(ref_accum), np.asarray(out_accum),
+                               atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(float(ref_stats.rays_traced),
                                float(out_stats.rays_traced))
     np.testing.assert_allclose(np.asarray(ref_stats.done_histogram),
                                np.asarray(out_stats.done_histogram))
+
+
+def test_tile_sharding_bitwise_with_scan_scheduler(cornell_scene, cam):
+    """With the scan scheduler (execution order == reference's nested
+    loops), pure tile sharding is bitwise identical to single-chip."""
+    cfg = cfg_small(scheduler="scan")
+    accum = init_accum(cfg)
+    ref_accum, ref_img, _ = render_frame(cornell_scene, cam, cfg, 0, accum)
+    mesh = dist.device_mesh(n_tile=8, n_spp=1)
+    step = dist.make_sharded_renderer(cornell_scene, cfg, mesh)
+    accum_s = dist.init_accum_sharded(cfg, mesh)
+    out_accum, out_img, _ = step(cam, 0, accum_s)
+    np.testing.assert_array_equal(np.asarray(ref_accum),
+                                  np.asarray(out_accum))
+    np.testing.assert_array_equal(np.asarray(ref_img), np.asarray(out_img))
 
 
 def test_sharded_progressive_frames(cornell_scene, cam):
@@ -80,7 +87,8 @@ def test_sharded_progressive_frames(cornell_scene, cam):
     accum = init_accum(cfg)
     for f in range(3):
         accum, ref_img, _ = render_frame(cornell_scene, cam, cfg, f, accum)
-    np.testing.assert_array_equal(np.asarray(accum), np.asarray(accum_s))
+    np.testing.assert_allclose(np.asarray(accum), np.asarray(accum_s),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_accum_stays_sharded(cornell_scene, cam):

@@ -1,0 +1,90 @@
+"""Pallas brute-force intersector vs the jnp reference (interpret mode on
+CPU; the same kernels run compiled on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pt import rng
+from tpu_pt.intersect import moller, pallas_bf
+from tpu_pt.render import CameraArrays, camera_rays
+import tpu_pt
+
+
+@pytest.fixture(scope="module")
+def rays(cornell_scene):
+    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+    n = 2048
+    pix = jnp.arange(n, dtype=jnp.uint32) * 97 % (64 * 64)
+    jx, jy = rng.uniform2(pix, 0, 0, 0)
+    return camera_rays(cam, pix.astype(jnp.uint32), 64, 64, jx, jy)
+
+
+def test_closest_matches_reference(cornell_scene, rays):
+    o, d = rays
+    ref = moller.intersect_closest(cornell_scene, o, d)
+    out = pallas_bf.intersect_closest(cornell_scene, o, d)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(out.t),
+                               rtol=1e-6)
+
+
+def test_closest_matches_reference_mixed(mixed_scene, rays):
+    o, d = rays
+    ref = moller.intersect_closest(mixed_scene, o, d)
+    out = pallas_bf.intersect_closest(mixed_scene, o, d)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(out.t),
+                               rtol=1e-6)
+
+
+def test_occluded_matches_reference(mixed_scene, rays):
+    o, d = rays
+    # Shadow-ray-like: from hit points toward the light.
+    h = moller.intersect_closest(mixed_scene, o, d)
+    p = o + h.t[..., None] * d * 0.999
+    light = jnp.asarray([278.0, 547.0, 279.5])
+    to_l = light - p
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    ldir = to_l / jnp.maximum(dist, 1e-6)[..., None]
+    tmax = dist - 0.01
+    ref = moller.intersect_occluded(mixed_scene, p, ldir, tmax)
+    out = pallas_bf.intersect_occluded(mixed_scene, p, ldir, tmax)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_occluded_quirk_mode(mixed_scene, rays):
+    o, d = rays
+    tmax = jnp.full((o.shape[0],), 1e6)
+    ref = moller.intersect_occluded(mixed_scene, o, d, tmax,
+                                    quirk_first_hit=True)
+    out = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax,
+                                       quirk_first_hit=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_nonaligned_ray_count(cornell_scene):
+    # N not a multiple of RAY_TILE exercises the padding path.
+    o = jnp.zeros((333, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (333, 3))
+    o = o.at[:, 0].set(278.0)
+    o = o.at[:, 2].set(279.0)
+    out = pallas_bf.intersect_closest(cornell_scene, o, d)
+    ref = moller.intersect_closest(cornell_scene, o, d)
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(out.t),
+                               rtol=1e-6)
+
+
+def test_render_with_pallas_matches_bruteforce(cornell_scene):
+    from tpu_pt.render import render_wavefront
+    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+    pix = jnp.arange(32 * 32, dtype=jnp.uint32)
+    cfg_a = tpu_pt.RenderConfig(width=32, height=32, spp=2, max_depth=3,
+                                use_direct_lighting=True,
+                                use_importance_sampling=True,
+                                intersector="bruteforce")
+    cfg_b = cfg_a.with_(intersector="pallas")
+    ra, _ = render_wavefront(cornell_scene, cam, cfg_a, pix, 0)
+    rb, _ = render_wavefront(cornell_scene, cam, cfg_b, pix, 0)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=1e-5)

@@ -80,7 +80,7 @@ def make_sharded_renderer(scene: SceneArrays, cfg: RenderConfig, mesh: Mesh):
     cfg_local = cfg.with_(spp=cfg.spp // n_spp)
 
     stats_spec = RenderStats(rays_traced=P(), shadow_rays=P(),
-                             done_histogram=P())
+                             done_histogram=P(), wavefront_iterations=P())
 
     def step(cam: CameraArrays, frame_idx, accum):
         pixel_ids = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
