@@ -5,6 +5,8 @@ import numpy as np
 
 from tpu_pt import bsdf, rng
 from tpu_pt import vmath as vm
+from tpu_pt import vec3
+from tpu_pt.vec3 import V3
 
 
 def _uniforms(n, seed=0):
@@ -15,17 +17,17 @@ def _uniforms(n, seed=0):
 
 def test_cosine_hemisphere_distribution():
     u1, u2 = _uniforms(200000)
-    d = bsdf.cosine_sample_hemisphere(u1, u2)
+    d = bsdf.cosine_sample_hemisphere(u1, u2).to_array()
     cos_t = np.asarray(d[..., 2])
     assert cos_t.min() >= 0.0
     # E[cos] = 2/3 for pdf = cos/pi.
     assert abs(cos_t.mean() - 2.0 / 3.0) < 0.005
-    np.testing.assert_allclose(np.asarray(vm.length(d)), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0, atol=1e-4)
 
 
 def test_uniform_hemisphere_distribution():
     u1, u2 = _uniforms(200000, 1)
-    d = bsdf.uniform_sample_hemisphere(u1, u2)
+    d = bsdf.uniform_sample_hemisphere(u1, u2).to_array()
     cos_t = np.asarray(d[..., 2])
     assert cos_t.min() >= 0.0
     # E[cos] = 1/2 for the uniform hemisphere.
@@ -34,7 +36,7 @@ def test_uniform_hemisphere_distribution():
 
 def test_cosine_azimuth_uniform():
     u1, u2 = _uniforms(100000, 2)
-    d = bsdf.cosine_sample_hemisphere(u1, u2)
+    d = bsdf.cosine_sample_hemisphere(u1, u2).to_array()
     phi = np.arctan2(np.asarray(d[..., 1]), np.asarray(d[..., 0]))
     hist, _ = np.histogram(phi, bins=16, range=(-np.pi, np.pi))
     expected = len(phi) / 16
@@ -46,19 +48,20 @@ def test_sample_hemisphere_world_in_hemisphere():
     n = vm.normalize(jnp.asarray(r.randn(1000, 3).astype(np.float32)))
     u1 = jnp.asarray(r.rand(1000).astype(np.float32))
     u2 = jnp.asarray(r.rand(1000).astype(np.float32))
+    nv = V3.from_array(n)
     for imp in (True, False):
-        d = bsdf.sample_hemisphere_world(n, u1, u2, imp)
-        assert np.asarray(vm.dot(d, n)).min() >= -1e-4
+        d = bsdf.sample_hemisphere_world(nv, u1, u2, imp)
+        assert np.asarray(vec3.dot(d, nv)).min() >= -1e-4
 
 
 def test_ggx_roughness_concentration():
     """Smaller roughness concentrates half-vectors around the normal."""
     u1, u2 = _uniforms(50000, 4)
-    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (50000, 3))
+    n = V3.full((50000,), (0.0, 0.0, 1.0))
     h_smooth = bsdf.sample_ggx(u1, u2, 0.05, n)
     h_rough = bsdf.sample_ggx(u1, u2, 0.9, n)
-    cs = np.asarray(vm.dot(h_smooth, n)).mean()
-    cr = np.asarray(vm.dot(h_rough, n)).mean()
+    cs = np.asarray(vec3.dot(h_smooth, n)).mean()
+    cr = np.asarray(vec3.dot(h_rough, n)).mean()
     assert cs > 0.99
     assert cr < cs - 0.1
 
@@ -67,10 +70,10 @@ def test_ggx_cos_theta_formula():
     # Closed form: cos_theta = sqrt((1-u2)/(1+(a^2-1) u2)).
     u2 = jnp.asarray([0.25], jnp.float32)
     a = 0.3
-    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    n = V3.full((1,), (0.0, 0.0, 1.0))
     h = bsdf.sample_ggx(jnp.asarray([0.0]), u2, a, n)
     expect = np.sqrt((1 - 0.25) / (1 + (a * a - 1) * 0.25))
-    np.testing.assert_allclose(float(h[0, 2]), expect, atol=1e-5)
+    np.testing.assert_allclose(float(h.z[0]), expect, atol=1e-5)
 
 
 def test_fr_dielectric_normal_incidence():
@@ -101,7 +104,8 @@ def test_fr_dielectric_energy_range():
 
 def test_fresnel_conductor_range_and_reference_metal():
     cos = jnp.linspace(0.01, 1.0, 64)
-    f = np.asarray(bsdf.fresnel_conductor(cos, bsdf.METAL_ETA, bsdf.METAL_K))
+    eta, k = bsdf.metal_eta_k(cos.shape)
+    f = np.asarray(bsdf.fresnel_conductor(cos, eta, k).to_array())
     assert np.all(f >= 0.0) and np.all(f <= 1.0)
     # Conductors stay highly reflective at normal incidence.
     assert f[-1].mean() > 0.5

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+from tpu_pt.vec3 import V3
 
 from tpu_pt.intersect import intersect_closest, intersect_occluded
 from tpu_pt.scene.arrays import (BSDF_DIFFUSE, BSDF_REFRACTION,

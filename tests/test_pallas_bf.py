@@ -9,6 +9,7 @@ from tpu_pt import rng
 from tpu_pt.intersect import moller, pallas_bf
 from tpu_pt.render import CameraArrays, camera_rays
 import tpu_pt
+from tpu_pt.vec3 import V3
 
 
 @pytest.fixture(scope="module")
@@ -17,7 +18,8 @@ def rays(cornell_scene):
     n = 2048
     pix = jnp.arange(n, dtype=jnp.uint32) * 97 % (64 * 64)
     jx, jy = rng.uniform2(pix, 0, 0, 0)
-    return camera_rays(cam, pix.astype(jnp.uint32), 64, 64, jx, jy)
+    o, d = camera_rays(cam, pix.astype(jnp.uint32), 64, 64, jx, jy)
+    return o.to_array(), d.to_array()
 
 
 def test_closest_matches_reference(cornell_scene, rays):
@@ -79,12 +81,28 @@ def test_nonaligned_ray_count(cornell_scene):
 def test_render_with_pallas_matches_bruteforce(cornell_scene):
     from tpu_pt.render import render_wavefront
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
-    pix = jnp.arange(32 * 32, dtype=jnp.uint32)
     cfg_a = tpu_pt.RenderConfig(width=32, height=32, spp=2, max_depth=3,
                                 use_direct_lighting=True,
                                 use_importance_sampling=True,
                                 intersector="bruteforce")
     cfg_b = cfg_a.with_(intersector="pallas")
-    ra, _ = render_wavefront(cornell_scene, cam, cfg_a, pix, 0)
-    rb, _ = render_wavefront(cornell_scene, cam, cfg_b, pix, 0)
+    ra, _ = render_wavefront(cornell_scene, cam, cfg_a, 0, 32 * 32, 0)
+    rb, _ = render_wavefront(cornell_scene, cam, cfg_b, 0, 32 * 32, 0)
     np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=1e-5)
+
+
+def test_deep_render_cross_backend_agreement(mixed_scene):
+    """Regression: at 8 bounces on the mixed-BSDF scene, pallas and
+    bruteforce must agree tightly. Caught a real bug: the jnp backend's
+    mask-matmul normal/material select ran at default (bf16) MXU precision,
+    perturbing normals by ~1e-3 and diverging whole paths."""
+    from tpu_pt.render import render_wavefront
+    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+    cfg_a = tpu_pt.RenderConfig(width=64, height=64, spp=4, max_depth=8,
+                                use_direct_lighting=True,
+                                use_importance_sampling=True,
+                                intersector="bruteforce")
+    cfg_b = cfg_a.with_(intersector="pallas", scheduler="regen")
+    ra, _ = render_wavefront(mixed_scene, cam, cfg_a, 0, 64 * 64, 0)
+    rb, _ = render_wavefront(mixed_scene, cam, cfg_b, 0, 64 * 64, 0)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(rb), atol=1e-4)

@@ -149,8 +149,7 @@ def test_cosine_sampling_unbiased_vs_analytic():
     cfg = tpu_pt.RenderConfig(width=16, height=16, spp=1024, max_depth=1,
                               use_importance_sampling=True,
                               use_direct_lighting=False)
-    pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
-    rad, _ = render_wavefront(scene, cam, cfg, pix, 0)
+    rad, _ = render_wavefront(scene, cam, cfg, 0, cfg.width * cfg.height, 0)
     img = np.asarray(rad).reshape(16, 16, 3)
     # Center pixels look at the floor near the origin.
     center = img[7:9, 7:9].mean()
@@ -171,8 +170,7 @@ def test_uniform_mode_reference_bias():
     cfg = tpu_pt.RenderConfig(width=8, height=8, spp=1024, max_depth=1,
                               use_importance_sampling=False,
                               use_direct_lighting=False)
-    pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
-    rad, _ = render_wavefront(scene, cam, cfg, pix, 0)
+    rad, _ = render_wavefront(scene, cam, cfg, 0, cfg.width * cfg.height, 0)
     uniform_val = np.asarray(rad).reshape(8, 8, 3)[3:5, 3:5].mean()
     expect = _analytic_floor_radiance()
     # Uniform mode underweights the overhead light (no 2*cos factor):
@@ -242,11 +240,10 @@ def test_pixel_subset_matches_full_render(cornell_scene, cam):
     (the invariant tile-sharding relies on)."""
     cfg = small_cfg(spp=2)
     n = cfg.width * cfg.height
-    pix = jnp.arange(n, dtype=jnp.uint32)
-    full, _ = render_wavefront(cornell_scene, cam, cfg, pix, 0)
+    full, _ = render_wavefront(cornell_scene, cam, cfg, 0, n, 0)
     # A row in the middle.
-    sub_ids = jnp.arange(32 * cfg.width, 33 * cfg.width, dtype=jnp.uint32)
-    sub, _ = render_wavefront(cornell_scene, cam, cfg, sub_ids, 0)
+    sub, _ = render_wavefront(cornell_scene, cam, cfg, 32 * cfg.width,
+                              cfg.width, 0)
     np.testing.assert_array_equal(np.asarray(full)[32 * cfg.width:
                                                    33 * cfg.width],
                                   np.asarray(sub))

@@ -1,4 +1,4 @@
-"""Vectorized BSDF sampling and Fresnel terms.
+"""Vectorized BSDF sampling and Fresnel terms (component-SoA V3 layout).
 
 Behavior parity with the reference's device shading math, redesigned as
 wavefront-wide vector ops instead of per-thread divergent branches:
@@ -7,14 +7,16 @@ wavefront-wide vector ops instead of per-thread divergent branches:
 - conductor Fresnel (``pathTracerPrograms.cu:494-510``)
 - dielectric Fresnel with TIR (``pathTracerPrograms.cu:534-559``)
 
-All functions broadcast over leading ray axes.
+All functions broadcast over leading ray axes and use the V3 layout
+(``tpu_pt.vec3``) so no op reduces over a size-3 minor axis.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from . import vmath as vm
+from . import vec3 as v3
+from .vec3 import V3
 
 # The reference hardcodes the metal's complex IOR (eta slightly refracting
 # blue, k absorbing red/blue; ``pathTracerPrograms.cu:943-944``).
@@ -22,7 +24,7 @@ METAL_ETA = (1.45, 0.7, 1.55)
 METAL_K = (3.0, 2.2, 3.5)
 
 
-def cosine_sample_hemisphere(u1, u2):
+def cosine_sample_hemisphere(u1, u2) -> V3:
     """Cosine-weighted local-frame direction (z-up); pdf = cos(theta)/pi.
 
     Same construction as the reference (theta = acos(sqrt(u1)),
@@ -32,28 +34,28 @@ def cosine_sample_hemisphere(u1, u2):
     cos_t = jnp.sqrt(u1)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
     phi = (2.0 * jnp.pi) * u2
-    return vm.vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
+    return V3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
 
 
-def uniform_sample_hemisphere(u1, u2):
+def uniform_sample_hemisphere(u1, u2) -> V3:
     """Uniform local-frame hemisphere direction; pdf = 1/(2 pi).
 
     Parity: ``pathTracerPrograms.cu:368-380`` (z = u1, r = sqrt(1-u1^2)).
     """
     sin_t = jnp.sqrt(jnp.maximum(1.0 - u1 * u1, 0.0))
     phi = (2.0 * jnp.pi) * u2
-    return vm.vec3(jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, u1)
+    return V3(jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, u1)
 
 
-def sample_hemisphere_world(n, u1, u2, importance: bool):
+def sample_hemisphere_world(n: V3, u1, u2, importance: bool) -> V3:
     """Sample a direction about world normal ``n`` via the reference ONB."""
     local = (cosine_sample_hemisphere(u1, u2) if importance
              else uniform_sample_hemisphere(u1, u2))
-    t, b, nn = vm.onb_from_normal(n)
-    return vm.onb_transform(local, t, b, nn)
+    t, b, nn = v3.onb_from_normal(n)
+    return v3.onb_transform(local, t, b, nn)
 
 
-def sample_ggx(u1, u2, roughness, n):
+def sample_ggx(u1, u2, roughness, n: V3) -> V3:
     """Sample a GGX microfacet normal about ``n``.
 
     Parity: ``sampleGGX`` (``pathTracerPrograms.cu:455-476``) — including its
@@ -66,39 +68,42 @@ def sample_ggx(u1, u2, roughness, n):
     phi = (2.0 * jnp.pi) * u1
     cos_t = jnp.sqrt((1.0 - u2) / (1.0 + (a * a - 1.0) * u2))
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    h_local = vm.vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
+    hx, hy, hz = sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t
 
-    nz = n[..., 2]
-    pole = jnp.abs(nz) >= 0.999
-    up = jnp.where(pole[..., None],
-                   jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
-                   jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
-    tangent = vm.normalize(vm.cross(up, n))
-    bitangent = vm.cross(n, tangent)
-    h = (h_local[..., 0:1] * tangent + h_local[..., 1:2] * bitangent
-         + h_local[..., 2:3] * n)
-    return vm.normalize(h)
+    pole = jnp.abs(n.z) >= 0.999
+    ones = jnp.ones_like(n.x)
+    zeros = jnp.zeros_like(n.x)
+    up = v3.where(pole, V3(ones, zeros, zeros), V3(zeros, zeros, ones))
+    tangent = v3.normalize(v3.cross(up, n))
+    bitangent = v3.cross(n, tangent)
+    h = tangent * hx + bitangent * hy + n * hz
+    return v3.normalize(h)
 
 
-def fresnel_conductor(cos_theta, eta, k):
+def fresnel_conductor(cos_theta, eta: V3, k: V3) -> V3:
     """Conductor Fresnel reflectance per RGB channel.
 
     Parity: ``fresnelSchlickConductor`` (``pathTracerPrograms.cu:494-510``).
-    ``eta``/``k`` are [..., 3] (or broadcastable constants).
     """
-    cos_theta = jnp.asarray(cos_theta, jnp.float32)[..., None]
-    eta = jnp.asarray(eta, jnp.float32)
-    k = jnp.asarray(k, jnp.float32)
-    c2 = cos_theta * cos_theta
-    eta2 = eta * eta
-    k2 = k * k
-    t1 = eta2 - k2 - c2
-    a2b2 = jnp.sqrt(jnp.maximum(t1 * t1 + 4.0 * eta2 * k2, 0.0))
-    t2 = a2b2 + c2
-    rs = (t2 - 2.0 * eta * cos_theta + c2) / (t2 + 2.0 * eta * cos_theta + c2)
-    rp = rs * (t2 - 2.0 * eta * cos_theta + 1.0) / (
-        t2 + 2.0 * eta * cos_theta + 1.0)
-    return 0.5 * (rs + rp)
+    c2 = jnp.asarray(cos_theta, jnp.float32) ** 2
+
+    def chan(e, kk):
+        e2 = e * e
+        k2 = kk * kk
+        t1 = e2 - k2 - c2
+        a2b2 = jnp.sqrt(jnp.maximum(t1 * t1 + 4.0 * e2 * k2, 0.0))
+        t2 = a2b2 + c2
+        two_ec = 2.0 * e * jnp.sqrt(c2)
+        rs = (t2 - two_ec + c2) / (t2 + two_ec + c2)
+        rp = rs * (t2 - two_ec + 1.0) / (t2 + two_ec + 1.0)
+        return 0.5 * (rs + rp)
+
+    return V3(chan(eta.x, k.x), chan(eta.y, k.y), chan(eta.z, k.z))
+
+
+def metal_eta_k(shape) -> tuple[V3, V3]:
+    """The reference's hardcoded conductor constants, broadcast to shape."""
+    return V3.full(shape, METAL_ETA), V3.full(shape, METAL_K)
 
 
 def fr_dielectric(cos_theta_i, eta_i, eta_t):

@@ -60,6 +60,8 @@ class RenderConfig:
     # Engine knobs (no reference analog).
     intersector: str = "auto"   # auto | bruteforce | pallas | bvh
     scheduler: str = "regen"    # regen (persistent wavefront) | scan
+    lanes: int = 262144         # wavefront width cap (regen scheduler);
+                                # larger frames stream items through it
     ray_chunk: int = 8192
     tri_block: int = 512
     spp_chunk: int = 1          # samples traced per scan step

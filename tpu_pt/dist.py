@@ -48,18 +48,21 @@ def device_mesh(n_tile: int | None = None, n_spp: int | None = None,
 
 
 def _render_block(scene, cam, cfg_local: RenderConfig, frame_idx, n_spp,
-                  pixel_ids, accum_block):
+                  pixels_per_tile, accum_block):
     """Per-device body: render this device's pixel rows with its sample
     shard, psum sample means over the spp axis, fold into the accumulator."""
     spp_shard = jax.lax.axis_index("spp")
+    tile_shard = jax.lax.axis_index("tile")
     offset = spp_shard.astype(jnp.uint32) * jnp.uint32(cfg_local.spp)
-    rad, stats = render_wavefront(scene, cam, cfg_local, pixel_ids,
-                                  frame_idx, sample_offset=offset)
+    pixel_start = tile_shard.astype(jnp.uint32) * jnp.uint32(pixels_per_tile)
+    rad, stats = render_wavefront(scene, cam, cfg_local, pixel_start,
+                                  pixels_per_tile, frame_idx,
+                                  sample_offset=offset)
     # Mean of per-shard means == global mean (equal shard sizes).
     rad = jax.lax.psum(rad, "spp") / n_spp
     stats = jax.tree.map(lambda x: jax.lax.psum(x, ("tile", "spp")), stats)
 
-    rows = pixel_ids.shape[0] // cfg_local.width
+    rows = pixels_per_tile // cfg_local.width
     frame = rad.reshape(rows, cfg_local.width, 3)
     new_accum = film.accumulate(accum_block, frame, frame_idx)
     frame_u8 = film.make_color(new_accum)
@@ -82,21 +85,22 @@ def make_sharded_renderer(scene: SceneArrays, cfg: RenderConfig, mesh: Mesh):
     stats_spec = RenderStats(rays_traced=P(), shadow_rays=P(),
                              done_histogram=P(), wavefront_iterations=P())
 
+    pixels_per_tile = cfg.width * cfg.height // n_tile
+
     def step(cam: CameraArrays, frame_idx, accum):
-        pixel_ids = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
         body = partial(_render_block, scene, cam, cfg_local, frame_idx,
-                       n_spp)
+                       n_spp, pixels_per_tile)
         # check_vma=False: the intersection scans init their carries from
         # constants, which JAX 0.9's varying-manual-axes analysis rejects
         # inside shard_map; the math is shard-local either way.
         sharded = jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P("tile"), P("tile", None, None)),
+            in_specs=(P("tile", None, None),),
             out_specs=(P("tile", None, None), P("tile", None, None),
                        stats_spec),
             check_vma=False,
         )
-        return sharded(pixel_ids, accum)
+        return sharded(accum)
 
     return jax.jit(step, donate_argnums=(2,))
 

@@ -37,7 +37,7 @@ def _resolve(scene: SceneArrays, cfg: RenderConfig) -> str:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    if scene.num_tris_padded > BVH_CROSSOVER_TRIS and _available("lbvh"):
+    if scene.num_tris_padded > BVH_CROSSOVER_TRIS and scene.bvh is not None:
         return "bvh"
     if on_tpu and _available("pallas_bf"):
         return "pallas"

@@ -1,20 +1,24 @@
 """Fused Pallas TPU kernels for dense ray-triangle intersection.
 
 The tuned version of ``tpu_pt.intersect.moller``: one ``pallas_call`` per
-trace replaces the chunked jnp scan (128 sequential dispatch steps at 1M
-rays) with a hardware-pipelined grid over ray tiles, all triangles resident
-in VMEM, and the Möller-Trumbore test + min/argmin reduction fused so the
-[rays x tris] candidate matrix never touches HBM.
+trace replaces the chunked jnp scan with a hardware-pipelined grid over ray
+tiles, all triangles resident in VMEM, and the Möller-Trumbore test +
+min/argmin reduction fused so the [tris x rays] candidate matrix never
+touches HBM.
 
 Layout choices (the whole point of this file):
-- Rays are packed host-side as [N, 8] (columns: ox oy oz dx dy dz tmax pad)
-  so a ray tile loads as [RT, 8] and each component slices to [RT, 1] —
-  sublane-oriented with NO in-kernel transpose.
-- Triangles are packed as [16, T] (rows: v0 e1 e2 xyz, valid, refractive)
-  so a component block slices to [1, TB] — lane-oriented, again transpose-
-  free. All [RT, TB] intermediates are rank-2 broadcasts of these.
-- Outputs are [N, 1] so the [RT, 1] per-ray results store directly.
-- argmin is computed as min-of-masked-iota to stay in the same layout.
+- Rays arrive as [8, N] (rows: ox oy oz dx dy dz tmax pad) — built with a
+  single cheap ``stack`` from the V3 wavefront (profiling showed the
+  previous [N, 8] column-write packing cost more than the kernel itself).
+  A ray tile loads as [8, RT]; each component row-slices to [1, RT] —
+  lane-oriented, no in-kernel transpose.
+- Triangles are packed as [T, 16] (columns: v0 e1 e2 xyz, valid,
+  refractive, normal xyz, mat id) so a component block slices to [TB, 1] —
+  sublane-oriented, again transpose-free. All [TB, RT] intermediates are
+  rank-2 broadcasts of these.
+- Outputs are [8, N] / [1, N] so per-ray [1, RT] results store directly.
+- argmin is computed as min-of-masked-iota; the winning triangle's normal
+  and material are selected with a masked sublane reduction (no gathers).
 
 Parity: same semantics as ``moller.intersect_closest`` /
 ``moller.intersect_occluded`` (two-sided triangles, refractive surfaces do
@@ -31,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.arrays import SceneArrays, BSDF_REFRACTION
+from ..vec3 import V3, as_v3
 from .moller import Hit, T_FAR, DET_EPS
 
 RAY_TILE = 512        # rays per grid program
@@ -46,59 +51,68 @@ def _interpret() -> bool:
         return True
 
 
-def pack_tris(scene: SceneArrays) -> jnp.ndarray:
-    """Scene triangles -> [16, T] kernel layout (see module docstring).
+def _pad_to(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
 
-    Columns are zero-padded up to a TRI_BLOCK multiple (valid=0 never hits).
+
+def pack_tris(scene: SceneArrays) -> jnp.ndarray:
+    """Scene triangles -> [T_pad, 16] kernel layout (see module docstring).
+
+    Rows are zero-padded up to a TRI_BLOCK multiple (valid=0 never hits).
     """
     refr = (scene.mat_bsdf[scene.mat_id] == BSDF_REFRACTION)
-    rows = [
+    t = scene.tri_v0.shape[0]
+    cols = [
         scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
         scene.tri_e1[:, 0], scene.tri_e1[:, 1], scene.tri_e1[:, 2],
         scene.tri_e2[:, 0], scene.tri_e2[:, 1], scene.tri_e2[:, 2],
         scene.tri_valid.astype(jnp.float32),
         refr.astype(jnp.float32),
+        scene.tri_normal[:, 0], scene.tri_normal[:, 1],
+        scene.tri_normal[:, 2],
+        scene.mat_id.astype(jnp.float32),
+        jnp.zeros((t,), jnp.float32),
     ]
-    t = scene.tri_v0.shape[0]
-    pad = [jnp.zeros((t,), jnp.float32)] * (16 - len(rows))
-    packed = jnp.stack(rows + pad, axis=0)
+    packed = jnp.stack(cols, axis=1)
     t_pad = _pad_to(t, TRI_BLOCK)
     if t_pad != t:
-        packed = jnp.pad(packed, ((0, 0), (0, t_pad - t)))
+        packed = jnp.pad(packed, ((0, t_pad - t), (0, 0)))
     return packed
 
 
-def pack_rays(origins: jnp.ndarray, dirs: jnp.ndarray,
-              tmax: jnp.ndarray | None, n_pad: int) -> jnp.ndarray:
-    """[N,3]+[N,3](+[N]) -> [n_pad, 8] ray SoA (zero rows never hit)."""
-    n = origins.shape[0]
-    out = jnp.zeros((n_pad, 8), jnp.float32)
-    out = out.at[:n, 0:3].set(origins)
-    out = out.at[:n, 3:6].set(dirs)
-    if tmax is not None:
-        out = out.at[:n, 6].set(tmax)
+def pack_rays(origins: V3, dirs: V3, tmax: jnp.ndarray | None,
+              n_pad: int) -> jnp.ndarray:
+    """V3 rays -> [8, n_pad] kernel layout (zero columns never hit)."""
+    n = origins.x.shape[0]
+    pad = n_pad - n
+    z = jnp.zeros((n,), jnp.float32)
+    rows = [origins.x, origins.y, origins.z, dirs.x, dirs.y, dirs.z,
+            tmax if tmax is not None else z, z]
+    out = jnp.stack(rows, axis=0)
+    if pad:
+        out = jnp.pad(out, ((0, 0), (0, pad)))
     return out
 
 
 def _mt_block(rays_ref, tris_ref, s, tb, tmin):
     """Möller-Trumbore for the program's ray tile vs tri block ``s:s+tb``.
 
-    Returns (t [RT, TB] with +inf on miss/invalid, refr [1, TB])."""
-    ox = rays_ref[:, 0:1]
-    oy = rays_ref[:, 1:2]
-    oz = rays_ref[:, 2:3]
-    dx = rays_ref[:, 3:4]
-    dy = rays_ref[:, 4:5]
-    dz = rays_ref[:, 5:6]
+    Returns (t [TB, RT] with +inf on miss/invalid, refr [TB, 1])."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
 
-    def row(c):
-        return tris_ref[c, pl.ds(s, tb)].reshape(1, tb)
+    def col(c):
+        return tris_ref[pl.ds(s, tb), c:c + 1]                    # [TB, 1]
 
-    v0x, v0y, v0z = row(0), row(1), row(2)
-    e1x, e1y, e1z = row(3), row(4), row(5)
-    e2x, e2y, e2z = row(6), row(7), row(8)
-    valid = row(9)
-    refr = row(10)
+    v0x, v0y, v0z = col(0), col(1), col(2)
+    e1x, e1y, e1z = col(3), col(4), col(5)
+    e2x, e2y, e2z = col(6), col(7), col(8)
+    valid = col(9)
+    refr = col(10)
 
     # pvec = cross(d, e2)
     px = dy * e2z - dz * e2y
@@ -126,45 +140,69 @@ def _mt_block(rays_ref, tris_ref, s, tb, tmin):
     return jnp.where(hit, t, jnp.float32(T_FAR)), refr
 
 
-def _closest_kernel(rays_ref, tris_ref, t_ref, i_ref, *, n_tri, tmin, tmax):
-    rt = rays_ref.shape[0]
+def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
+                    tmax):
+    rt = rays_ref.shape[1]
     nb = n_tri // TRI_BLOCK
 
     def step(b, carry):
-        best_t, best_i = carry
+        best_t, best_i, bnx, bny, bnz, bm = carry
         s = b * TRI_BLOCK
         t, _ = _mt_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
         t = jnp.where(t < tmax, t, jnp.float32(T_FAR))
-        blk_t = jnp.min(t, axis=1, keepdims=True)                 # [RT, 1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rt, TRI_BLOCK), 1)
-        cand = jnp.where(t == blk_t, lane, _BIG_IDX)
-        blk_i = jnp.min(cand, axis=1, keepdims=True) + s          # [RT, 1]
+        blk_t = jnp.min(t, axis=0, keepdims=True)                 # [1, RT]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_BLOCK, rt), 0)
+        cand = jnp.where(t == blk_t, sub, _BIG_IDX)
+        blk_sub = jnp.min(cand, axis=0, keepdims=True)            # [1, RT]
+        blk_i = blk_sub + s
+        # Select the winning triangle's normal + material in-layout: a
+        # masked sublane reduction, not a gather.
+        sel = (sub == blk_sub).astype(jnp.float32)                # [TB, RT]
+
+        def pick(col_id):
+            col = tris_ref[pl.ds(s, TRI_BLOCK), col_id:col_id + 1]
+            return jnp.sum(sel * col, axis=0, keepdims=True)      # [1, RT]
+
         better = blk_t < best_t
         return (jnp.where(better, blk_t, best_t),
-                jnp.where(better, blk_i, best_i))
+                jnp.where(better, blk_i, best_i),
+                jnp.where(better, pick(11), bnx),
+                jnp.where(better, pick(12), bny),
+                jnp.where(better, pick(13), bnz),
+                jnp.where(better, pick(14), bm))
 
-    init = (jnp.full((rt, 1), T_FAR, jnp.float32),
-            jnp.zeros((rt, 1), jnp.int32))
+    init = (jnp.full((1, rt), T_FAR, jnp.float32),
+            jnp.zeros((1, rt), jnp.int32),
+            jnp.zeros((1, rt), jnp.float32),
+            jnp.zeros((1, rt), jnp.float32),
+            jnp.zeros((1, rt), jnp.float32),
+            jnp.zeros((1, rt), jnp.float32))
     if nb == 1:
-        best_t, best_i = step(0, init)
+        best_t, best_i, bnx, bny, bnz, bm = step(0, init)
     else:
-        best_t, best_i = jax.lax.fori_loop(0, nb, step, init)
-    t_ref[:, :] = best_t
+        best_t, best_i, bnx, bny, bnz, bm = jax.lax.fori_loop(
+            0, nb, step, init)
+    out_ref[0:1, :] = best_t
+    out_ref[1:2, :] = bnx
+    out_ref[2:3, :] = bny
+    out_ref[3:4, :] = bnz
+    out_ref[4:5, :] = bm
+    out_ref[5:8, :] = jnp.zeros((3, rt), jnp.float32)
     i_ref[:, :] = jnp.where(best_t < T_FAR, best_i, 0)
 
 
 def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin):
-    rt = rays_ref.shape[0]
+    rt = rays_ref.shape[1]
     nb = n_tri // TRI_BLOCK
-    tmax_r = rays_ref[:, 6:7]                                     # [RT, 1]
+    tmax_r = rays_ref[6:7, :]                                     # [1, RT]
 
     def step(b, occ):
         s = b * TRI_BLOCK
         t, refr = _mt_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
         blocking = (t < tmax_r) & (refr < 0.5)
-        return occ | jnp.any(blocking, axis=1, keepdims=True)
+        return occ | jnp.any(blocking, axis=0, keepdims=True)
 
-    init = jnp.zeros((rt, 1), bool)
+    init = jnp.zeros((1, rt), bool)
     if nb == 1:
         occ = step(0, init)
     else:
@@ -172,13 +210,9 @@ def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin):
     occ_ref[:, :] = occ.astype(jnp.int32)
 
 
-def _pad_to(n: int, m: int) -> int:
-    return max(m, ((n + m - 1) // m) * m)
-
-
 @functools.partial(jax.named_call, name="pallas_closest")
 def _closest_call(rays, tris, n_tri: int, tmin: float, tmax: float):
-    n_pad = rays.shape[0]
+    n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE,)
     kernel = functools.partial(_closest_kernel, n_tri=n_tri, tmin=tmin,
                                tmax=tmax)
@@ -186,20 +220,20 @@ def _closest_call(rays, tris, n_tri: int, tmin: float, tmax: float):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, n_tri), lambda i: (0, 0),
+            pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=45 * n_pad * n_tri, bytes_accessed=n_pad * 48,
@@ -210,21 +244,21 @@ def _closest_call(rays, tris, n_tri: int, tmin: float, tmax: float):
 
 @functools.partial(jax.named_call, name="pallas_occluded")
 def _occluded_call(rays, tris, n_tri: int, tmin: float):
-    n_pad = rays.shape[0]
+    n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE,)
     kernel = functools.partial(_occluded_kernel, n_tri=n_tri, tmin=tmin)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, n_tri), lambda i: (0, 0),
+            pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=45 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
@@ -232,33 +266,35 @@ def _occluded_call(rays, tris, n_tri: int, tmin: float):
     )(rays, tris)
 
 
-def intersect_closest(scene: SceneArrays, origins: jnp.ndarray,
-                      dirs: jnp.ndarray, tmin: float = 0.01,
-                      tmax: float = T_FAR) -> Hit:
+def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
+                      tmin: float = 0.01, tmax: float = T_FAR) -> Hit:
     """Closest-hit over a flat wavefront; drop-in for the jnp backend."""
-    n = origins.shape[0]
+    origins = as_v3(origins)
+    dirs = as_v3(dirs)
+    n = origins.x.shape[0]
     n_pad = _pad_to(n, RAY_TILE)
     rays = pack_rays(origins, dirs, None, n_pad)
     tris = pack_tris(scene)
-    t, idx = _closest_call(rays, tris, tris.shape[1], tmin, tmax)
-    t = t[:n, 0]
-    idx = idx[:n, 0]
-    return Hit(t=t, tri=idx, hit=t < T_FAR)
+    out, idx = _closest_call(rays, tris, tris.shape[0], tmin, tmax)
+    t = out[0, :n]
+    return Hit(t=t, tri=idx[0, :n], hit=t < T_FAR,
+               normal=V3(out[1, :n], out[2, :n], out[3, :n]),
+               mat=out[4, :n].astype(jnp.int32))
 
 
-def intersect_occluded(scene: SceneArrays, origins: jnp.ndarray,
-                       dirs: jnp.ndarray, tmax: jnp.ndarray,
-                       tmin: float = 0.01,
+def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
+                       tmax: jnp.ndarray, tmin: float = 0.01,
                        quirk_first_hit: bool = False) -> jnp.ndarray:
     """Any-hit occlusion with per-ray tmax; refractive surfaces pass light."""
+    origins = as_v3(origins)
+    dirs = as_v3(dirs)
     if quirk_first_hit:
         h = intersect_closest(scene, origins, dirs, tmin=tmin, tmax=T_FAR)
         in_range = h.hit & (h.t < tmax)
-        refr = scene.mat_bsdf[scene.mat_id] == BSDF_REFRACTION
-        return in_range & ~refr[h.tri]
-    n = origins.shape[0]
+        return in_range & (scene.mat_bsdf[h.mat] != BSDF_REFRACTION)
+    n = origins.x.shape[0]
     n_pad = _pad_to(n, RAY_TILE)
     rays = pack_rays(origins, dirs, tmax, n_pad)
     tris = pack_tris(scene)
-    occ = _occluded_call(rays, tris, tris.shape[1], tmin)
-    return occ[:n, 0] > 0
+    occ = _occluded_call(rays, tris, tris.shape[0], tmin)
+    return occ[0, :n] > 0

@@ -3,23 +3,25 @@
 This is the TPU-native inversion of the reference's OptiX megakernel
 (``__raygen__rg`` / ``__miss__ms`` / ``__closesthit__diffuse__ch``,
 ``pathTracerPrograms.cu:707-1031``): instead of one divergent thread per
-pixel, the whole frame is a fixed-shape ray SoA wavefront; BSDF dispatch is
-vectorized selects over a ``mat_id`` gather (replacing the SBT-record-per-
-material mechanism, ``PathTracerMain.cpp:544-627``); the 19-register payload
-ABI (``pathTracer.h:38-68``) becomes the loop-carried pytree; termination is
-masked lanes + Russian roulette, with radiance estimates matching the
-reference's accumulation identities bounce for bounce.
+pixel, the whole frame is a fixed-shape ray-SoA wavefront in the
+component-V3 layout (``tpu_pt.vec3`` — geometry AND color channels as
+separate [N] arrays so nothing reduces over a padded size-3 axis); BSDF
+dispatch is vectorized selects keyed by the intersector-returned material id
+(replacing the SBT-record-per-material mechanism, ``PathTracerMain.cpp:
+544-627``); the 19-register payload ABI (``pathTracer.h:38-68``) becomes
+the loop-carried pytree; termination is masked lanes + Russian roulette,
+with radiance estimates matching the reference's accumulation identities
+bounce for bounce.
 
-Two schedulers produce bitwise-identical images (counter-based RNG decouples
-sample values from execution order):
+Two schedulers produce images equal up to fp-add reordering (counter-based
+RNG decouples sample values from execution order):
 
 - ``scan``: ``lax.scan`` over bounces inside a scan over samples — the
   direct analog of the reference's nested spp/bounce loops. Lane occupancy
   decays as paths terminate (measured ~18% on the Cornell box).
-- ``regen`` (default): a persistent wavefront — each lane owns one pixel
-  and regenerates its next camera sample the moment its path terminates
-  (Laine et al.'s wavefront formulation), keeping occupancy near 100% and
-  cutting wall-clock ~4-5x at equal ray throughput.
+- ``regen`` (default): a persistent wavefront with a global work queue —
+  lanes claim the next (pixel, sample) item the moment their path
+  terminates, keeping occupancy near 100%.
 
 RNG is counter-based (``tpu_pt.rng``), so results are reproducible and
 independent of sharding — the documented divergence from the reference's
@@ -36,7 +38,8 @@ import numpy as np
 from flax import struct
 
 from . import bsdf, rng
-from . import vmath as vm
+from . import vec3 as v3
+from .vec3 import V3
 from .config import RenderConfig
 from .intersect import get_intersectors
 from .scene.arrays import BSDF_METALLIC, BSDF_REFRACTION, SceneArrays
@@ -48,8 +51,6 @@ RUSSIAN_ROULETTE = 2
 LIGHT_HIT = 3
 NOT_DONE = 4
 NUM_DONE_REASONS = 5
-
-_RR_WEIGHTS = (0.30, 0.59, 0.11)  # luminance RR weights, cu:763
 
 
 @struct.dataclass
@@ -87,114 +88,151 @@ def camera_rays(cam: CameraArrays, pixel_ids: jnp.ndarray, width: int,
     Matches ``__raygen__rg`` ray setup (``pathTracerPrograms.cu:730-738``):
     d = 2*(pix + jitter)/extent - 1; dir = normalize(d.x*U + d.y*V + W).
     Row 0 is the image bottom (OptiX/GL convention); PNG writers flip.
+    Returns (origin V3, direction V3).
     """
     x = (pixel_ids % width).astype(jnp.float32)
     y = (pixel_ids // width).astype(jnp.float32)
     dx = 2.0 * ((x + jx) / width) - 1.0
     dy = 2.0 * ((y + jy) / height) - 1.0
-    direction = vm.normalize(dx[..., None] * cam.u + dy[..., None] * cam.v
-                             + cam.w)
-    origin = jnp.broadcast_to(cam.eye, direction.shape)
+    u, v, w = cam.u, cam.v, cam.w
+    direction = v3.normalize(V3(
+        dx * u[0] + dy * v[0] + w[0],
+        dx * u[1] + dy * v[1] + w[1],
+        dx * u[2] + dy * v[2] + w[2],
+    ))
+    ones = jnp.ones_like(direction.x)
+    origin = V3(cam.eye[0] * ones, cam.eye[1] * ones, cam.eye[2] * ones)
     return origin, direction
 
 
-def _shade_hit(scene: SceneArrays, cfg: RenderConfig, origin, direction,
-               hit_t, hit_tri, z):
+def _material_table(scene: SceneArrays) -> jnp.ndarray:
+    """Stacked per-material properties [M, 12] for one-hot lookup."""
+    return jnp.concatenate([
+        scene.mat_diffuse,                                     # 0:3
+        scene.mat_emission,                                    # 3:6
+        scene.mat_roughness[:, None],                          # 6
+        scene.mat_metallic[:, None],                           # 7
+        scene.mat_ior[:, None],                                # 8
+        scene.mat_bsdf.astype(jnp.float32)[:, None],           # 9
+        scene.mat_is_emissive.astype(jnp.float32)[:, None],    # 10
+        jnp.zeros((scene.num_materials, 1), jnp.float32),      # 11 pad
+    ], axis=1)
+
+
+def _lookup_materials(scene: SceneArrays, mat_ids: jnp.ndarray):
+    """Per-lane material properties via one-hot matmul (MXU) — XLA's
+    gather is ~1 GB/s on TPU, so ``table[ids]`` is avoided on hot paths."""
+    table = _material_table(scene)
+    m = table.shape[0]
+    onehot = (mat_ids[:, None] == jnp.arange(m, dtype=mat_ids.dtype)[None, :]
+              ).astype(jnp.float32)
+    # HIGHEST precision: one-hot x table is then an exact row select
+    # (default MXU precision would truncate material values to bf16).
+    props = jnp.matmul(onehot, table,
+                       precision=jax.lax.Precision.HIGHEST)     # [N, 12]
+    return dict(diffuse=V3(props[:, 0], props[:, 1], props[:, 2]),
+                emission=V3(props[:, 3], props[:, 4], props[:, 5]),
+                roughness=props[:, 6], metallic=props[:, 7],
+                ior=props[:, 8],
+                bsdf_type=props[:, 9].astype(jnp.int32),
+                is_emissive=props[:, 10] > 0.5)
+
+
+def _shade_hit(scene: SceneArrays, cfg: RenderConfig, origin: V3,
+               direction: V3, hit, z):
     """Closest-hit shading for the whole wavefront (vectorized
     ``__closesthit__diffuse__ch``, ``pathTracerPrograms.cu:866-983``).
 
-    ``z`` is a (z1, z2, z3) tuple of uniforms. Returns (new_origin, new_dir,
-    atten_mult, n, p, mat fields...) for every lane; callers mask by hit.
-    """
-    mat = scene.mat_id[hit_tri]
-    diffuse = scene.mat_diffuse[mat]
-    emission = scene.mat_emission[mat]
-    ior = scene.mat_ior[mat]
-    bsdf_type = scene.mat_bsdf[mat]
-    is_emissive = scene.mat_is_emissive[mat]
+    ``z`` is a (z1, z2, z3) tuple of uniforms. Returns the per-lane BSDF
+    transition; callers mask by hit."""
+    props = _lookup_materials(scene, hit.mat)
+    diffuse = props["diffuse"]
+    ior = props["ior"]
+    bsdf_type = props["bsdf_type"]
     if cfg.quirks.fixed_metal_roughness:
-        roughness = jnp.full(mat.shape, 0.2, jnp.float32)
+        roughness = jnp.full(hit.mat.shape, 0.2, jnp.float32)
     else:
-        roughness = scene.mat_roughness[mat]
+        roughness = props["roughness"]
 
-    n0 = scene.tri_normal[hit_tri]
-    n = vm.faceforward(n0, -direction, n0)
-    p = origin + hit_t[..., None] * direction
+    n0 = hit.normal
+    n = v3.faceforward(n0, -direction, n0)
+    p = origin + direction * hit.t
 
     z1, z2, z3 = z
 
     # --- diffuse: hemisphere sample about N in the reference ONB (cu:907-930)
     dir_diffuse = bsdf.sample_hemisphere_world(
         n, z1, z2, cfg.use_importance_sampling)
-    org_diffuse = p
-    mult_diffuse = diffuse
 
     # --- metallic: GGX half-vector reflect + conductor Fresnel (cu:931-952)
     h = bsdf.sample_ggx(z1, z2, roughness, n)
-    dir_metal = vm.reflect(direction, h)
+    dir_metal = v3.reflect(direction, h)
     org_metal = p + dir_metal * 1e-4
-    cos_t = jnp.maximum(vm.dot(h, -direction), 0.0)
-    f_cond = bsdf.fresnel_conductor(cos_t, bsdf.METAL_ETA, bsdf.METAL_K)
+    cos_t = jnp.maximum(v3.dot(h, -direction), 0.0)
+    eta, k = bsdf.metal_eta_k(cos_t.shape)
+    f_cond = bsdf.fresnel_conductor(cos_t, eta, k)
     mult_metal = f_cond * diffuse
 
     # --- refraction: dielectric Fresnel choose reflect/refract (cu:954-981)
-    cos_i = vm.dot(-vm.normalize(direction), n0)
+    d_norm = v3.normalize(direction)
+    cos_i = v3.dot(-d_norm, n0)
     fr = bsdf.fr_dielectric(cos_i, 1.0, ior)
-    refr_dir, did_refract = vm.refract(vm.normalize(direction), n0, ior)
-    refl_dir = vm.reflect(vm.normalize(direction), n0)
+    refr_dir, did_refract = v3.refract(d_norm, n0, ior)
+    refl_dir = v3.reflect(d_norm, n0)
     choose_reflect = (z3 < fr) | ~did_refract
-    dir_refr = jnp.where(choose_reflect[..., None], refl_dir, refr_dir)
+    dir_refr = v3.where(choose_reflect, refl_dir, refr_dir)
     org_refr = p + dir_refr * 1e-3
-    mult_refr = diffuse
 
-    is_metal = (bsdf_type == BSDF_METALLIC)[..., None]
-    is_refr = (bsdf_type == BSDF_REFRACTION)[..., None]
-    new_dir = jnp.where(is_refr, dir_refr,
-                        jnp.where(is_metal, dir_metal, dir_diffuse))
-    new_org = jnp.where(is_refr, org_refr,
-                        jnp.where(is_metal, org_metal, org_diffuse))
-    atten_mult = jnp.where(is_refr, mult_refr,
-                           jnp.where(is_metal, mult_metal, mult_diffuse))
+    is_metal = bsdf_type == BSDF_METALLIC
+    is_refr = bsdf_type == BSDF_REFRACTION
+    new_dir = v3.where(is_refr, dir_refr,
+                       v3.where(is_metal, dir_metal, dir_diffuse))
+    new_org = v3.where(is_refr, org_refr,
+                       v3.where(is_metal, org_metal, p))
+    atten_mult = v3.where(is_refr | ~is_metal, diffuse, mult_metal)
 
     return dict(new_origin=new_org, new_dir=new_dir, atten_mult=atten_mult,
-                n=n, p=p, emission=emission, is_emissive=is_emissive,
-                bsdf_type=bsdf_type)
+                n=n, p=p, emission=props["emission"],
+                is_emissive=props["is_emissive"], bsdf_type=bsdf_type)
 
 
 def _nee(scene: SceneArrays, cfg: RenderConfig, occluded_fn, shade, hit_mask,
          lz1, lz2):
     """Next-event-estimation direct lighting from the area light
-    (``pathTracerPrograms.cu:1003-1026``). Returns (radiance_add [N,3],
+    (``pathTracerPrograms.cu:1003-1026``). Returns (radiance_add V3,
     shadow_ray_mask [N])."""
     light = scene.light
     p = shade["p"]
     n = shade["n"]
-    light_pos = light.corner + light.v1 * lz1[..., None] \
-        + light.v2 * lz2[..., None]
+    corner = V3.of(light.corner[0], light.corner[1], light.corner[2])
+    lv1 = V3.of(light.v1[0], light.v1[1], light.v1[2])
+    lv2 = V3.of(light.v2[0], light.v2[1], light.v2[2])
+    lnorm = V3.of(light.normal[0], light.normal[1], light.normal[2])
+    light_pos = corner + lv1 * lz1 + lv2 * lz2
     to_l = light_pos - p
-    l_dist = vm.length(to_l)
-    l_dir = vm.normalize(to_l)
-    n_dl = vm.dot(n, l_dir)
-    ln_dl = -vm.dot(light.normal, l_dir)
+    l_dist = v3.length(to_l)
+    l_dir = v3.normalize(to_l)
+    n_dl = v3.dot(n, l_dir)
+    ln_dl = -v3.dot(lnorm, l_dir)
 
     eligible = (hit_mask & (shade["bsdf_type"] != BSDF_REFRACTION)
                 & (n_dl > 0.0) & (ln_dl > 0.0))
 
     # Occlusion rays only matter on eligible lanes; zero the rest.
-    occ_dir = jnp.where(eligible[..., None], l_dir, 0.0)
+    occ_dir = v3.where(eligible, l_dir, V3.zeros(eligible.shape))
     occ_tmax = jnp.where(eligible, l_dist - 0.01, 0.0)
     occluded = occluded_fn(p, occ_dir, occ_tmax)
 
-    area = vm.length(vm.cross(light.v1, light.v2))
+    area = v3.length(v3.cross(lv1, lv2))
     weight = n_dl * ln_dl * area / (jnp.pi * jnp.maximum(l_dist, 1e-6) ** 2)
-    contrib = jnp.where((eligible & ~occluded)[..., None],
-                        light.emission * weight[..., None], 0.0)
-    return contrib, eligible
+    w = jnp.where(eligible & ~occluded, weight, 0.0)
+    emission = V3.of(light.emission[0], light.emission[1], light.emission[2])
+    return emission * w, eligible
 
 
 def _bounce(scene: SceneArrays, cfg: RenderConfig, closest_fn, occluded_fn,
-            pixel_ids, sample_idx, frame_idx, origin, direction, atten,
-            depth):
+            pixel_ids, sample_idx, frame_idx, origin: V3, direction: V3,
+            atten: V3, depth):
     """One trace + shade round for the whole wavefront.
 
     ``sample_idx`` and ``depth`` may be scalars (scan scheduler) or per-lane
@@ -210,20 +248,19 @@ def _bounce(scene: SceneArrays, cfg: RenderConfig, closest_fn, occluded_fn,
     z1, z2, z3, _ = rng.uniform4(pixel_ids, sample_idx, frame_idx, sa)
     lz1, lz2, z_rr, _ = rng.uniform4(pixel_ids, sample_idx, frame_idx, sb)
 
-    shade = _shade_hit(scene, cfg, origin, direction, hit.t, hit.tri,
-                       (z1, z2, z3))
+    shade = _shade_hit(scene, cfg, origin, direction, hit, (z1, z2, z3))
 
     # Emission channel: only at depth 0 (cu:898-901); miss writes 0.
-    emitted = jnp.where(
-        (hit_mask & (depth == 0) & shade["is_emissive"])[..., None],
-        shade["emission"], 0.0)
+    emit_mask = hit_mask & (depth == 0) & shade["is_emissive"]
+    emitted = shade["emission"] * jnp.where(emit_mask, 1.0, 0.0)
 
     # Radiance channel: miss -> background (cu:841), light hit -> emission
     # (cu:992-996), else 0; NEE adds direct light.
-    bg = jnp.asarray(cfg.background, jnp.float32)
+    bgx, bgy, bgz = cfg.background
     light_hit = hit_mask & shade["is_emissive"]
-    radiance = jnp.where(~hit_mask[..., None], bg, 0.0)
-    radiance = jnp.where(light_hit[..., None], shade["emission"], radiance)
+    miss_f = jnp.where(hit_mask, 0.0, 1.0)
+    radiance = V3(miss_f * bgx, miss_f * bgy, miss_f * bgz)
+    radiance = v3.where(light_hit, shade["emission"], radiance)
     shadow_mask = jnp.zeros(hit_mask.shape, bool)
     if cfg.use_direct_lighting:
         nee_radiance, shadow_mask = _nee(scene, cfg, occluded_fn, shade,
@@ -232,13 +269,11 @@ def _bounce(scene: SceneArrays, cfg: RenderConfig, closest_fn, occluded_fn,
 
     # Attenuation multiplies by the hit BSDF color BEFORE the radiance
     # weight (the reference's CH-then-raygen ordering).
-    atten_new = jnp.where(hit_mask[..., None], atten * shade["atten_mult"],
-                          atten)
+    atten_new = v3.where(hit_mask, atten * shade["atten_mult"], atten)
     contrib = emitted + radiance * atten_new
 
     # Russian roulette on perceived brightness (cu:763-773).
-    rr_w = jnp.asarray(_RR_WEIGHTS, jnp.float32)
-    p_rr = vm.dot(atten_new, rr_w)
+    p_rr = v3.luminance(atten_new)
     rr_kill = z_rr > p_rr
     at_max = depth >= cfg.max_depth
     done = ~hit_mask | light_hit | rr_kill | at_max
@@ -251,16 +286,17 @@ def _bounce(scene: SceneArrays, cfg: RenderConfig, closest_fn, occluded_fn,
                        jnp.where(rr_kill, RUSSIAN_ROULETTE, base_reason))
 
     # RR compensation applies only to surviving paths (cu:773 safeDivide).
-    atten_cont = vm.safe_divide(atten_new, p_rr[..., None])
+    atten_cont = v3.safe_divide(atten_new, p_rr)
     return dict(contrib=contrib, atten_new=atten_new, atten_cont=atten_cont,
                 new_origin=shade["new_origin"], new_dir=shade["new_dir"],
                 done=done, reason=reason, shadow_mask=shadow_mask)
 
 
-def _render_scan(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
+def _render_scan(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
                  closest_fn, occluded_fn):
     """Reference-shaped scheduler: scan over samples x scan over bounces."""
-    n = pixel_ids.shape[0]
+    pixel_ids = jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(
+        n, dtype=jnp.uint32)
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
 
     def one_sample(sample_idx):
@@ -275,29 +311,23 @@ def _render_scan(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
             step = _bounce(scene, cfg, closest_fn, occluded_fn, pixel_ids,
                            sample_idx, frame_idx, origin, direction, atten,
                            depth)
-            result = result + jnp.where(alive[..., None], step["contrib"],
-                                        0.0)
+            alive_f = jnp.where(alive, 1.0, 0.0)
+            result = result + step["contrib"] * alive_f
             reason = jnp.where(alive & step["done"], step["reason"], reason)
             alive_next = alive & ~step["done"]
-            atten = jnp.where(alive_next[..., None], step["atten_cont"],
-                              step["atten_new"])
-            origin = jnp.where(alive_next[..., None], step["new_origin"],
-                               origin)
-            direction = jnp.where(alive_next[..., None], step["new_dir"],
-                                  direction)
-            n_rays = n_rays + jnp.sum(jnp.where(alive, 1.0, 0.0))
+            atten = v3.where(alive_next, step["atten_cont"],
+                             step["atten_new"])
+            origin = v3.where(alive_next, step["new_origin"], origin)
+            direction = v3.where(alive_next, step["new_dir"], direction)
+            n_rays = n_rays + jnp.sum(alive_f)
             n_shadow = n_shadow + jnp.sum(
                 jnp.where(alive & step["shadow_mask"], 1.0, 0.0))
             return (origin, direction, atten, alive_next, result, reason,
                     n_rays, n_shadow), None
 
-        init = (origin, direction,
-                jnp.ones((n, 3), jnp.float32),
-                jnp.ones((n,), bool),
-                jnp.zeros((n, 3), jnp.float32),
-                jnp.full((n,), NOT_DONE, jnp.int32),
-                jnp.zeros((), jnp.float32),
-                jnp.zeros((), jnp.float32))
+        init = (origin, direction, V3.ones((n,)), jnp.ones((n,), bool),
+                V3.zeros((n,)), jnp.full((n,), NOT_DONE, jnp.int32),
+                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
         depths = jnp.arange(cfg.max_depth + 1, dtype=jnp.uint32)
         (_, _, _, _, result, reason, n_rays, n_shadow), _ = jax.lax.scan(
             bounce_body, init, depths)
@@ -310,7 +340,7 @@ def _render_scan(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
         r, nr, ns, h = one_sample(sample_idx)
         return (acc + r, n_rays + nr, n_shadow + ns, hist + h), None
 
-    init = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.float32),
+    init = (V3.zeros((n,)), jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.float32),
             jnp.zeros((NUM_DONE_REASONS,), jnp.float32))
     samples = jnp.arange(cfg.spp, dtype=jnp.uint32) + jnp.asarray(
@@ -320,10 +350,10 @@ def _render_scan(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
     iters = jnp.asarray(cfg.spp * (cfg.max_depth + 1), jnp.float32)
     stats = RenderStats(rays_traced=n_rays, shadow_rays=n_shadow,
                         done_histogram=hist, wavefront_iterations=iters)
-    return acc / jnp.float32(cfg.spp), stats
+    return (acc * (1.0 / cfg.spp)).to_array(), stats
 
 
-def _render_regen(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
+def _render_regen(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
                   closest_fn, occluded_fn):
     """Persistent-wavefront scheduler with a global work queue.
 
@@ -337,37 +367,42 @@ def _render_regen(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
     SER thread reordering (``optixReorder``, ``pathTracerPrograms.cu:
     615-617``) as the occupancy mechanism.
 
+    The wavefront width is capped at ``cfg.lanes`` (per-lane bookkeeping —
+    scatter-adds especially — scales superlinearly past VMEM-friendly
+    sizes); larger frames stream their items through the fixed wavefront.
+
     Radiance sums per pixel contain exactly the same terms as the scan
     scheduler (counter RNG), but same-pixel samples may interleave their
     float adds, so images match to fp-add reordering (~1 ulp), not bitwise.
     """
-    n = pixel_ids.shape[0]
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
     offset = jnp.asarray(sample_offset, jnp.uint32)
+    pixel_start = jnp.asarray(pixel_start, jnp.uint32)
     total_items = n * cfg.spp
     assert total_items < 2 ** 32, "uint32 work-queue limit"
     total = jnp.uint32(total_items)
+    n_lanes = min(cfg.lanes, total_items)
 
     def item_rays(g):
         """Camera ray for work item g (pixel slot g % n, sample g // n)."""
         j = g % n
         s = g // n + offset
-        pix = pixel_ids[j]
+        pix = pixel_start + j
         jx, jy = rng.uniform2(pix, s, frame_idx, rng.STREAM_JITTER)
         o, d = camera_rays(cam, pix, cfg.width, cfg.height, jx, jy)
         return o, d
 
-    g0 = jnp.arange(n, dtype=jnp.uint32)
+    g0 = jnp.arange(n_lanes, dtype=jnp.uint32)
     origin0, dir0 = item_rays(g0)
 
     state0 = dict(
         g=g0,
         origin=origin0, direction=dir0,
-        atten=jnp.ones((n, 3), jnp.float32),
-        depth=jnp.zeros((n,), jnp.uint32),
+        atten=V3.ones((n_lanes,)),
+        depth=jnp.zeros((n_lanes,), jnp.uint32),
         active=g0 < total,
-        next_g=jnp.uint32(min(n, total_items)),
-        result=jnp.zeros((n, 3), jnp.float32),
+        next_g=jnp.uint32(min(n_lanes, total_items)),
+        result=V3.zeros((n,)),
         n_rays=jnp.zeros((), jnp.float32),
         n_shadow=jnp.zeros((), jnp.float32),
         hist=jnp.zeros((NUM_DONE_REASONS,), jnp.float32),
@@ -381,18 +416,24 @@ def _render_regen(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
         active = s["active"]
         j = s["g"] % n
         sample = s["g"] // n + offset
-        pix = pixel_ids[j]
+        pix = pixel_start + j
         step = _bounce(scene, cfg, closest_fn, occluded_fn, pix, sample,
                        frame_idx, s["origin"], s["direction"], s["atten"],
                        s["depth"])
-        result = s["result"].at[j].add(
-            jnp.where(active[..., None], step["contrib"], 0.0))
+        active_f = jnp.where(active, 1.0, 0.0)
+        contrib = step["contrib"] * active_f
+        # Three component scatter-adds (measured faster than one [N, 3]
+        # scatter on TPU; scatters are the scheduler's main fixed cost).
+        result = V3(s["result"].x.at[j].add(contrib.x),
+                    s["result"].y.at[j].add(contrib.y),
+                    s["result"].z.at[j].add(contrib.z))
         done = step["done"]
         finished = active & done
-        # NOT_DONE slot absorbs zero-weight masked adds.
-        hist = s["hist"].at[jnp.where(finished, step["reason"],
-                                      NUM_DONE_REASONS - 1)].add(
-            jnp.where(finished, 1.0, 0.0))
+        # Histogram via masked sums, not a scatter.
+        fin_f = jnp.where(finished, 1.0, 0.0)
+        hist = s["hist"] + jnp.stack(
+            [jnp.sum(fin_f * jnp.where(step["reason"] == k, 1.0, 0.0))
+             for k in range(NUM_DONE_REASONS)])
 
         # Claim the next queue items: finished lane k gets ticket
         # next_g + (number of finished lanes before k).
@@ -404,13 +445,12 @@ def _render_regen(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
         cont = active & ~done
 
         o_new, d_new = item_rays(jnp.where(has_new, new_g, 0))
-        origin = jnp.where(cont[..., None], step["new_origin"],
-                           jnp.where(has_new[..., None], o_new, s["origin"]))
-        direction = jnp.where(cont[..., None], step["new_dir"],
-                              jnp.where(has_new[..., None], d_new,
-                                        s["direction"]))
-        atten = jnp.where(cont[..., None], step["atten_cont"],
-                          jnp.where(has_new[..., None], 1.0, s["atten"]))
+        origin = v3.where(cont, step["new_origin"],
+                          v3.where(has_new, o_new, s["origin"]))
+        direction = v3.where(cont, step["new_dir"],
+                             v3.where(has_new, d_new, s["direction"]))
+        atten = v3.where(cont, step["atten_cont"],
+                         v3.where(has_new, V3.ones((n_lanes,)), s["atten"]))
         depth = jnp.where(cont, s["depth"] + 1, 0)
         g = jnp.where(has_new, new_g, s["g"])
         active_next = cont | has_new
@@ -418,7 +458,7 @@ def _render_regen(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
         return dict(
             g=g, origin=origin, direction=direction, atten=atten,
             depth=depth, active=active_next, next_g=next_g, result=result,
-            n_rays=s["n_rays"] + jnp.sum(jnp.where(active, 1.0, 0.0)),
+            n_rays=s["n_rays"] + jnp.sum(active_f),
             n_shadow=s["n_shadow"] + jnp.sum(
                 jnp.where(active & step["shadow_mask"], 1.0, 0.0)),
             hist=hist, iters=s["iters"] + 1.0,
@@ -429,25 +469,27 @@ def _render_regen(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
                         shadow_rays=out["n_shadow"],
                         done_histogram=out["hist"],
                         wavefront_iterations=out["iters"])
-    return out["result"] / jnp.float32(cfg.spp), stats
+    return (out["result"] * (1.0 / cfg.spp)).to_array(), stats
 
 
 def render_wavefront(scene: SceneArrays, cam: CameraArrays,
-                     cfg: RenderConfig, pixel_ids: jnp.ndarray,
+                     cfg: RenderConfig, pixel_start, n_pixels: int,
                      frame_idx,
                      sample_offset=0) -> tuple[jnp.ndarray, RenderStats]:
-    """Estimate mean radiance over ``cfg.spp`` samples for each pixel id.
+    """Estimate mean radiance over ``cfg.spp`` samples for ``n_pixels``
+    consecutive pixels starting at flat index ``pixel_start``.
 
-    Returns (radiance [N, 3] float32, RenderStats). This is the jittable
-    heart of the framework — everything above it (accumulation, tonemap,
-    sharding, viewer) composes around this function. ``sample_offset``
-    shifts the counter-RNG sample axis so spp-sharded devices draw disjoint
-    sample sets.
+    Returns (radiance [n_pixels, 3] float32, RenderStats). This is the
+    jittable heart of the framework — everything above it (accumulation,
+    tonemap, sharding, viewer) composes around it. The contiguous-range
+    pixel interface (rather than an id array) keeps the hot loop free of
+    per-lane gathers; ``sample_offset`` shifts the counter-RNG sample axis
+    so spp-sharded devices draw disjoint sample sets.
     """
     closest_fn, occluded_fn = get_intersectors(scene, cfg)
     impl = {"scan": _render_scan, "regen": _render_regen}[cfg.scheduler]
-    return impl(scene, cam, cfg, pixel_ids, frame_idx, sample_offset,
-                closest_fn, occluded_fn)
+    return impl(scene, cam, cfg, pixel_start, n_pixels, frame_idx,
+                sample_offset, closest_fn, occluded_fn)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
@@ -463,8 +505,7 @@ def render_frame(scene: SceneArrays, cam: CameraArrays, cfg: RenderConfig,
     from . import film
 
     n = cfg.width * cfg.height
-    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
-    radiance, stats = render_wavefront(scene, cam, cfg, pixel_ids, frame_idx)
+    radiance, stats = render_wavefront(scene, cam, cfg, 0, n, frame_idx)
     frame_img = radiance.reshape(cfg.height, cfg.width, 3)
     new_accum = film.accumulate(accum, frame_img, frame_idx)
     frame_u8 = film.make_color(new_accum)

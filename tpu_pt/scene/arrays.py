@@ -60,6 +60,11 @@ class SceneArrays:
 
     light: AreaLight
 
+    # Optional acceleration structure (tpu_pt.intersect.lbvh.BVH), attached
+    # once at scene-build time — the analog of the reference's GAS handle in
+    # PathTraceParams (``pathTracer.h:102``).
+    bvh: object = None
+
     @property
     def num_tris_padded(self) -> int:
         return self.tri_v0.shape[0]

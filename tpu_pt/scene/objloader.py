@@ -221,13 +221,18 @@ def detect_area_light(mesh: ObjMesh) -> AreaLight | None:
 
 
 def load_scene(path: str, light: AreaLight | None = None,
-               auto_light: bool = True) -> SceneArrays:
-    """OBJ file -> device-ready SceneArrays."""
+               auto_light: bool = True,
+               build_bvh: bool = True) -> SceneArrays:
+    """OBJ file -> device-ready SceneArrays (with LBVH attached)."""
     mesh = load_obj(path)
     if light is None and auto_light:
         light = detect_area_light(mesh)
     if light is None:
         light = default_cornell_light()
-    return build_scene_arrays(
+    scene = build_scene_arrays(
         mesh.vertices, mesh.indices, mesh.mat_indices,
         [m.as_dict() for m in mesh.materials], light=light)
+    if build_bvh:
+        from ..intersect.lbvh import with_bvh
+        scene = with_bvh(scene)
+    return scene
