@@ -1,0 +1,192 @@
+"""Interactive progressive viewer (terminal, ANSI truecolor).
+
+Parity target: the reference's GLFW/OpenGL interactive loop
+(``PathTracerMain.cpp:648-746`` + ``sutil::GLDisplay``): progressive
+accumulation between input events, live keyboard toggles, FPS/stats
+overlays. TPU hosts are headless, so the presenter draws the frame with
+24-bit ANSI half-block characters (two image rows per text row) instead of
+a textured GL quad; everything else — the key bindings, the
+reset-accumulation-on-toggle behavior, the frame statistics — matches the
+reference:
+
+    0        toggle direct lighting        (PathTracerMain.cpp:111-116)
+    1        toggle importance sampling    (:117-122)
+    Up/Down  max depth 1..28               (:123-132)
+    R        reset accumulation            (:133-135)
+    Q / Esc  quit                          (:107-110)
+    h/l j/k  orbit camera (trackball),  +/- zoom,  w/s dolly
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+import termios
+import time
+import tty
+
+import numpy as np
+
+
+class TerminalDisplay:
+    """ANSI truecolor half-block presenter (the GLDisplay equivalent)."""
+
+    def draw(self, rgb_u8: np.ndarray, status: str) -> None:
+        """Draw bottom-up image array (row 0 = image bottom)."""
+        try:
+            size = os.get_terminal_size()
+            cols, rows = size.columns, size.lines - 2
+        except OSError:
+            cols, rows = 80, 24
+        h, w, _ = rgb_u8.shape
+        # Two image rows per terminal row; keep aspect; clamp degenerate
+        # terminal geometry (ptys may report 0 lines).
+        tw = max(2, min(max(cols, 2), w))
+        th = max(2, min(max(rows, 1) * 2, h))
+        ys = (np.linspace(0, h - 1, th)).astype(int)[::-1]  # top-down
+        xs = (np.linspace(0, w - 1, tw)).astype(int)
+        img = rgb_u8[ys][:, xs]
+        out = ["\x1b[H"]
+        for r in range(0, th - 1, 2):
+            top = img[r]
+            bot = img[r + 1]
+            line = []
+            for c in range(tw):
+                tr, tg, tb = top[c]
+                br, bg, bb = bot[c]
+                line.append(f"\x1b[38;2;{tr};{tg};{tb}m"
+                            f"\x1b[48;2;{br};{bg};{bb}m▀")
+            out.append("".join(line) + "\x1b[0m\x1b[K\n")
+        out.append("\x1b[0m\x1b[K" + status)
+        sys.stdout.write("".join(out))
+        sys.stdout.flush()
+
+
+class _RawInput:
+    """Non-blocking raw keyboard input."""
+
+    def __enter__(self):
+        self.fd = sys.stdin.fileno()
+        self.old = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        return self
+
+    def __exit__(self, *exc):
+        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
+
+    def poll(self) -> str | None:
+        if select.select([sys.stdin], [], [], 0)[0]:
+            ch = sys.stdin.read(1)
+            if ch == "\x1b":  # escape sequence (arrows) or bare Esc
+                if select.select([sys.stdin], [], [], 0.01)[0]:
+                    seq = sys.stdin.read(2)
+                    return {"[A": "UP", "[B": "DOWN", "[C": "RIGHT",
+                            "[D": "LEFT"}.get(seq, None)
+                return "ESC"
+            return ch
+        return None
+
+
+def run_viewer(scene_path: str, args) -> int:
+    import jax
+    import tpu_pt
+    from tpu_pt.camera import Trackball
+    from tpu_pt.config import MAX_RECURSION_DEPTH
+    from tpu_pt.render import (CameraArrays, render_frame, init_accum,
+                               image_to_host)
+
+    scene = tpu_pt.load_scene(scene_path)
+    cfg = tpu_pt.RenderConfig(
+        width=args.width, height=args.height, spp=args.spp,
+        max_depth=args.depth, use_direct_lighting=args.direct_lighting,
+        use_importance_sampling=args.importance_sampling,
+        intersector=args.intersector, scheduler=args.scheduler)
+    camera = tpu_pt.cornell_default_camera(aspect=args.width / args.height)
+    trackball = Trackball(camera)
+    display = TerminalDisplay()
+
+    accum = init_accum(cfg)
+    frame_idx = 0
+    refresh = False
+    fps_win_t0 = time.perf_counter()
+    fps_win_frames = 0
+    fps = 0.0
+
+    sys.stdout.write("\x1b[2J")  # clear
+    with _RawInput() as keys:
+        while True:
+            key = keys.poll()
+            if key in ("q", "Q", "ESC"):
+                break
+            elif key == "0":
+                cfg = cfg.with_(use_direct_lighting=not
+                                cfg.use_direct_lighting)
+                refresh = True
+            elif key == "1":
+                cfg = cfg.with_(use_importance_sampling=not
+                                cfg.use_importance_sampling)
+                refresh = True
+            elif key == "UP":
+                cfg = cfg.with_(max_depth=min(MAX_RECURSION_DEPTH,
+                                              cfg.max_depth + 1))
+                refresh = True
+            elif key == "DOWN":
+                cfg = cfg.with_(max_depth=max(1, cfg.max_depth - 1))
+                refresh = True
+            elif key in ("r", "R"):
+                refresh = True
+            elif key in ("h", "l", "j", "k"):
+                dx = {"h": -40, "l": 40}.get(key, 0)
+                dy = {"j": 40, "k": -40}.get(key, 0)
+                trackball.start_tracking(0, 0)
+                trackball.update_tracking(dx, dy)
+                refresh = True
+            elif key in ("+", "="):
+                trackball.zoom(+1)
+                refresh = True
+            elif key == "-":
+                trackball.zoom(-1)
+                refresh = True
+            elif key == "w":
+                trackball.move_forward(+50.0)
+                refresh = True
+            elif key == "s":
+                trackball.move_forward(-50.0)
+                refresh = True
+
+            if refresh:
+                # Reference behavior: any toggle resets the accumulation
+                # (refreshAccumulationBuffer, PathTracerMain.cpp:166-182).
+                accum = init_accum(cfg)
+                frame_idx = 0
+                fps_win_t0 = time.perf_counter()
+                fps_win_frames = 0
+                refresh = False
+
+            cam = CameraArrays.from_camera(camera)
+            t0 = time.perf_counter()
+            accum, img, stats = render_frame(scene, cam, cfg, frame_idx,
+                                             accum)
+            jax.block_until_ready(img)
+            dt = time.perf_counter() - t0
+            frame_idx += 1
+
+            # Windowed FPS (sutil::displayFPS parity, 0.5 s window).
+            fps_win_frames += 1
+            now = time.perf_counter()
+            if now - fps_win_t0 > 0.5:
+                fps = fps_win_frames / (now - fps_win_t0)
+                fps_win_t0 = now
+                fps_win_frames = 0
+
+            rays = float(stats.rays_traced) + float(stats.shadow_rays)
+            status = (f"frame {frame_idx} | {dt * 1e3:6.0f} ms | "
+                      f"fps {fps:4.1f} | {rays / dt / 1e6:5.1f} Mrays/s | "
+                      f"spp {cfg.spp * frame_idx} | depth {cfg.max_depth} | "
+                      f"DL {'on' if cfg.use_direct_lighting else 'off'} | "
+                      f"IS {'on' if cfg.use_importance_sampling else 'off'}"
+                      f" | [0]DL [1]IS [^v]depth [R]eset [Q]uit")
+            display.draw(image_to_host(img), status)
+    sys.stdout.write("\n")
+    return 0
