@@ -359,8 +359,62 @@ def _traverse(bvh: BVH, origins: V3, dirs: V3, tmin, tmax, mode: str,
     return out
 
 
-def with_bvh(scene: SceneArrays) -> SceneArrays:
-    """Return the scene with its LBVH built and attached (eager, once)."""
+def build_lbvh_host(scene: SceneArrays) -> BVH:
+    """Host-side LBVH build via the native (C++) builder.
+
+    Same flattened layout as :func:`build_lbvh`; preferred at scene-load
+    time because it avoids the device build's jit-compile latency. The
+    device build remains available for fully-on-accelerator pipelines.
+    """
+    from .. import native
+    import numpy as np
+
+    v0 = np.asarray(scene.tri_v0)
+    e1 = np.asarray(scene.tri_e1)
+    e2 = np.asarray(scene.tri_e2)
+    p1, p2 = v0 + e1, v0 + e2
+    tri_min = np.minimum(v0, np.minimum(p1, p2))
+    tri_max = np.maximum(v0, np.maximum(p1, p2))
+    valid = np.asarray(scene.tri_valid)
+    left, skip, tri, bmin, bmax = native.build_lbvh_native(
+        tri_min, tri_max, valid)
+
+    n = v0.shape[0]
+    m = 2 * n - 1
+    refr = (np.asarray(scene.mat_bsdf)[np.asarray(scene.mat_id)]
+            == BSDF_REFRACTION).astype(np.float32)
+    norm = np.asarray(scene.tri_normal)
+    mid = np.asarray(scene.mat_id).astype(np.float32)
+    nodes = np.zeros((m, 24), np.float32)
+    nodes[:, 0:3] = bmin
+    nodes[:, 3:6] = bmax
+    nodes[:, 6] = left
+    nodes[:, 7] = skip
+    leaf = tri >= 0
+    tr = np.where(leaf, tri, 0)
+    nodes[leaf, 8:11] = v0[tr[leaf]]
+    nodes[leaf, 11:14] = e1[tr[leaf]]
+    nodes[leaf, 14:17] = e2[tr[leaf]]
+    nodes[leaf, 17] = refr[tr[leaf]]
+    nodes[leaf, 18:21] = norm[tr[leaf]]
+    nodes[leaf, 21] = mid[tr[leaf]]
+    nodes[:, 22] = tri
+    return BVH(nodes=jnp.asarray(nodes), left=jnp.asarray(left),
+               skip=jnp.asarray(skip), tri=jnp.asarray(tri))
+
+
+def with_bvh(scene: SceneArrays, builder: str = "auto") -> SceneArrays:
+    """Return the scene with its LBVH built and attached (eager, once).
+
+    builder: 'auto' (native C++ if available, else device), 'native',
+    or 'device' (the jit Karras build — BASELINE config 4's on-TPU path).
+    """
+    if builder == "auto":
+        from .. import native
+        builder = "native" if native.available() else "device"
+    if builder == "native":
+        return scene.replace(bvh=build_lbvh_host(scene))
+    assert builder == "device", builder
     return scene.replace(bvh=jax.jit(build_lbvh)(scene))
 
 

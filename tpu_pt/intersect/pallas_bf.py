@@ -200,14 +200,18 @@ def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin):
         s = b * TRI_BLOCK
         t, refr = _mt_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
         blocking = (t < tmax_r) & (refr < 0.5)
-        return occ | jnp.any(blocking, axis=0, keepdims=True)
+        hit_any = jnp.max(jnp.where(blocking, 1.0, 0.0), axis=0,
+                          keepdims=True)
+        return jnp.maximum(occ, hit_any)
 
-    init = jnp.zeros((1, rt), bool)
+    # i32/f32 carries only: Mosaic's loop lowering rejects bool carries
+    # ("failed to legalize scf.for").
+    init = jnp.zeros((1, rt), jnp.float32)
     if nb == 1:
         occ = step(0, init)
     else:
         occ = jax.lax.fori_loop(0, nb, step, init)
-    occ_ref[:, :] = occ.astype(jnp.int32)
+    occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
 
 
 @functools.partial(jax.named_call, name="pallas_closest")

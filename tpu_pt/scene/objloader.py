@@ -113,9 +113,46 @@ class ObjMesh:
         return len(self.materials)
 
 
-def load_obj(path: str) -> ObjMesh:
+def load_obj(path: str, use_native: bool | None = None) -> ObjMesh:
     """Parse an OBJ file; polygons are fan-triangulated (tinyobj
-    ``triangulate=true`` parity, ``TinyObjWrapper.cpp:43``)."""
+    ``triangulate=true`` parity, ``TinyObjWrapper.cpp:43``).
+
+    Uses the native C++ parser (``tpu_pt.native``) when available (set
+    ``use_native=False`` or env ``TPU_PT_NO_NATIVE=1`` to force the pure-
+    Python path); both produce identical output (tested).
+    """
+    if use_native is None:
+        use_native = os.environ.get("TPU_PT_NO_NATIVE", "") != "1"
+    if use_native:
+        try:
+            from .. import native
+            if native.available():
+                return _mesh_from_native(path)
+        except Exception:
+            pass  # fall back to the Python parser
+    return _load_obj_python(path)
+
+
+def _mesh_from_native(path: str) -> ObjMesh:
+    from .. import native
+    verts, idx, mat_ids, mats = native.load_obj_native(path)
+    mesh = ObjMesh()
+    mesh.vertices = verts
+    mesh.indices = idx
+    materials = []
+    for m in mats:
+        materials.append(Material(
+            name=m["name"], diffuse=m["diffuse"], emission=m["emission"],
+            roughness=m["roughness"], metallic=m["metallic"], ior=m["ior"],
+            bsdf=classify_bsdf(m["name"])))
+    if not materials:
+        materials = [Material(name="default")]
+    mesh.materials = materials
+    mesh.mat_indices = np.clip(mat_ids, 0, len(materials) - 1)
+    return mesh
+
+
+def _load_obj_python(path: str) -> ObjMesh:
     mesh = ObjMesh()
     verts: list[tuple] = []
     tris: list[tuple] = []
