@@ -1,0 +1,176 @@
+"""glTF loader, whitted direct-lighting pipeline, analytic primitives."""
+
+import pathlib
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_pt
+from tpu_pt.camera import Camera
+from tpu_pt.render import CameraArrays, init_accum
+from tpu_pt.intersect import primitives as prims
+from tpu_pt.vec3 import V3
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def gltf_assets(assets_dir):
+    if not (assets_dir / "pbr_test.gltf").exists():
+        subprocess.run([sys.executable,
+                        str(REPO / "tools" / "make_gltf_assets.py")],
+                       check=True)
+    return assets_dir
+
+
+@pytest.fixture(scope="module")
+def pbr_scene(gltf_assets):
+    from tpu_pt.scene.gltf import load_gltf
+    return load_gltf(str(gltf_assets / "pbr_test.gltf"))
+
+
+@pytest.fixture(scope="module")
+def pbr_camera():
+    return CameraArrays.from_camera(Camera(
+        eye=np.array([6.0, 4.5, 7.0], np.float32),
+        lookat=np.array([0.0, 0.8, 0.0], np.float32), fov_y=40.0))
+
+
+def test_gltf_geometry_and_materials(pbr_scene):
+    ws = pbr_scene
+    assert int(np.asarray(ws.geom.tri_valid).sum()) > 700
+    assert ws.base_color.shape[0] == 4
+    m = np.asarray(ws.metallic)
+    assert m[2] == 1.0 and m[0] == 0.0
+    assert len(ws.textures) == 1
+    assert int(ws.tex_id[0]) == 0 and int(ws.tex_id[1]) == -1
+    assert int(ws.alpha_mode[3]) == 2  # BLEND
+    # Light transformed by its node.
+    np.testing.assert_allclose(np.asarray(ws.light_pos)[0], [3, 6, 3])
+
+
+def test_gltf_glb_equivalence(gltf_assets):
+    from tpu_pt.scene.gltf import load_gltf
+    a = load_gltf(str(gltf_assets / "pbr_test.gltf"))
+    b = load_gltf(str(gltf_assets / "pbr_test.glb"))
+    np.testing.assert_allclose(np.asarray(a.geom.tri_v0),
+                               np.asarray(b.geom.tri_v0))
+    np.testing.assert_allclose(np.asarray(a.vtx_attr),
+                               np.asarray(b.vtx_attr))
+
+
+def test_gltf_node_transforms(pbr_scene):
+    """The scaled cube instance must produce world-space triangles at its
+    node translation with half extent."""
+    v0 = np.asarray(pbr_scene.geom.tri_v0)
+    valid = np.asarray(pbr_scene.geom.tri_valid)
+    pts = v0[valid]
+    # Instance at (2.5, 0.4, 2.0), scale 0.5 on a 1.5 cube -> extent 0.75.
+    near = np.linalg.norm(pts - np.array([2.5, 0.4, 2.0]), axis=1) < 0.7
+    assert near.any()
+
+
+def test_whitted_render_smoke(pbr_scene, pbr_camera):
+    from tpu_pt.whitted import render_whitted_frame
+    cfg = tpu_pt.RenderConfig(width=64, height=64, spp=2, max_depth=4,
+                              background=(0.1, 0.15, 0.25),
+                              intersector="bruteforce")
+    accum = init_accum(cfg)
+    accum, img = render_whitted_frame(pbr_scene, pbr_camera, cfg, 0, accum)
+    a = np.asarray(accum)
+    assert np.isfinite(a).all()
+    assert a.max() > 0.1
+    # Background pixels present (top corner) with the configured color.
+    np.testing.assert_allclose(a[-1, 0], [0.1, 0.15, 0.25], atol=0.02)
+
+
+def test_whitted_shadows_and_highlight(pbr_scene, pbr_camera):
+    from tpu_pt.whitted import render_whitted_wavefront
+    cfg = tpu_pt.RenderConfig(width=96, height=96, spp=4, max_depth=4,
+                              background=(0.0, 0.0, 0.0),
+                              intersector="bruteforce")
+    rad = render_whitted_wavefront(pbr_scene, pbr_camera, cfg, 0,
+                                   96 * 96, 0)
+    img = np.asarray(rad).reshape(96, 96, 3)
+    # The metallic sphere should produce a strong specular peak.
+    assert img.max() > 1.0
+    # Shadowed ground exists: some ground pixels much darker than lit ones.
+    ground = img[10:40]
+    assert ground.max() > 4 * max(ground.min(), 1e-3)
+
+
+def test_whitted_deterministic(pbr_scene, pbr_camera):
+    from tpu_pt.whitted import render_whitted_wavefront
+    cfg = tpu_pt.RenderConfig(width=32, height=32, spp=2, max_depth=4,
+                              intersector="bruteforce")
+    a = render_whitted_wavefront(pbr_scene, pbr_camera, cfg, 0, 32 * 32, 0)
+    b = render_whitted_wavefront(pbr_scene, pbr_camera, cfg, 0, 32 * 32, 0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Analytic primitives (geometry.cu / sphere.cu parity)
+# ---------------------------------------------------------------------------
+
+def test_sphere_intersect():
+    p = prims.make_primitives([dict(kind=prims.PRIM_SPHERE,
+                                    center=(0, 0, 5), radius=1.0, mat=3)])
+    o = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 3.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    h = prims.intersect_primitives(p, o, d)
+    assert bool(h.hit[0]) and not bool(h.hit[1])
+    np.testing.assert_allclose(float(h.t[0]), 4.0, atol=1e-5)
+    assert int(h.mat[0]) == 3
+    np.testing.assert_allclose(
+        [float(h.normal.x[0]), float(h.normal.y[0]), float(h.normal.z[0])],
+        [0, 0, -1], atol=1e-5)
+
+
+def test_sphere_inside_hits_far_side():
+    p = prims.make_primitives([dict(kind=prims.PRIM_SPHERE,
+                                    center=(0, 0, 0), radius=2.0)])
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    h = prims.intersect_primitives(p, o, d)
+    np.testing.assert_allclose(float(h.t[0]), 2.0, atol=1e-5)
+
+
+def test_sphere_shell():
+    p = prims.make_primitives([dict(kind=prims.PRIM_SPHERE_SHELL,
+                                    center=(0, 0, 0), radius1=1.0,
+                                    radius2=2.0)])
+    o = jnp.asarray([[0.0, 0.0, -5.0], [0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    h = prims.intersect_primitives(p, o, d)
+    np.testing.assert_allclose(float(h.t[0]), 3.0, atol=1e-5)  # outer entry
+    np.testing.assert_allclose(float(h.t[1]), 1.0, atol=1e-5)  # inner wall
+
+
+def test_parallelogram():
+    p = prims.make_primitives([dict(kind=prims.PRIM_PARALLELOGRAM,
+                                    anchor=(0, 0, 3), v1=(2, 0, 0),
+                                    v2=(0, 2, 0))])
+    o = jnp.asarray([[1.0, 1.0, 0.0], [3.0, 1.0, 0.0], [1.0, 1.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    h = prims.intersect_primitives(p, o, d)
+    assert bool(h.hit[0])        # inside extent
+    assert not bool(h.hit[1])    # outside v1 range
+    assert bool(h.hit[2])        # two-sided from behind
+    np.testing.assert_allclose(float(h.t[0]), 3.0, atol=1e-5)
+
+
+def test_combine_hits_with_triangles(cornell_scene):
+    from tpu_pt.intersect import moller
+    p = prims.make_primitives([dict(kind=prims.PRIM_SPHERE,
+                                    center=(278, 273, 100), radius=50.0,
+                                    mat=0)])
+    o = jnp.asarray([[278.0, 273.0, -900.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    tri_hit = moller.intersect_closest(cornell_scene, o, d)
+    prim_hit = prims.intersect_primitives(p, o, d)
+    combined = prims.combine_hits(tri_hit, prim_hit)
+    # Sphere at z=100-50=50 distance 950 is closer than the tall block.
+    np.testing.assert_allclose(float(combined.t[0]), 950.0, atol=1e-3)

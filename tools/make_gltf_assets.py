@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Generate glTF 2.0 test assets (embedded-buffer .gltf + .glb).
+
+A small PBR scene: a ground plane, a rough red cube, a metallic sphere, a
+glass-ish blend quad, a textured quad, two instanced cubes via node
+transforms, and a KHR_lights_punctual point light.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+import os
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def cube(size=1.0):
+    s = size / 2
+    verts = []
+    norms = []
+    uvs = []
+    idx = []
+    faces = [
+        ((0, 0, 1), [(-s, -s, s), (s, -s, s), (s, s, s), (-s, s, s)]),
+        ((0, 0, -1), [(s, -s, -s), (-s, -s, -s), (-s, s, -s), (s, s, -s)]),
+        ((1, 0, 0), [(s, -s, s), (s, -s, -s), (s, s, -s), (s, s, s)]),
+        ((-1, 0, 0), [(-s, -s, -s), (-s, -s, s), (-s, s, s), (-s, s, -s)]),
+        ((0, 1, 0), [(-s, s, s), (s, s, s), (s, s, -s), (-s, s, -s)]),
+        ((0, -1, 0), [(-s, -s, -s), (s, -s, -s), (s, -s, s), (-s, -s, s)]),
+    ]
+    for n, quad in faces:
+        base = len(verts)
+        verts.extend(quad)
+        norms.extend([n] * 4)
+        uvs.extend([(0, 0), (1, 0), (1, 1), (0, 1)])
+        idx.extend([base, base + 1, base + 2, base, base + 2, base + 3])
+    return (np.array(verts, np.float32), np.array(norms, np.float32),
+            np.array(uvs, np.float32), np.array(idx, np.uint16))
+
+
+def sphere(r=1.0, n_lat=16, n_lon=24):
+    verts, norms, uvs, idx = [], [], [], []
+    for i in range(n_lat + 1):
+        th = math.pi * i / n_lat
+        for j in range(n_lon + 1):
+            ph = 2 * math.pi * j / n_lon
+            n = (math.sin(th) * math.cos(ph), math.cos(th),
+                 math.sin(th) * math.sin(ph))
+            verts.append(tuple(r * c for c in n))
+            norms.append(n)
+            uvs.append((j / n_lon, i / n_lat))
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * (n_lon + 1) + j
+            b = a + n_lon + 1
+            idx.extend([a, b, a + 1, a + 1, b, b + 1])
+    return (np.array(verts, np.float32), np.array(norms, np.float32),
+            np.array(uvs, np.float32), np.array(idx, np.uint16))
+
+
+def plane(size=10.0):
+    s = size / 2
+    verts = np.array([(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)],
+                     np.float32)
+    norms = np.array([(0, 1, 0)] * 4, np.float32)
+    uvs = np.array([(0, 0), (4, 0), (4, 4), (0, 4)], np.float32)
+    idx = np.array([0, 2, 1, 0, 3, 2], np.uint16)
+    return verts, norms, uvs, idx
+
+
+def checker_png(path, n=8, res=64):
+    from tpu_pt import film
+    img = np.zeros((res, res, 3), np.uint8)
+    cell = res // n
+    for y in range(res):
+        for x in range(res):
+            img[y, x] = (230, 230, 230) if ((x // cell + y // cell) % 2 == 0) \
+                else (40, 40, 160)
+    film.write_png(path, img)
+
+
+def build(out_dir: str):
+    os.makedirs(out_dir, exist_ok=True)
+    checker_png(os.path.join(out_dir, "checker.png"))
+
+    meshes_np = [plane(12.0), cube(1.5), sphere(1.0), cube(1.0)]
+    blob = b""
+    buffer_views = []
+    accessors = []
+    meshes = []
+
+    def add_accessor(arr, target, ctype, atype):
+        nonlocal blob
+        off = len(blob)
+        blob += arr.tobytes()
+        while len(blob) % 4:
+            blob += b"\0"
+        buffer_views.append(dict(buffer=0, byteOffset=off,
+                                 byteLength=arr.nbytes, target=target))
+        acc = dict(bufferView=len(buffer_views) - 1, componentType=ctype,
+                   count=arr.shape[0], type=atype)
+        if atype == "VEC3":
+            acc["min"] = [float(x) for x in arr.min(axis=0)]
+            acc["max"] = [float(x) for x in arr.max(axis=0)]
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    for k, (v, n, uv, idx) in enumerate(meshes_np):
+        pos_a = add_accessor(v, 34962, 5126, "VEC3")
+        nrm_a = add_accessor(n, 34962, 5126, "VEC3")
+        uv_a = add_accessor(uv, 34962, 5126, "VEC2")
+        idx_a = add_accessor(idx.reshape(-1, 1), 34963, 5123, "SCALAR")
+        meshes.append(dict(primitives=[dict(
+            attributes=dict(POSITION=pos_a, NORMAL=nrm_a, TEXCOORD_0=uv_a),
+            indices=idx_a, material=k)]))
+
+    materials = [
+        dict(name="Ground",
+             pbrMetallicRoughness=dict(
+                 baseColorFactor=[1.0, 1.0, 1.0, 1.0],
+                 baseColorTexture=dict(index=0),
+                 metallicFactor=0.0, roughnessFactor=0.9)),
+        dict(name="RedCube",
+             pbrMetallicRoughness=dict(
+                 baseColorFactor=[0.8, 0.1, 0.1, 1.0],
+                 metallicFactor=0.0, roughnessFactor=0.6)),
+        dict(name="MetalSphere",
+             pbrMetallicRoughness=dict(
+                 baseColorFactor=[0.9, 0.8, 0.6, 1.0],
+                 metallicFactor=1.0, roughnessFactor=0.25)),
+        dict(name="BlendCube", alphaMode="BLEND",
+             pbrMetallicRoughness=dict(
+                 baseColorFactor=[0.2, 0.5, 0.9, 0.35],
+                 metallicFactor=0.0, roughnessFactor=0.3)),
+    ]
+
+    nodes = [
+        dict(mesh=0, name="ground"),
+        dict(mesh=1, translation=[-2.0, 0.76, 0.0], name="redcube"),
+        dict(mesh=2, translation=[0.0, 1.0, 0.5], name="metalsphere"),
+        dict(mesh=3, translation=[2.0, 0.51, -0.5],
+             rotation=[0.0, math.sin(0.3), 0.0, math.cos(0.3)],
+             name="blendcube"),
+        # Instance of the red cube, scaled (tests node transforms).
+        dict(mesh=1, translation=[2.5, 0.4, 2.0],
+             scale=[0.5, 0.5, 0.5], name="redcube2"),
+        dict(name="light",
+             translation=[3.0, 6.0, 3.0],
+             extensions=dict(KHR_lights_punctual=dict(light=0))),
+    ]
+
+    doc = dict(
+        asset=dict(version="2.0", generator="tpu_pt make_gltf_assets"),
+        scene=0,
+        scenes=[dict(nodes=list(range(len(nodes))))],
+        nodes=nodes,
+        meshes=meshes,
+        materials=materials,
+        textures=[dict(source=0)],
+        images=[dict(uri="checker.png")],
+        samplers=[dict(magFilter=9729, minFilter=9729,
+                       wrapS=10497, wrapT=10497)],
+        buffers=[dict(byteLength=len(blob),
+                      uri="data:application/octet-stream;base64,"
+                          + base64.b64encode(blob).decode())],
+        bufferViews=buffer_views,
+        accessors=accessors,
+        extensions=dict(KHR_lights_punctual=dict(lights=[
+            dict(type="point", color=[1.0, 0.95, 0.9], intensity=3.0)])),
+        extensionsUsed=["KHR_lights_punctual"],
+    )
+
+    with open(os.path.join(out_dir, "pbr_test.gltf"), "w") as f:
+        json.dump(doc, f)
+
+    # GLB variant: same doc, binary chunk instead of data URI.
+    doc_glb = json.loads(json.dumps(doc))
+    doc_glb["buffers"] = [dict(byteLength=len(blob))]
+    js = json.dumps(doc_glb).encode()
+    while len(js) % 4:
+        js += b" "
+    bin_chunk = blob
+    while len(bin_chunk) % 4:
+        bin_chunk += b"\0"
+    glb = (b"glTF" + struct.pack("<II", 2, 12 + 8 + len(js) + 8
+                                 + len(bin_chunk))
+           + struct.pack("<II", len(js), 0x4E4F534A) + js
+           + struct.pack("<II", len(bin_chunk), 0x004E4942) + bin_chunk)
+    with open(os.path.join(out_dir, "pbr_test.glb"), "wb") as f:
+        f.write(glb)
+    print(f"glTF assets written to {out_dir}")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(__file__), "..", "assets")
+    build(os.path.abspath(out))

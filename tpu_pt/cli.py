@@ -61,6 +61,12 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="resume from a checkpoint (.npz)")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame telemetry")
+    p.add_argument("--pipeline", default="auto",
+                   choices=["auto", "pathtrace", "whitted"],
+                   help="auto: path tracer for .obj, whitted direct "
+                        "lighting for .gltf/.glb")
+    p.add_argument("--background", type=float, nargs=3,
+                   default=[0.0, 0.0, 0.0])
 
 
 def _build(args):
@@ -96,11 +102,70 @@ def _build(args):
     return scene, camera, cfg, accum, 0
 
 
+def _pipeline_for(args) -> str:
+    if args.pipeline != "auto":
+        return args.pipeline
+    if args.scene and args.scene.lower().endswith((".gltf", ".glb")):
+        return "whitted"
+    return "pathtrace"
+
+
+def _render_whitted_cli(args) -> int:
+    import jax
+    import numpy as np
+    import tpu_pt
+    from tpu_pt import film
+    from tpu_pt.scene.gltf import load_gltf
+    from tpu_pt.whitted import render_whitted_frame
+    from tpu_pt.render import CameraArrays, init_accum, image_to_host
+    from tpu_pt.camera import Camera
+
+    ws = load_gltf(args.scene)
+    cfg = tpu_pt.RenderConfig(
+        width=args.width, height=args.height, spp=args.spp,
+        max_depth=args.depth, background=tuple(args.background),
+        intersector=args.intersector)
+    # Default camera: frame the scene bounds.
+    v = np.asarray(ws.geom.tri_v0)[np.asarray(ws.geom.tri_valid)]
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    c = 0.5 * (lo + hi)
+    ext = float(np.linalg.norm(hi - lo))
+    camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext, lookat=c,
+                    fov_y=args.fov, aspect=args.width / args.height)
+    if args.eye is not None:
+        camera.eye = np.asarray(args.eye, np.float32)
+    if args.lookat is not None:
+        camera.lookat = np.asarray(args.lookat, np.float32)
+    cam = CameraArrays.from_camera(camera)
+    accum = init_accum(cfg)
+    img = None
+    total_ms = 0.0
+    for f in range(args.frames):
+        t0 = time.perf_counter()
+        accum, img = render_whitted_frame(ws, cam, cfg, f, accum)
+        jax.block_until_ready(img)
+        ms = (time.perf_counter() - t0) * 1e3
+        total_ms += ms
+        print(f"\rFrame Render Time: {ms:.0f}ms", end="", flush=True)
+    print()
+    print(f"Average Frame Time: {total_ms / max(args.frames, 1):.1f}ms")
+    host_img = image_to_host(img)
+    if args.output.endswith(".ppm"):
+        film.write_ppm(args.output, host_img)
+    else:
+        film.write_png(args.output, host_img)
+    print(f"wrote {args.output}")
+    return 0
+
+
 def cmd_render(args) -> int:
     import jax
     import tpu_pt
     from tpu_pt import film
     from tpu_pt.render import CameraArrays, render_frame, image_to_host
+
+    if _pipeline_for(args) == "whitted":
+        return _render_whitted_cli(args)
 
     scene, camera, cfg, accum, frame_start = _build(args)
     cam = CameraArrays.from_camera(camera)

@@ -148,6 +148,41 @@ def read_png(path: str) -> np.ndarray:
     return img[:, :, :3]
 
 
+def read_ppm(path: str) -> np.ndarray:
+    """Read a P6 (binary) or P3 (ascii) PPM (``sutil::PPMLoader`` parity).
+
+    Returns uint8 [H, W, 3]."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # Header tokens, skipping comments.
+    tokens = []
+    pos = 0
+    while len(tokens) < 4:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            nl = data.find(b"\n", pos)
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    magic, w, h, maxval = (tokens[0], int(tokens[1]), int(tokens[2]),
+                           int(tokens[3]))
+    pos += 1  # single whitespace after maxval
+    if magic == b"P6":
+        img = np.frombuffer(data, np.uint8, w * h * 3, pos)
+    elif magic == b"P3":
+        vals = data[pos:].split()
+        img = np.array(vals[: w * h * 3], np.int64).astype(np.uint8)
+    else:
+        raise ValueError(f"unsupported PPM magic {magic!r}")
+    if maxval != 255:
+        img = (img.astype(np.float32) * (255.0 / maxval)).astype(np.uint8)
+    return img.reshape(h, w, 3).copy()
+
+
 def write_ppm(path: str, rgb_u8: np.ndarray) -> None:
     """Binary PPM writer (``sutil::saveImage`` PPM parity)."""
     img = np.ascontiguousarray(np.asarray(rgb_u8, np.uint8))

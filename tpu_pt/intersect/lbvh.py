@@ -284,6 +284,7 @@ def _traverse(bvh: BVH, origins: V3, dirs: V3, tmin, tmax, mode: str,
         best_t=jnp.full((n_rays,), T_FAR, jnp.float32),
         best_i=jnp.zeros((n_rays,), jnp.int32),
         best_nm=jnp.zeros((n_rays, 4), jnp.float32),
+        best_uv=jnp.zeros((n_rays, 2), jnp.float32),
         found=jnp.zeros((n_rays,), bool),
     )
 
@@ -336,7 +337,8 @@ def _traverse(bvh: BVH, origins: V3, dirs: V3, tmin, tmax, mode: str,
         if occl:
             blocking = (t < limit) & (rows[:, 17] < 0.5)
             found = s["found"] | blocking
-            best_t, best_i, best_nm = s["best_t"], s["best_i"], s["best_nm"]
+            best_t, best_i, best_nm, best_uv = (
+                s["best_t"], s["best_i"], s["best_nm"], s["best_uv"])
             # Early exit: once occluded, stop traversing this ray.
             next_cursor = jnp.where(
                 found, END, jnp.where(~is_leaf & box_hit, child, nxt))
@@ -346,12 +348,14 @@ def _traverse(bvh: BVH, origins: V3, dirs: V3, tmin, tmax, mode: str,
             best_i = jnp.where(better, tri_id, s["best_i"])
             best_nm = jnp.where(better[:, None], rows[:, 18:22],
                                 s["best_nm"])
+            best_uv = jnp.where(better[:, None],
+                                jnp.stack([u, v], axis=1), s["best_uv"])
             found = s["found"] | better
             next_cursor = jnp.where(~is_leaf & box_hit, child, nxt)
 
         cursor = jnp.where(active, next_cursor, END)
         return dict(cursor=cursor, best_t=best_t, best_i=best_i,
-                    best_nm=best_nm, found=found)
+                    best_nm=best_nm, best_uv=best_uv, found=found)
 
     out = jax.lax.while_loop(cond, body, state0)
     if occl:
@@ -430,9 +434,11 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     out = _traverse(bvh, origins, dirs, tmin, tmax, "closest")
     ok = out["best_t"] < T_FAR
     nm = out["best_nm"]
+    uv = out["best_uv"]
     return Hit(t=out["best_t"], tri=jnp.where(ok, out["best_i"], 0), hit=ok,
                normal=V3(nm[:, 0], nm[:, 1], nm[:, 2]),
-               mat=jnp.where(ok, nm[:, 3].astype(jnp.int32), 0))
+               mat=jnp.where(ok, nm[:, 3].astype(jnp.int32), 0),
+               u=uv[:, 0], v=uv[:, 1])
 
 
 def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3, tmax,

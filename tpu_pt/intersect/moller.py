@@ -40,6 +40,8 @@ class Hit:
     hit: jnp.ndarray      # [N] bool
     normal: V3            # geometric normal (N_0) components [N], 0 on miss
     mat: jnp.ndarray      # [N] i32 material id, 0 on miss
+    u: jnp.ndarray        # [N] f32 barycentric u at the hit (0 on miss)
+    v: jnp.ndarray        # [N] f32 barycentric v at the hit (0 on miss)
 
 
 def _fit_tri_block(requested: int, n_tri: int) -> int:
@@ -85,7 +87,7 @@ def _mt_block(o: V3, d: V3, v0, e1, e2, tmin, tmax):
     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     valid = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
              & (t > tmin) & (t < tmax))
-    return t, valid
+    return t, valid, u, v
 
 
 def _closest_chunk(o: V3, d: V3, scene: SceneArrays, tmin, tmax,
@@ -96,11 +98,12 @@ def _closest_chunk(o: V3, d: V3, scene: SceneArrays, tmin, tmax,
     r = o.x.shape[0]
 
     def body(carry, bi):
-        best_t, best_i, best_n, best_m = carry
+        best_t, best_i, best_n, best_m, best_u, best_v = carry
         s = bi * tri_block
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, tri_block)
-        t, valid = _mt_block(o, d, sl(scene.tri_v0), sl(scene.tri_e1),
-                             sl(scene.tri_e2), tmin, tmax)
+        t, valid, u, v = _mt_block(o, d, sl(scene.tri_v0),
+                                   sl(scene.tri_e1), sl(scene.tri_e2),
+                                   tmin, tmax)
         valid = valid & sl(scene.tri_valid)[None, :]
         t = jnp.where(valid, t, T_FAR)
         blk_t = jnp.min(t, axis=-1)
@@ -109,7 +112,10 @@ def _closest_chunk(o: V3, d: V3, scene: SceneArrays, tmin, tmax,
         # Select the argmin triangle's normal/material with a mask matmul
         # (MXU) instead of a slow per-ray gather.
         lane = jax.lax.broadcasted_iota(jnp.int32, (r, tri_block), 1)
-        mask = (lane == blk_arg[:, None]).astype(jnp.float32)
+        mask_b = lane == blk_arg[:, None]
+        mask = mask_b.astype(jnp.float32)
+        blk_u = jnp.sum(jnp.where(mask_b, u, 0.0), axis=-1)
+        blk_v = jnp.sum(jnp.where(mask_b, v, 0.0), axis=-1)
         nm = jnp.concatenate(
             [sl(scene.tri_normal),
              sl(scene.mat_id).astype(jnp.float32)[:, None]], axis=1)
@@ -122,13 +128,16 @@ def _closest_chunk(o: V3, d: V3, scene: SceneArrays, tmin, tmax,
         best_i = jnp.where(better, blk_i, best_i)
         best_n = jnp.where(better[:, None], blk_nm[:, 0:3], best_n)
         best_m = jnp.where(better, blk_nm[:, 3].astype(jnp.int32), best_m)
-        return (best_t, best_i, best_n, best_m), None
+        best_u = jnp.where(better, blk_u, best_u)
+        best_v = jnp.where(better, blk_v, best_v)
+        return (best_t, best_i, best_n, best_m, best_u, best_v), None
 
     init = (jnp.full((r,), T_FAR, jnp.float32), jnp.zeros((r,), jnp.int32),
-            jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.int32))
-    (best_t, best_i, best_n, best_m), _ = jax.lax.scan(
+            jnp.zeros((r, 3), jnp.float32), jnp.zeros((r,), jnp.int32),
+            jnp.zeros((r,), jnp.float32), jnp.zeros((r,), jnp.float32))
+    (best_t, best_i, best_n, best_m, best_u, best_v), _ = jax.lax.scan(
         body, init, jnp.arange(n_blocks))
-    return best_t, best_i, best_n, best_m
+    return best_t, best_i, best_n, best_m, best_u, best_v
 
 
 def _pad_rays(o: V3, d: V3, chunk: int):
@@ -161,18 +170,22 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     o_c = jax.tree.map(lambda a: a.reshape(c, ray_chunk), o)
     d_c = jax.tree.map(lambda a: a.reshape(c, ray_chunk), d)
     if c == 1:
-        best_t, best_i, best_n, best_m = chunk_fn(
+        best_t, best_i, best_n, best_m, best_u, best_v = chunk_fn(
             (jax.tree.map(lambda a: a[0], o_c),
              jax.tree.map(lambda a: a[0], d_c)))
     else:
-        best_t, best_i, best_n, best_m = jax.lax.map(chunk_fn, (o_c, d_c))
+        best_t, best_i, best_n, best_m, best_u, best_v = jax.lax.map(
+            chunk_fn, (o_c, d_c))
         best_t = best_t.reshape(-1)
         best_i = best_i.reshape(-1)
         best_n = best_n.reshape(-1, 3)
         best_m = best_m.reshape(-1)
+        best_u = best_u.reshape(-1)
+        best_v = best_v.reshape(-1)
     best_t = best_t[:n]
     return Hit(t=best_t, tri=best_i[:n], hit=best_t < T_FAR,
-               normal=V3.from_array(best_n[:n]), mat=best_m[:n])
+               normal=V3.from_array(best_n[:n]), mat=best_m[:n],
+               u=best_u[:n], v=best_v[:n])
 
 
 def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
@@ -213,8 +226,9 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
         def body(occ, bi):
             s = bi * tri_block
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, tri_block)
-            t, valid = _mt_block(oc, dc, sl(scene.tri_v0), sl(scene.tri_e1),
-                                 sl(scene.tri_e2), tmin, T_FAR)
+            t, valid, _, _ = _mt_block(oc, dc, sl(scene.tri_v0),
+                                       sl(scene.tri_e1), sl(scene.tri_e2),
+                                       tmin, T_FAR)
             valid = (valid & sl(scene.tri_valid)[None, :]
                      & ~sl(tri_refr)[None, :] & (t < tm[:, None]))
             return occ | jnp.any(valid, axis=-1), None

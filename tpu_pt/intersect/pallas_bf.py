@@ -137,7 +137,7 @@ def _mt_block(rays_ref, tris_ref, s, tb, tmin):
 
     hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
            & (t > tmin) & (valid > 0.0))
-    return jnp.where(hit, t, jnp.float32(T_FAR)), refr
+    return jnp.where(hit, t, jnp.float32(T_FAR)), refr, u, v
 
 
 def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
@@ -146,9 +146,9 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
     nb = n_tri // TRI_BLOCK
 
     def step(b, carry):
-        best_t, best_i, bnx, bny, bnz, bm = carry
+        best_t, best_i, bnx, bny, bnz, bm, bu, bv = carry
         s = b * TRI_BLOCK
-        t, _ = _mt_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
+        t, _, u, v = _mt_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
         t = jnp.where(t < tmax, t, jnp.float32(T_FAR))
         blk_t = jnp.min(t, axis=0, keepdims=True)                 # [1, RT]
         sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_BLOCK, rt), 0)
@@ -163,31 +163,39 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
             col = tris_ref[pl.ds(s, TRI_BLOCK), col_id:col_id + 1]
             return jnp.sum(sel * col, axis=0, keepdims=True)      # [1, RT]
 
+        blk_u = jnp.sum(sel * u, axis=0, keepdims=True)
+        blk_v = jnp.sum(sel * v, axis=0, keepdims=True)
         better = blk_t < best_t
         return (jnp.where(better, blk_t, best_t),
                 jnp.where(better, blk_i, best_i),
                 jnp.where(better, pick(11), bnx),
                 jnp.where(better, pick(12), bny),
                 jnp.where(better, pick(13), bnz),
-                jnp.where(better, pick(14), bm))
+                jnp.where(better, pick(14), bm),
+                jnp.where(better, blk_u, bu),
+                jnp.where(better, blk_v, bv))
 
     init = (jnp.full((1, rt), T_FAR, jnp.float32),
             jnp.zeros((1, rt), jnp.int32),
             jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32),
+            jnp.zeros((1, rt), jnp.float32),
+            jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32))
     if nb == 1:
-        best_t, best_i, bnx, bny, bnz, bm = step(0, init)
+        best_t, best_i, bnx, bny, bnz, bm, bu, bv = step(0, init)
     else:
-        best_t, best_i, bnx, bny, bnz, bm = jax.lax.fori_loop(
+        best_t, best_i, bnx, bny, bnz, bm, bu, bv = jax.lax.fori_loop(
             0, nb, step, init)
     out_ref[0:1, :] = best_t
     out_ref[1:2, :] = bnx
     out_ref[2:3, :] = bny
     out_ref[3:4, :] = bnz
     out_ref[4:5, :] = bm
-    out_ref[5:8, :] = jnp.zeros((3, rt), jnp.float32)
+    out_ref[5:6, :] = bu
+    out_ref[6:7, :] = bv
+    out_ref[7:8, :] = jnp.zeros((1, rt), jnp.float32)
     i_ref[:, :] = jnp.where(best_t < T_FAR, best_i, 0)
 
 
@@ -198,7 +206,7 @@ def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin):
 
     def step(b, occ):
         s = b * TRI_BLOCK
-        t, refr = _mt_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
+        t, refr, _, _ = _mt_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
         blocking = (t < tmax_r) & (refr < 0.5)
         hit_any = jnp.max(jnp.where(blocking, 1.0, 0.0), axis=0,
                           keepdims=True)
@@ -283,7 +291,8 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     t = out[0, :n]
     return Hit(t=t, tri=idx[0, :n], hit=t < T_FAR,
                normal=V3(out[1, :n], out[2, :n], out[3, :n]),
-               mat=out[4, :n].astype(jnp.int32))
+               mat=out[4, :n].astype(jnp.int32),
+               u=out[5, :n], v=out[6, :n])
 
 
 def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,

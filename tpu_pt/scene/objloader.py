@@ -260,7 +260,34 @@ def detect_area_light(mesh: ObjMesh) -> AreaLight | None:
 def load_scene(path: str, light: AreaLight | None = None,
                auto_light: bool = True,
                build_bvh: bool = True) -> SceneArrays:
-    """OBJ file -> device-ready SceneArrays (with LBVH attached)."""
+    """OBJ (or glTF/GLB) file -> device-ready SceneArrays (LBVH attached).
+
+    glTF scenes route through :mod:`tpu_pt.scene.gltf`; the path tracer
+    consumes their geometry + PBR-derived materials directly."""
+    if path.lower().endswith((".gltf", ".glb")):
+        from .gltf import load_gltf
+        ws = load_gltf(path)
+        scene = ws.geom
+        if light is not None:
+            scene = scene.replace(light=light)
+        elif auto_light and ws.light_pos.shape[0] > 0:
+            # Path tracing needs an area light for NEE; synthesize a small
+            # downward quad at the glTF point light's position.
+            import numpy as np
+            pos = np.asarray(ws.light_pos)[0]
+            col = np.asarray(ws.light_color)[0]
+            v = np.asarray(scene.tri_v0)[np.asarray(scene.tri_valid)]
+            size = 0.05 * float(np.linalg.norm(v.max(0) - v.min(0)))
+            area = max(size * size, 1e-6)
+            scene = scene.replace(light=AreaLight(
+                corner=jnp.asarray(pos - [size / 2, 0, size / 2],
+                                   jnp.float32),
+                v1=jnp.asarray([size, 0.0, 0.0], jnp.float32),
+                v2=jnp.asarray([0.0, 0.0, size], jnp.float32),
+                normal=jnp.asarray([0.0, -1.0, 0.0], jnp.float32),
+                # Point intensity -> area radiance over the quad.
+                emission=jnp.asarray(col / area, jnp.float32)))
+        return scene
     mesh = load_obj(path)
     if light is None and auto_light:
         light = detect_area_light(mesh)

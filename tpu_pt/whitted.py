@@ -1,0 +1,270 @@
+"""Whitted-style direct-lighting renderer (the reference's second pipeline).
+
+Parity target: the SDK pipeline compiled into ``sutil_7_sdk`` —
+``__raygen__pinhole`` / ``__closesthit__radiance`` (``cuda/whitted.cu:
+44-289``) plus the legacy recursive shaders (``cuda/shading.cu``): PBR
+metallic-roughness direct lighting with GGX specular (Schlick Fresnel,
+Smith joint visibility — formulas from ``whitted_cuda.h:48-70``), point +
+ambient lights with shadow rays, smooth (interpolated) normals, base-color
+textures, alpha-mask/blend, emissive factors, and whitted-style recursive
+reflection/refraction for Phong-metal and Glass materials up to
+``MAX_TRACE_DEPTH`` = 8 (``whitted.h:42``).
+
+Wavefront form: recursion becomes a ``lax.scan`` over depth carrying
+(ray, attenuation); branching continuations (alpha blend, glass
+reflect/refract) are resolved per lane — blend/refraction continue the
+straight/refracted path, Fresnel-weighted reflections continue for
+reflective materials — so each lane follows one whitted branch per bounce
+with the branch weights folded into the attenuation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import vec3 as v3
+from .vec3 import V3
+from .config import RenderConfig
+from .intersect import get_intersectors
+from .render import CameraArrays, camera_rays
+from .scene.gltf import (WhittedScene, KIND_GLASS, KIND_PBR, KIND_PHONG,
+                         ALPHA_BLEND, ALPHA_MASK)
+from . import rng
+
+MAX_TRACE_DEPTH = 8  # whitted.h:42
+
+
+def _interp_attrs(ws: WhittedScene, hit):
+    """Smooth normal + UV from barycentrics (LocalGeometry.h parity)."""
+    rows = ws.vtx_attr[hit.tri]                       # [N, 16] gather
+    w0 = 1.0 - hit.u - hit.v
+    n = V3(rows[:, 0] * w0 + rows[:, 3] * hit.u + rows[:, 6] * hit.v,
+           rows[:, 1] * w0 + rows[:, 4] * hit.u + rows[:, 7] * hit.v,
+           rows[:, 2] * w0 + rows[:, 5] * hit.u + rows[:, 8] * hit.v)
+    n = v3.normalize(n)
+    uu = rows[:, 9] * w0 + rows[:, 11] * hit.u + rows[:, 13] * hit.v
+    vv = rows[:, 10] * w0 + rows[:, 12] * hit.u + rows[:, 14] * hit.v
+    return n, uu, vv
+
+
+def _sample_textures(ws: WhittedScene, tex_id, uu, vv):
+    """Bilinear base-color texture fetch with repeat wrap.
+
+    Textures have distinct static shapes, so each is sampled for its own
+    lanes and combined by mask (texture counts are small).
+    """
+    out = V3.ones(tex_id.shape)
+    alpha = jnp.ones(tex_id.shape, jnp.float32)
+    for k, tex in enumerate(ws.textures):
+        h, w = tex.shape[0], tex.shape[1]
+        x = (uu % 1.0) * (w - 1)
+        y = (vv % 1.0) * (h - 1)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        c = (tex[y0, x0] * (1 - fx) * (1 - fy) + tex[y0, x1] * fx * (1 - fy)
+             + tex[y1, x0] * (1 - fx) * fy + tex[y1, x1] * fx * fy)
+        # sRGB -> linear on RGB (whitted::linearize, gamma 2.2).
+        rgb_lin = jnp.power(jnp.maximum(c[:, :3], 1e-9), 2.2)
+        mask = tex_id == k
+        out = v3.where(mask, V3(rgb_lin[:, 0], rgb_lin[:, 1], rgb_lin[:, 2]),
+                       out)
+        alpha = jnp.where(mask, c[:, 3], alpha)
+    return out, alpha
+
+
+def _schlick(spec: V3, v_dot_h):
+    """whitted_cuda.h:48-51."""
+    p = jnp.power(jnp.maximum(1.0 - v_dot_h, 0.0), 5.0)
+    return spec + (V3.ones(v_dot_h.shape) - spec) * p
+
+
+def _vis(n_dot_l, n_dot_v, alpha):
+    """Smith joint visibility, whitted_cuda.h:53-61."""
+    a2 = alpha * alpha
+    ggx0 = n_dot_l * jnp.sqrt(n_dot_v * n_dot_v * (1.0 - a2) + a2)
+    ggx1 = n_dot_v * jnp.sqrt(n_dot_l * n_dot_l * (1.0 - a2) + a2)
+    return 2.0 * n_dot_l * n_dot_v / jnp.maximum(ggx0 + ggx1, 1e-9)
+
+
+def _ggx_d(n_dot_h, alpha):
+    """GGX NDF, whitted_cuda.h:64-70."""
+    a2 = alpha * alpha
+    x = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
+    return a2 / (jnp.pi * x * x)
+
+
+def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
+                             cfg: RenderConfig, pixel_start, n_pixels: int,
+                             frame_idx, sample_offset=0):
+    """Direct-lighting estimate over cfg.spp jittered samples per pixel."""
+    geom = ws.geom
+    closest_fn, occluded_fn = get_intersectors(geom, cfg)
+    frame_idx = jnp.asarray(frame_idx, jnp.uint32)
+    pixel_ids = jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(
+        n_pixels, dtype=jnp.uint32)
+    n_lights = ws.light_pos.shape[0]
+    depth_cap = min(cfg.max_depth, MAX_TRACE_DEPTH)
+
+    def shade(origin, direction, atten, alive, depth, sample_idx):
+        hit = closest_fn(origin, direction)
+        hmask = hit.hit & alive
+
+        base = ws.base_color[hit.mat]                 # [N, 4] gather
+        kind = ws.kind[hit.mat]
+        metallic = ws.metallic[hit.mat]
+        roughness = ws.roughness[hit.mat]
+        emissive = ws.emissive[hit.mat]
+        alpha_mode = ws.alpha_mode[hit.mat]
+        alpha_cutoff = ws.alpha_cutoff[hit.mat]
+        ior = ws.ior[hit.mat]
+        tex_id = ws.tex_id[hit.mat]
+
+        ns, uu, vv = _interp_attrs(ws, hit)
+        # Flip the shading normal toward the ray (whitted.cu:221-223).
+        flip = v3.dot(ns, direction) > 0.0
+        ns = v3.where(flip, -ns, ns)
+
+        base_rgb = V3(base[:, 0], base[:, 1], base[:, 2])
+        base_a = base[:, 3]
+        if ws.textures:
+            tex_rgb, tex_a = _sample_textures(ws, tex_id, uu, vv)
+            base_rgb = base_rgb * tex_rgb
+            base_a = base_a * tex_a
+
+        # Alpha mask: treat sub-cutoff hits as pass-through continuations.
+        masked_out = hmask & (alpha_mode == ALPHA_MASK) & (base_a <
+                                                           alpha_cutoff)
+
+        p = origin + direction * hit.t
+        vdir = v3.normalize(-direction)
+
+        f0 = 0.04
+        diff_color = base_rgb * ((1.0 - f0) * (1.0 - metallic))
+        spec_color = v3.lerp(V3.full(metallic.shape, (f0, f0, f0)),
+                             base_rgb, metallic)
+        a_r = roughness * roughness
+
+        result = V3(emissive[:, 0], emissive[:, 1], emissive[:, 2])
+
+        for li in range(n_lights):
+            lpos = V3.of(ws.light_pos[li, 0], ws.light_pos[li, 1],
+                         ws.light_pos[li, 2])
+            lcol = ws.light_color[li]
+            to_l = lpos - p
+            l_dist = v3.length(to_l)
+            ldir = v3.normalize(to_l)
+            hvec = v3.normalize(ldir + vdir)
+            n_dot_l = v3.dot(ns, ldir)
+            n_dot_v = v3.dot(ns, vdir)
+            n_dot_h = v3.dot(ns, hvec)
+            v_dot_h = v3.dot(vdir, hvec)
+            lit = hmask & (n_dot_l > 0.0) & (n_dot_v > 0.0)
+            occ_dir = v3.where(lit, ldir, V3.zeros(lit.shape))
+            occ_tmax = jnp.where(lit, l_dist - 0.001, 0.0)
+            shadowed = occluded_fn(p, occ_dir, occ_tmax)
+            f = _schlick(spec_color, v_dot_h)
+            g_vis = _vis(jnp.maximum(n_dot_l, 1e-6),
+                         jnp.maximum(n_dot_v, 1e-6), a_r)
+            d = _ggx_d(n_dot_h, a_r)
+            brdf = (V3.ones(lit.shape) - f) * diff_color * (1.0 / jnp.pi) \
+                + f * (g_vis * d)
+            w = jnp.where(lit & ~shadowed, n_dot_l, 0.0)
+            result = result + brdf * (V3.of(lcol[0], lcol[1], lcol[2]) * w)
+
+        # Ambient light (Light::Ambient, whitted.cu:264-267).
+        result = result + base_rgb * V3.of(ws.ambient[0], ws.ambient[1],
+                                           ws.ambient[2])
+
+        # Continuations.
+        is_glass = kind == KIND_GLASS
+        refl_dir = v3.reflect(v3.normalize(direction), ns)
+        sa, _ = rng.bounce_streams(depth)
+        z1, _, _, _ = rng.uniform4(pixel_ids, sample_idx, frame_idx, sa)
+        from .bsdf import fr_dielectric
+        cos_i = v3.dot(vdir, ns)
+        fres = fr_dielectric(cos_i, 1.0, ior)
+        refr_dir, ok_refr = v3.refract(v3.normalize(direction), ns, ior)
+        glass_reflect = (z1 < fres) | ~ok_refr
+        glass_dir = v3.where(glass_reflect, refl_dir, refr_dir)
+
+        # Phong-metal reflections: Kr-weighted mirror (shading.cu metal).
+        kr = ws.phong_kr[hit.mat]
+        kr_v = V3(kr[:, 0], kr[:, 1], kr[:, 2])
+        phong_refl = hmask & (kind == KIND_PHONG) & (v3.luminance(kr_v)
+                                                     > 0.0)
+
+        # Alpha blend: result scales by alpha; (1-alpha) continues straight
+        # (whitted.cu:268-287).
+        blend = hmask & (alpha_mode == ALPHA_BLEND) & ~masked_out
+        result = v3.where(blend, result * base_a, result)
+
+        cont_glass = hmask & is_glass
+        cont = cont_glass | phong_refl | blend | masked_out
+        new_dir = v3.where(cont_glass, glass_dir,
+                           v3.where(phong_refl, refl_dir, direction))
+        new_origin = p + new_dir * 1e-3
+        cont_weight = v3.where(
+            masked_out, V3.ones(hmask.shape),
+            v3.where(blend, V3.ones(hmask.shape) * (1.0 - base_a),
+                     v3.where(cont_glass, base_rgb, kr_v)))
+        # Masked-out lanes contribute nothing at this hit.
+        result = v3.where(masked_out, V3.zeros(hmask.shape), result)
+
+        contrib = result * atten
+        contrib = v3.where(hmask, contrib, V3.zeros(hmask.shape))
+        # Miss: background color once per path.
+        miss = alive & ~hit.hit
+        bg = cfg.background
+        contrib = v3.where(miss, V3.full(miss.shape, bg) * atten, contrib)
+
+        atten_next = atten * cont_weight
+        alive_next = alive & cont & (depth + 1 < depth_cap)
+        return contrib, new_origin, new_dir, atten_next, alive_next
+
+    def one_sample(sample_idx):
+        jx, jy = rng.uniform2(pixel_ids, sample_idx, frame_idx,
+                              rng.STREAM_JITTER)
+        origin, direction = camera_rays(cam, pixel_ids, cfg.width,
+                                        cfg.height, jx, jy)
+
+        def body(carry, depth):
+            origin, direction, atten, alive, acc = carry
+            contrib, o2, d2, atten2, alive2 = shade(
+                origin, direction, atten, alive, depth, sample_idx)
+            return (o2, d2, atten2, alive2, acc + contrib), None
+
+        init = (origin, direction, V3.ones((n_pixels,)),
+                jnp.ones((n_pixels,), bool), V3.zeros((n_pixels,)))
+        depths = jnp.arange(depth_cap, dtype=jnp.uint32)
+        (_, _, _, _, acc), _ = jax.lax.scan(body, init, depths)
+        return acc
+
+    def spp_body(acc, sample_idx):
+        return acc + one_sample(sample_idx), None
+
+    samples = jnp.arange(cfg.spp, dtype=jnp.uint32) + jnp.asarray(
+        sample_offset, jnp.uint32)
+    acc, _ = jax.lax.scan(spp_body, V3.zeros((n_pixels,)), samples)
+    return (acc * (1.0 / cfg.spp)).to_array()
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
+def render_whitted_frame(ws: WhittedScene, cam: CameraArrays,
+                         cfg: RenderConfig, frame_idx, accum):
+    """Progressive whitted frame (raygen accumulation parity,
+    ``whitted.cu:44-98``)."""
+    from . import film
+
+    n = cfg.width * cfg.height
+    radiance = render_whitted_wavefront(ws, cam, cfg, 0, n, frame_idx)
+    frame_img = radiance.reshape(cfg.height, cfg.width, 3)
+    new_accum = film.accumulate(accum, frame_img, frame_idx)
+    return new_accum, film.make_color(new_accum)
