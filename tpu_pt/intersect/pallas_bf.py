@@ -38,7 +38,7 @@ from ..scene.arrays import SceneArrays, BSDF_REFRACTION
 from ..vec3 import V3, as_v3
 from .moller import Hit, T_FAR, DET_EPS
 
-RAY_TILE = 512        # rays per grid program
+RAY_TILE = 2048       # rays per grid program
 TRI_BLOCK = 512       # triangles per inner step
 _BIG_IDX = 2 ** 30
 
