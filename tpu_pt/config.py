@@ -62,6 +62,13 @@ class RenderConfig:
     scheduler: str = "regen"    # regen (persistent wavefront) | scan
     lanes: int = 262144         # wavefront width cap (regen scheduler);
                                 # larger frames stream items through it
+    bounces_per_round: int = 1  # trace steps per work-queue round (regen):
+                                # >1 accumulates contributions in registers
+                                # and scatters once per round. Measured on
+                                # v5e Cornell: the ~29% idle-lane cost of
+                                # k=2 exactly cancels the scatter savings
+                                # (34.7 vs 35.5 Mrays/s), so default 1;
+                                # scenes with longer mean paths may differ.
     ray_chunk: int = 8192
     tri_block: int = 512
     spp_chunk: int = 1          # samples traced per scan step
