@@ -59,7 +59,8 @@ class RenderConfig:
 
     # Engine knobs (no reference analog).
     intersector: str = "auto"   # auto | bruteforce | pallas | bvh
-    scheduler: str = "regen"    # regen (persistent wavefront) | scan
+    scheduler: str = "pixelq"   # pixelq (pixel-queue wavefront, scatter-free)
+                                # | regen (item-queue wavefront) | scan
     lanes: int = 262144         # wavefront width cap (regen scheduler);
                                 # larger frames stream items through it
     bounces_per_round: int = 1  # trace steps per work-queue round (regen):
@@ -69,6 +70,12 @@ class RenderConfig:
                                 # k=2 exactly cancels the scatter savings
                                 # (34.7 vs 35.5 Mrays/s), so default 1;
                                 # scenes with longer mean paths may differ.
+    samples_per_item: int = 8   # pixelq scheduler: samples per work item
+                                # (clamped to spp). Larger = fewer slot
+                                # flushes + smaller drain scatter; smaller
+                                # = shorter frame tail (the last wave is
+                                # bounded by the unluckiest item's
+                                # samples_per_item x max_depth rounds).
     ray_chunk: int = 8192
     tri_block: int = 512
     spp_chunk: int = 1          # samples traced per scan step
