@@ -141,9 +141,10 @@ def _pe_block(rays_ref, tris_ref, s, tb, tmin):
     nx, ny, nz, d0 = col(0), col(1), col(2), col(3)
     wux, wuy, wuz, cu = col(4), col(5), col(6), col(7)
     wvx, wvy, wvz, cv = col(8), col(9), col(10), col(11)
-    valid = col(12)
     refr = col(13)
 
+    # No explicit validity test: padded and degenerate triangles have a
+    # zero normal, so the parallel-plane guard already rejects them.
     ndotd = nx * dx + ny * dy + nz * dz
     ok = jnp.abs(ndotd) > DET_EPS
     t = (d0 - (nx * ox + ny * oy + nz * oz)) / jnp.where(ok, ndotd, 1.0)
@@ -155,8 +156,7 @@ def _pe_block(rays_ref, tris_ref, s, tb, tmin):
     u = wux * px + wuy * py + wuz * pz + cu
     v = wvx * px + wvy * py + wvz * pz + cv
 
-    hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-           & (t > tmin) & (valid > 0.0))
+    hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tmin)
     return jnp.where(hit, t, jnp.float32(T_FAR)), refr, u, v
 
 
@@ -169,7 +169,8 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
         best_t, best_i, bnx, bny, bnz, bm, bu, bv = carry
         s = b * TRI_BLOCK
         t, _, u, v = _pe_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
-        t = jnp.where(t < tmax, t, jnp.float32(T_FAR))
+        if tmax < T_FAR:    # static; render paths pass tmax = T_FAR
+            t = jnp.where(t < tmax, t, jnp.float32(T_FAR))
         blk_t = jnp.min(t, axis=0, keepdims=True)                 # [1, RT]
         sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_BLOCK, rt), 0)
         cand = jnp.where(t == blk_t, sub, _BIG_IDX)
