@@ -78,6 +78,35 @@ def test_nonaligned_ray_count(cornell_scene):
                                rtol=1e-6)
 
 
+def test_fused_closest_nee_matches_separate(mixed_scene, rays):
+    """The fused closest+NEE kernel must agree with the two-kernel path on
+    every lane where its occlusion bit is defined (hit lanes)."""
+    o, d = rays
+    n = o.shape[0]
+    lz1 = jnp.linspace(0.05, 0.95, n)
+    lz2 = jnp.linspace(0.9, 0.1, n)
+    hit, occ = pallas_bf.intersect_closest_nee(mixed_scene, o, d, lz1, lz2)
+    ref_hit = pallas_bf.intersect_closest(mixed_scene, o, d)
+    np.testing.assert_array_equal(np.asarray(ref_hit.tri), np.asarray(hit.tri))
+    np.testing.assert_allclose(np.asarray(ref_hit.t), np.asarray(hit.t))
+    # Reference shadow rays from the hit points (as _nee builds them).
+    light = mixed_scene.light
+    p = np.asarray((o + np.asarray(hit.t)[:, None] * d))
+    lp = (np.asarray(light.corner)[None] + np.outer(lz1, light.v1)
+          + np.outer(lz2, light.v2))
+    to_l = lp - p
+    dist = np.linalg.norm(to_l, axis=-1)
+    ldir = to_l / np.maximum(dist, 1e-9)[:, None]
+    ref_occ = pallas_bf.intersect_occluded(
+        mixed_scene, jnp.asarray(p), jnp.asarray(ldir),
+        jnp.asarray(dist - 0.01))
+    # Grazing shadow rays (common in the axis-aligned Cornell geometry)
+    # can flip on the ~1-ulp rsqrt-vs-sqrt normalization difference.
+    m = np.asarray(hit.hit)
+    agree = np.asarray(ref_occ)[m] == np.asarray(occ)[m]
+    assert agree.mean() > 0.995, f"occlusion agreement {agree.mean()}"
+
+
 def test_render_with_pallas_matches_bruteforce(cornell_scene):
     from tpu_pt.render import render_wavefront
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())

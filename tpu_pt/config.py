@@ -76,6 +76,14 @@ class RenderConfig:
                                 # = shorter frame tail (the last wave is
                                 # bounded by the unluckiest item's
                                 # samples_per_item x max_depth rounds).
+    fused_nee: bool = False     # trace the NEE shadow ray inside the
+                                # closest-hit Pallas kernel (one pass over
+                                # the resident tris). Measured v5e Cornell:
+                                # a net loss in every variant (61.9 at
+                                # tb=256 vs 63.2 unfused; bigger tiles blow
+                                # scoped VMEM; raising the VMEM limit kills
+                                # pipelining, 31.6) — launch overhead is
+                                # cheaper than the tile-granularity cost.
     ray_chunk: int = 8192
     tri_block: int = 512
     spp_chunk: int = 1          # samples traced per scan step

@@ -44,6 +44,20 @@ def _resolve(scene: SceneArrays, cfg: RenderConfig) -> str:
     return "bruteforce"
 
 
+def get_fused_closest_nee(scene: SceneArrays, cfg: RenderConfig):
+    """Fused closest-hit + NEE-occlusion kernel, or None.
+
+    Only the Pallas backend implements the fusion (one pass over the
+    VMEM-resident triangles serves both the radiance and the shadow ray);
+    the quirk occlusion mode keeps the two-kernel path."""
+    if (not cfg.fused_nee or _resolve(scene, cfg) != "pallas"
+            or scene.light is None or cfg.quirks.occlusion_first_hit_only):
+        return None
+    from . import pallas_bf
+    return partial(pallas_bf.intersect_closest_nee, scene,
+                   tmin=cfg.t_min, tmax=cfg.t_max)
+
+
 def get_intersectors(scene: SceneArrays, cfg: RenderConfig):
     """Returns (closest_fn(o, d) -> Hit, occluded_fn(o, d, tmax) -> bool)."""
     backend = _resolve(scene, cfg)

@@ -47,8 +47,12 @@ from ..vec3 import V3, as_v3
 from .moller import Hit, T_FAR, DET_EPS
 
 RAY_TILE = 2048       # rays per grid program
+FUSED_RAY_TILE = 2048  # fused closest+NEE kernel ray tile (it halves the
+                       # tri block instead to fit both sweeps' [TB, RT]
+                       # intermediates in the 16 MB scoped-VMEM budget)
 TRI_BLOCK = 512       # triangles per inner step
 _BIG_IDX = 2 ** 30
+NEE_EPS = 0.01        # shadow-ray range shrink (cu:1017 "Ldist - 0.01")
 
 
 def _interpret() -> bool:
@@ -108,32 +112,34 @@ def pack_tris(scene: SceneArrays) -> jnp.ndarray:
     return packed
 
 
-def pack_rays(origins: V3, dirs: V3, tmax: jnp.ndarray | None,
-              n_pad: int) -> jnp.ndarray:
-    """V3 rays -> [8, n_pad] kernel layout (zero columns never hit)."""
+def pack_rays(origins: V3, dirs: V3, row6: jnp.ndarray | None,
+              n_pad: int, row7: jnp.ndarray | None = None) -> jnp.ndarray:
+    """V3 rays -> [8, n_pad] kernel layout (zero columns never hit).
+
+    Rows 6-7 are per-kernel extras: occlusion tmax, or the NEE light-sample
+    uniforms (lz1, lz2) for the fused closest+NEE kernel."""
     n = origins.x.shape[0]
     pad = n_pad - n
     z = jnp.zeros((n,), jnp.float32)
     rows = [origins.x, origins.y, origins.z, dirs.x, dirs.y, dirs.z,
-            tmax if tmax is not None else z, z]
+            row6 if row6 is not None else z,
+            row7 if row7 is not None else z]
     out = jnp.stack(rows, axis=0)
     if pad:
         out = jnp.pad(out, ((0, 0), (0, pad)))
     return out
 
 
-def _pe_block(rays_ref, tris_ref, s, tb, tmin):
-    """Plane + edge-function test for the ray tile vs tri block ``s:s+tb``.
+def _pe_block(ray, tris_ref, s, tb, tmin):
+    """Plane + edge-function test for a ray tile vs tri block ``s:s+tb``.
 
-    Returns (t [TB, RT] with +inf on miss/invalid, refr [TB, 1], u, v).
-    Ray directions are unit-length (raygen/shade normalize), so the
-    parallel-plane guard on ``n . d`` is a cosine threshold."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
+    ``ray`` is an (ox, oy, oz, dx, dy, dz) tuple of [1, RT] values (register
+    resident — callers slice them from a rays ref or compute them in-kernel,
+    e.g. NEE shadow rays). Returns (t [TB, RT] with +inf on miss/invalid,
+    refr [TB, 1], u, v). Ray directions are unit-length (raygen/shade
+    normalize), so the parallel-plane guard on ``n . d`` is a cosine
+    threshold."""
+    ox, oy, oz, dx, dy, dz = ray
 
     def col(c):
         return tris_ref[pl.ds(s, tb), c:c + 1]                    # [TB, 1]
@@ -160,19 +166,22 @@ def _pe_block(rays_ref, tris_ref, s, tb, tmin):
     return jnp.where(hit, t, jnp.float32(T_FAR)), refr, u, v
 
 
-def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
-                    tmax):
-    rt = rays_ref.shape[1]
-    nb = n_tri // TRI_BLOCK
+def _ray_rows(rays_ref):
+    return tuple(rays_ref[k:k + 1, :] for k in range(6))
+
+
+def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK):
+    """Min-reduce the plane+edge test over all tri blocks. Returns the
+    (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests."""
 
     def step(b, carry):
         best_t, best_i, bnx, bny, bnz, bm, bu, bv = carry
-        s = b * TRI_BLOCK
-        t, _, u, v = _pe_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
+        s = b * tb
+        t, _, u, v = _pe_block(ray, tris_ref, s, tb, tmin)
         if tmax < T_FAR:    # static; render paths pass tmax = T_FAR
             t = jnp.where(t < tmax, t, jnp.float32(T_FAR))
         blk_t = jnp.min(t, axis=0, keepdims=True)                 # [1, RT]
-        sub = jax.lax.broadcasted_iota(jnp.int32, (TRI_BLOCK, rt), 0)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (tb, rt), 0)
         cand = jnp.where(t == blk_t, sub, _BIG_IDX)
         blk_sub = jnp.min(cand, axis=0, keepdims=True)            # [1, RT]
         blk_i = blk_sub + s
@@ -181,7 +190,7 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
         sel = (sub == blk_sub).astype(jnp.float32)                # [TB, RT]
 
         def pick(col_id):
-            col = tris_ref[pl.ds(s, TRI_BLOCK), col_id:col_id + 1]
+            col = tris_ref[pl.ds(s, tb), col_id:col_id + 1]
             return jnp.sum(sel * col, axis=0, keepdims=True)      # [1, RT]
 
         blk_u = jnp.sum(sel * u, axis=0, keepdims=True)
@@ -205,30 +214,17 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
             jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32))
     if nb == 1:
-        best_t, best_i, bnx, bny, bnz, bm, bu, bv = step(0, init)
-    else:
-        best_t, best_i, bnx, bny, bnz, bm, bu, bv = jax.lax.fori_loop(
-            0, nb, step, init)
-    out_ref[0:1, :] = best_t
-    out_ref[1:2, :] = bnx
-    out_ref[2:3, :] = bny
-    out_ref[3:4, :] = bnz
-    out_ref[4:5, :] = bm
-    out_ref[5:6, :] = bu
-    out_ref[6:7, :] = bv
-    out_ref[7:8, :] = jnp.zeros((1, rt), jnp.float32)
-    i_ref[:, :] = jnp.where(best_t < T_FAR, best_i, 0)
+        return step(0, init)
+    return jax.lax.fori_loop(0, nb, step, init)
 
 
-def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin):
-    rt = rays_ref.shape[1]
-    nb = n_tri // TRI_BLOCK
-    tmax_r = rays_ref[6:7, :]                                     # [1, RT]
+def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK):
+    """OR-reduce "any non-refractive hit in (tmin, tmax)" over tri blocks."""
 
     def step(b, occ):
-        s = b * TRI_BLOCK
-        t, refr, _, _ = _pe_block(rays_ref, tris_ref, s, TRI_BLOCK, tmin)
-        blocking = (t < tmax_r) & (refr < 0.5)
+        s = b * tb
+        t, refr, _, _ = _pe_block(ray, tris_ref, s, tb, tmin)
+        blocking = (t < tmax) & (refr < 0.5)
         hit_any = jnp.max(jnp.where(blocking, 1.0, 0.0), axis=0,
                           keepdims=True)
         return jnp.maximum(occ, hit_any)
@@ -237,9 +233,76 @@ def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin):
     # ("failed to legalize scf.for").
     init = jnp.zeros((1, rt), jnp.float32)
     if nb == 1:
-        occ = step(0, init)
-    else:
-        occ = jax.lax.fori_loop(0, nb, step, init)
+        return step(0, init)
+    return jax.lax.fori_loop(0, nb, step, init)
+
+
+def _write_closest(out_ref, i_ref, best, rt, occ=None):
+    best_t, best_i, bnx, bny, bnz, bm, bu, bv = best
+    out_ref[0:1, :] = best_t
+    out_ref[1:2, :] = bnx
+    out_ref[2:3, :] = bny
+    out_ref[3:4, :] = bnz
+    out_ref[4:5, :] = bm
+    out_ref[5:6, :] = bu
+    out_ref[6:7, :] = bv
+    out_ref[7:8, :] = (jnp.zeros((1, rt), jnp.float32) if occ is None
+                       else occ)
+    i_ref[:, :] = jnp.where(best_t < T_FAR, best_i, 0)
+
+
+def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
+                    tmax):
+    rt = rays_ref.shape[1]
+    best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
+                          n_tri // TRI_BLOCK, tmin, tmax)
+    _write_closest(out_ref, i_ref, best, rt)
+
+
+def _closest_nee_kernel(rays_ref, tris_ref, light_ref, out_ref, i_ref, *,
+                        n_tri, tmin, tmax):
+    """Closest hit + NEE shadow ray in one pass over the resident triangles
+    (the reference's radiance-trace + ``traceOcclusion`` pair,
+    ``pathTracerPrograms.cu:750-757,1015-1017``, as a single kernel).
+
+    Rays carry the light-sample uniforms in rows 6-7; ``light_ref`` holds
+    the area-light corner/v1/v2. The shadow ray (hit point -> sampled light
+    point) lives entirely in registers — it is traced unconditionally and
+    the caller masks ineligible lanes (miss/refractive/backfacing), exactly
+    as the unfused path zeroes their directions."""
+    rt = rays_ref.shape[1]
+    tb = TRI_BLOCK // 2    # halve live [TB, RT] intermediates (scoped VMEM)
+    nb = n_tri // tb
+    ray = _ray_rows(rays_ref)
+    best = _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=tb)
+    best_t = best[0]
+
+    lz1 = rays_ref[6:7, :]
+    lz2 = rays_ref[7:8, :]
+
+    def lc(k):
+        return light_ref[0:1, k:k + 1]                            # [1, 1]
+
+    ox, oy, oz, dx, dy, dz = ray
+    px = ox + best_t * dx
+    py = oy + best_t * dy
+    pz = oz + best_t * dz
+    tlx = lc(0) + lc(3) * lz1 + lc(6) * lz2 - px
+    tly = lc(1) + lc(4) * lz1 + lc(7) * lz2 - py
+    tlz = lc(2) + lc(5) * lz1 + lc(8) * lz2 - pz
+    dist2 = tlx * tlx + tly * tly + tlz * tlz
+    inv = jax.lax.rsqrt(jnp.maximum(dist2, jnp.float32(1e-12)))
+    shadow = (px, py, pz, tlx * inv, tly * inv, tlz * inv)
+    tmax_s = dist2 * inv - NEE_EPS                 # |to_light| - eps (cu:1017)
+    occ = _occlusion_sweep(shadow, tris_ref, tmax_s, rt, nb, tmin, tb=tb)
+    _write_closest(out_ref, i_ref, best, rt, occ=occ)
+
+
+def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin):
+    rt = rays_ref.shape[1]
+    tmax_r = rays_ref[6:7, :]                                     # [1, RT]
+    occ = _occlusion_sweep(_ray_rows(rays_ref), tris_ref, tmax_r, rt,
+                           n_tri // TRI_BLOCK, tmin)
     occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
 
 
@@ -299,6 +362,76 @@ def _occluded_call(rays, tris, n_tri: int, tmin: float):
     )(rays, tris)
 
 
+@functools.partial(jax.named_call, name="pallas_closest_nee")
+def _closest_nee_call(rays, tris, light, n_tri: int, tmin: float,
+                      tmax: float):
+    n_pad = rays.shape[1]
+    grid = (n_pad // FUSED_RAY_TILE,)
+    kernel = functools.partial(_closest_nee_kernel, n_tri=n_tri, tmin=tmin,
+                               tmax=tmax)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, FUSED_RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, FUSED_RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FUSED_RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=64 * n_pad * n_tri, bytes_accessed=n_pad * 52,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(rays, tris, light)
+
+
+def _hit_from_out(out, idx, n):
+    t = out[0, :n]
+    return Hit(t=t, tri=idx[0, :n], hit=t < T_FAR,
+               normal=V3(out[1, :n], out[2, :n], out[3, :n]),
+               mat=out[4, :n].astype(jnp.int32),
+               u=out[5, :n], v=out[6, :n])
+
+
+def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
+                          lz1: jnp.ndarray, lz2: jnp.ndarray,
+                          tmin: float = 0.01,
+                          tmax: float = T_FAR) -> tuple[Hit, jnp.ndarray]:
+    """Closest hit plus NEE shadow-ray occlusion in one kernel pass.
+
+    The shadow ray runs from the hit point toward the area-light point
+    sampled by (lz1, lz2), range ``|to_light| - 0.01`` (reference
+    convention); refractive surfaces do not occlude. Returns
+    (Hit, occluded [N] bool); occluded is meaningful only where
+    ``hit.hit`` — callers mask eligibility exactly as with
+    ``intersect_occluded``."""
+    origins = as_v3(origins)
+    dirs = as_v3(dirs)
+    n = origins.x.shape[0]
+    n_pad = _pad_to(n, FUSED_RAY_TILE)
+    rays = pack_rays(origins, dirs, lz1, n_pad, row7=lz2)
+    tris = pack_tris(scene)
+    light = jnp.zeros((1, 128), jnp.float32)
+    light = light.at[0, 0:3].set(scene.light.corner)
+    light = light.at[0, 3:6].set(scene.light.v1)
+    light = light.at[0, 6:9].set(scene.light.v2)
+    out, idx = _closest_nee_call(rays, tris, light, tris.shape[0], tmin,
+                                 tmax)
+    return _hit_from_out(out, idx, n), out[7, :n] > 0.5
+
+
 def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
                       tmin: float = 0.01, tmax: float = T_FAR) -> Hit:
     """Closest-hit over a flat wavefront; drop-in for the jnp backend."""
@@ -309,11 +442,7 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     rays = pack_rays(origins, dirs, None, n_pad)
     tris = pack_tris(scene)
     out, idx = _closest_call(rays, tris, tris.shape[0], tmin, tmax)
-    t = out[0, :n]
-    return Hit(t=t, tri=idx[0, :n], hit=t < T_FAR,
-               normal=V3(out[1, :n], out[2, :n], out[3, :n]),
-               mat=out[4, :n].astype(jnp.int32),
-               u=out[5, :n], v=out[6, :n])
+    return _hit_from_out(out, idx, n)
 
 
 def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,

@@ -46,7 +46,7 @@ from . import bsdf, rng
 from . import vec3 as v3
 from .vec3 import V3
 from .config import RenderConfig
-from .intersect import get_intersectors
+from .intersect import get_fused_closest_nee, get_intersectors
 from .scene.arrays import BSDF_METALLIC, BSDF_REFRACTION, SceneArrays
 
 # DoneReason parity (``pathTracer.h:11-17``).
@@ -237,21 +237,29 @@ def _nee(scene: SceneArrays, cfg: RenderConfig, occluded_fn, shade, hit_mask,
 
 def _bounce(scene: SceneArrays, cfg: RenderConfig, closest_fn, occluded_fn,
             pixel_ids, sample_idx, frame_idx, origin: V3, direction: V3,
-            atten: V3, depth):
+            atten: V3, depth, fused_fn=None):
     """One trace + shade round for the whole wavefront.
 
     ``sample_idx`` and ``depth`` may be scalars (scan scheduler) or per-lane
     arrays (regen scheduler); everything broadcasts. Returns the per-lane
     transition: radiance contribution, next ray, termination + DoneReason.
-    """
-    hit = closest_fn(origin, direction)
-    hit_mask = hit.hit
 
+    With ``fused_fn`` (Pallas backend + NEE on), the closest hit and the
+    NEE shadow ray run as one kernel pass — counter RNG lets the light
+    sample be drawn before the trace.
+    """
     depth_u = jnp.asarray(depth, jnp.uint32)
     sa = jnp.uint32(rng.STREAM_BOUNCE_A) + 2 * depth_u
     sb = jnp.uint32(rng.STREAM_BOUNCE_B) + 2 * depth_u
     z1, z2, z3, _ = rng.uniform4(pixel_ids, sample_idx, frame_idx, sa)
     lz1, lz2, z_rr, _ = rng.uniform4(pixel_ids, sample_idx, frame_idx, sb)
+
+    if fused_fn is not None and cfg.use_direct_lighting:
+        hit, occ_pre = fused_fn(origin, direction, lz1, lz2)
+        occluded_fn = lambda p, d, tm: occ_pre     # noqa: E731
+    else:
+        hit = closest_fn(origin, direction)
+    hit_mask = hit.hit
 
     shade = _shade_hit(scene, cfg, origin, direction, hit, (z1, z2, z3))
 
@@ -298,7 +306,7 @@ def _bounce(scene: SceneArrays, cfg: RenderConfig, closest_fn, occluded_fn,
 
 
 def _render_scan(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
-                 closest_fn, occluded_fn):
+                 closest_fn, occluded_fn, fused_fn=None):
     """Reference-shaped scheduler: scan over samples x scan over bounces."""
     pixel_ids = jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(
         n, dtype=jnp.uint32)
@@ -315,7 +323,7 @@ def _render_scan(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
              n_rays, n_shadow) = carry
             step = _bounce(scene, cfg, closest_fn, occluded_fn, pixel_ids,
                            sample_idx, frame_idx, origin, direction, atten,
-                           depth)
+                           depth, fused_fn=fused_fn)
             alive_f = jnp.where(alive, 1.0, 0.0)
             result = result + step["contrib"] * alive_f
             reason = jnp.where(alive & step["done"], step["reason"], reason)
@@ -359,7 +367,7 @@ def _render_scan(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
 
 
 def _render_regen(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
-                  closest_fn, occluded_fn):
+                  closest_fn, occluded_fn, fused_fn=None):
     """Persistent-wavefront scheduler with a global work queue.
 
     The (pixel, sample) grid is a queue of ``n_pixels * spp`` path items;
@@ -439,7 +447,8 @@ def _render_regen(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
         n_rays, n_shadow = s["n_rays"], s["n_shadow"]
         for _ in range(k_steps):
             step = _bounce(scene, cfg, closest_fn, occluded_fn, pix, sample,
-                           frame_idx, origin, direction, atten, depth)
+                           frame_idx, origin, direction, atten, depth,
+                           fused_fn=fused_fn)
             alive_f = jnp.where(alive, 1.0, 0.0)
             pending = pending + step["contrib"] * alive_f
             done = step["done"]
@@ -497,7 +506,7 @@ def _render_regen(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
 
 
 def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
-                   closest_fn, occluded_fn):
+                   closest_fn, occluded_fn, fused_fn=None):
     """Persistent wavefront with a pixel-granular work queue and lane-local
     flush slots — the scatter-free scheduler.
 
@@ -585,7 +594,8 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
         pix = pixel_start + j
         step = _bounce(scene, cfg, closest_fn, occluded_fn, pix,
                        sample + offset, frame_idx, s["origin"],
-                       s["direction"], s["atten"], s["depth"])
+                       s["direction"], s["atten"], s["depth"],
+                       fused_fn=fused_fn)
         active_f = jnp.where(active, 1.0, 0.0)
         pending = s["pending"] + step["contrib"] * active_f
 
@@ -689,10 +699,11 @@ def render_wavefront(scene: SceneArrays, cam: CameraArrays,
     so spp-sharded devices draw disjoint sample sets.
     """
     closest_fn, occluded_fn = get_intersectors(scene, cfg)
+    fused_fn = get_fused_closest_nee(scene, cfg)
     impl = {"scan": _render_scan, "regen": _render_regen,
             "pixelq": _render_pixelq}[cfg.scheduler]
     return impl(scene, cam, cfg, pixel_start, n_pixels, frame_idx,
-                sample_offset, closest_fn, occluded_fn)
+                sample_offset, closest_fn, occluded_fn, fused_fn)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
