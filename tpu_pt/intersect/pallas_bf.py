@@ -7,7 +7,8 @@ min/argmin reduction fused so the [tris x rays] candidate matrix never
 touches HBM.
 
 Layout choices (the whole point of this file):
-- Rays arrive as [8, N] (rows: ox oy oz dx dy dz tmax pad) — built with a
+- Rays arrive as [8, N] (rows: ox oy oz dx dy dz + two per-kernel extras,
+  see ``pack_rays``) — built with a
   single cheap ``stack`` from the V3 wavefront (profiling showed the
   previous [N, 8] column-write packing cost more than the kernel itself).
   A ray tile loads as [8, RT]; each component row-slices to [1, RT] —
