@@ -78,6 +78,23 @@ def test_nonaligned_ray_count(cornell_scene):
                                rtol=1e-6)
 
 
+def test_multi_slab_matches_single(mixed_scene, rays, monkeypatch):
+    """Scenes larger than TRI_SLAB sweep in slabs combined outside the
+    kernel; shrinking the slab must not change any result."""
+    o, d = rays
+    ref = pallas_bf.intersect_closest(mixed_scene, o, d)
+    ref_occ = pallas_bf.intersect_occluded(
+        mixed_scene, o, d, jnp.full((o.shape[0],), 500.0))
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 128)
+    out = pallas_bf.intersect_closest(mixed_scene, o, d)
+    occ = pallas_bf.intersect_occluded(
+        mixed_scene, o, d, jnp.full((o.shape[0],), 500.0))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))
+    np.testing.assert_array_equal(np.asarray(ref.mat), np.asarray(out.mat))
+    np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
+
+
 def test_fused_closest_nee_matches_separate(mixed_scene, rays):
     """The fused closest+NEE kernel must agree with the two-kernel path on
     every lane where its occlusion bit is defined (hit lanes)."""

@@ -21,8 +21,12 @@ from .moller import Hit, intersect_closest, intersect_occluded
 __all__ = ["Hit", "intersect_closest", "intersect_occluded",
            "get_intersectors"]
 
-# Dense all-pairs testing beats BVH below roughly this many triangles.
-BVH_CROSSOVER_TRIS = 4096
+# Dense all-pairs testing beats BVH traversal below these triangle counts.
+# The jnp traversal is gather-bound (~6 ns/element on TPU), so the slabbed
+# Pallas brute force wins by ~10x even at 100k tris on TPU hardware; on CPU
+# the chunked jnp sweep loses to the BVH much earlier.
+BVH_CROSSOVER_TRIS = 4096            # CPU (bruteforce vs lbvh)
+TPU_BVH_CROSSOVER_TRIS = 1 << 20     # TPU (pallas vs lbvh)
 
 
 def _available(mod: str) -> bool:
@@ -37,10 +41,13 @@ def _resolve(scene: SceneArrays, cfg: RenderConfig) -> str:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
+    if on_tpu and _available("pallas_bf"):
+        if (scene.num_tris_padded > TPU_BVH_CROSSOVER_TRIS
+                and scene.bvh is not None):
+            return "bvh"
+        return "pallas"
     if scene.num_tris_padded > BVH_CROSSOVER_TRIS and scene.bvh is not None:
         return "bvh"
-    if on_tpu and _available("pallas_bf"):
-        return "pallas"
     return "bruteforce"
 
 
@@ -54,6 +61,8 @@ def get_fused_closest_nee(scene: SceneArrays, cfg: RenderConfig):
             or scene.light is None or cfg.quirks.occlusion_first_hit_only):
         return None
     from . import pallas_bf
+    if scene.num_tris_padded > pallas_bf.TRI_SLAB:
+        return None    # fused kernel holds all tris in one VMEM block
     return partial(pallas_bf.intersect_closest_nee, scene,
                    tmin=cfg.t_min, tmax=cfg.t_max)
 
