@@ -70,12 +70,15 @@ class RenderConfig:
                                 # k=2 exactly cancels the scatter savings
                                 # (34.7 vs 35.5 Mrays/s), so default 1;
                                 # scenes with longer mean paths may differ.
-    samples_per_item: int = 8   # pixelq scheduler: samples per work item
+    samples_per_item: int = 12  # pixelq scheduler: samples per work item
                                 # (clamped to spp). Larger = fewer slot
                                 # flushes + smaller drain scatter; smaller
                                 # = shorter frame tail (the last wave is
                                 # bounded by the unluckiest item's
                                 # samples_per_item x max_depth rounds).
+                                # v5e Cornell sweep (1024^2, 16 spp):
+                                # 2->54.6, 8->63.2, 10->65.1, 12->66.7,
+                                # 14->61.1, 16->55.3 Mrays/s.
     fused_nee: bool = False     # trace the NEE shadow ray inside the
                                 # closest-hit Pallas kernel (one pass over
                                 # the resident tris). Measured v5e Cornell:
