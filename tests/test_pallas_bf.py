@@ -85,7 +85,7 @@ def test_multi_slab_matches_single(mixed_scene, rays, monkeypatch):
     ref = pallas_bf.intersect_closest(mixed_scene, o, d)
     ref_occ = pallas_bf.intersect_occluded(
         mixed_scene, o, d, jnp.full((o.shape[0],), 500.0))
-    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 128)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
     out = pallas_bf.intersect_closest(mixed_scene, o, d)
     occ = pallas_bf.intersect_occluded(
         mixed_scene, o, d, jnp.full((o.shape[0],), 500.0))

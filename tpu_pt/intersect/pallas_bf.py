@@ -104,13 +104,70 @@ def pack_tris(scene: SceneArrays) -> jnp.ndarray:
         scene.tri_valid.astype(jnp.float32),
         refr.astype(jnp.float32),
         scene.mat_id.astype(jnp.float32),
-        jnp.zeros((t,), jnp.float32),
+        jnp.arange(t, dtype=jnp.float32),   # original tri id (exact < 2^24)
     ]
     packed = jnp.stack(cols, axis=1)
     t_pad = _pad_to(t, TRI_BLOCK)
     if t_pad != t:
         packed = jnp.pad(packed, ((0, t_pad - t), (0, 0)))
     return packed
+
+
+# Cluster size for the culled big-scene path: one tri block per cluster,
+# so the in-kernel AABB test guards exactly one sweep step.
+CLUSTER = 256
+
+
+def pack_tris_clustered(scene: SceneArrays):
+    """Morton-order the packed triangles and compute per-cluster AABBs.
+
+    Returns (tris [T_pad, 16] in Morton order, boxes [C, 8] with rows
+    (min xyz, max xyz, pad, pad)). Spatially sorted clusters give the
+    in-kernel slab test something to cull; invalid/padded rows contribute
+    empty boxes. Once per scene; XLA hoists it out of the render loop.
+    """
+    from .lbvh import morton3d
+
+    packed = pack_tris(scene)
+    t_pad = packed.shape[0]
+    v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
+    valid = scene.tri_valid
+    centroid = v0 + (e1 + e2) / 3.0
+    lo = jnp.min(jnp.where(valid[:, None], centroid, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], centroid, -jnp.inf), axis=0)
+    p01 = (centroid - lo) / jnp.maximum(hi - lo, 1e-12)
+    code = jnp.where(valid, morton3d(jnp.clip(p01, 0.0, 1.0)),
+                     jnp.uint32(0xFFFFFFFF))
+    if code.shape[0] != t_pad:
+        import numpy as _np
+        code = jnp.pad(code, (0, t_pad - code.shape[0]),
+                       constant_values=_np.uint32(0xFFFFFFFF))
+    order = jnp.argsort(code)
+    packed = packed[order]
+
+    # Per-cluster AABBs over the sorted triangles' three vertices.
+    n_c = t_pad // CLUSTER
+
+    def tri_corners(a):
+        pad = t_pad - a.shape[0]
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        return a[order]
+
+    p0 = tri_corners(v0)
+    p1 = tri_corners(v0 + e1)
+    p2 = tri_corners(v0 + e2)
+    vmask = packed[:, 12:13] > 0.5     # valid column survives the reorder
+    big = jnp.float32(3e38)
+    mins = jnp.minimum(jnp.minimum(
+        jnp.where(vmask, p0, big), jnp.where(vmask, p1, big)),
+        jnp.where(vmask, p2, big)).reshape(n_c, CLUSTER, 3).min(axis=1)
+    maxs = jnp.maximum(jnp.maximum(
+        jnp.where(vmask, p0, -big), jnp.where(vmask, p1, -big)),
+        jnp.where(vmask, p2, -big)).reshape(n_c, CLUSTER, 3).max(axis=1)
+    boxes = jnp.concatenate(
+        [mins, maxs, jnp.zeros((n_c, 2), jnp.float32)], axis=1)
+    return packed, boxes
 
 
 def pack_rays(origins: V3, dirs: V3, row6: jnp.ndarray | None,
@@ -171,12 +228,48 @@ def _ray_rows(rays_ref):
     return tuple(rays_ref[k:k + 1, :] for k in range(6))
 
 
-def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK):
-    """Min-reduce the plane+edge test over all tri blocks. Returns the
-    (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests."""
+def _ray_inv(ray):
+    """Reciprocal direction for slab tests; eps-guarded so axis-aligned
+    rays stay finite (boxes only get conservatively larger)."""
+    _, _, _, dx, dy, dz = ray
 
-    def step(b, carry):
-        best_t, best_i, bnx, bny, bnz, bm, bu, bv = carry
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) > 1e-12,
+                               c, jnp.where(c >= 0, 1e-12, -1e-12))
+
+    return inv(dx), inv(dy), inv(dz)
+
+
+def _box_near_far(ray, inv, boxes_ref, b):
+    """Ray-tile vs cluster-AABB slab test -> (tnear, tfar) [1, RT]."""
+    ox, oy, oz = ray[0], ray[1], ray[2]
+    ix, iy, iz = inv
+
+    def lohi(o, i, c):
+        t0 = (boxes_ref[b, c] - o) * i
+        t1 = (boxes_ref[b, c + 3] - o) * i
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    lx, hx = lohi(ox, ix, 0)
+    ly, hy = lohi(oy, iy, 1)
+    lz, hz = lohi(oz, iz, 2)
+    return (jnp.maximum(jnp.maximum(lx, ly), lz),
+            jnp.minimum(jnp.minimum(hx, hy), hz))
+
+
+def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
+                   boxes_ref=None):
+    """Min-reduce the plane+edge test over all tri blocks. Returns the
+    (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests; ``tri`` comes
+    from the packed original-id column, so it survives cluster reordering.
+
+    With ``boxes_ref`` ([NB, 8] cluster AABBs), each block is guarded by a
+    whole-tile slab test (tightened by the running best t) and skipped via
+    ``lax.cond`` when no ray in the tile can improve — the dense-wavefront
+    analog of BVH node culling."""
+
+    def sweep(b, carry):
+        best_t, bi, bnx, bny, bnz, bm, bu, bv = carry
         s = b * tb
         t, _, u, v = _pe_block(ray, tris_ref, s, tb, tmin)
         if tmax < T_FAR:    # static; render paths pass tmax = T_FAR
@@ -185,8 +278,7 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK):
         sub = jax.lax.broadcasted_iota(jnp.int32, (tb, rt), 0)
         cand = jnp.where(t == blk_t, sub, _BIG_IDX)
         blk_sub = jnp.min(cand, axis=0, keepdims=True)            # [1, RT]
-        blk_i = blk_sub + s
-        # Select the winning triangle's normal + material in-layout: a
+        # Select the winning triangle's id/normal/material in-layout: a
         # masked sublane reduction, not a gather.
         sel = (sub == blk_sub).astype(jnp.float32)                # [TB, RT]
 
@@ -196,9 +288,14 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK):
 
         blk_u = jnp.sum(sel * u, axis=0, keepdims=True)
         blk_v = jnp.sum(sel * v, axis=0, keepdims=True)
+        # Triangle id: identity-packed scenes use the block iota directly
+        # (cheaper: no extra [TB, RT] product); Morton-reordered scenes
+        # read the original id from column 15.
+        blk_i = (pick(15) if boxes_ref is not None
+                 else (blk_sub + s).astype(jnp.float32))
         better = blk_t < best_t
         return (jnp.where(better, blk_t, best_t),
-                jnp.where(better, blk_i, best_i),
+                jnp.where(better, blk_i, bi),
                 jnp.where(better, pick(0), bnx),
                 jnp.where(better, pick(1), bny),
                 jnp.where(better, pick(2), bnz),
@@ -206,8 +303,19 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK):
                 jnp.where(better, blk_u, bu),
                 jnp.where(better, blk_v, bv))
 
+    if boxes_ref is None:
+        step = sweep
+    else:
+        inv = _ray_inv(ray)
+
+        def step(b, carry):
+            tnear, tfar = _box_near_far(ray, inv, boxes_ref, b)
+            useful = (tnear <= tfar) & (tfar > tmin) & (tnear < carry[0])
+            return jax.lax.cond(jnp.any(useful), lambda c: sweep(b, c),
+                                lambda c: c, carry)
+
     init = (jnp.full((1, rt), T_FAR, jnp.float32),
-            jnp.zeros((1, rt), jnp.int32),
+            jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32),
@@ -219,16 +327,29 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK):
     return jax.lax.fori_loop(0, nb, step, init)
 
 
-def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK):
+def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
+                     boxes_ref=None):
     """OR-reduce "any non-refractive hit in (tmin, tmax)" over tri blocks."""
 
-    def step(b, occ):
+    def sweep(b, occ):
         s = b * tb
         t, refr, _, _ = _pe_block(ray, tris_ref, s, tb, tmin)
         blocking = (t < tmax) & (refr < 0.5)
         hit_any = jnp.max(jnp.where(blocking, 1.0, 0.0), axis=0,
                           keepdims=True)
         return jnp.maximum(occ, hit_any)
+
+    if boxes_ref is None:
+        step = sweep
+    else:
+        inv = _ray_inv(ray)
+
+        def step(b, occ):
+            tnear, tfar = _box_near_far(ray, inv, boxes_ref, b)
+            useful = ((tnear <= tfar) & (tfar > tmin) & (tnear < tmax)
+                      & (occ < 0.5))
+            return jax.lax.cond(jnp.any(useful), lambda c: sweep(b, c),
+                                lambda c: c, occ)
 
     # i32/f32 carries only: Mosaic's loop lowering rejects bool carries
     # ("failed to legalize scf.for").
@@ -240,6 +361,7 @@ def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK):
 
 def _write_closest(out_ref, i_ref, best, rt, occ=None):
     best_t, best_i, bnx, bny, bnz, bm, bu, bv = best
+    best_i = best_i.astype(jnp.int32)
     out_ref[0:1, :] = best_t
     out_ref[1:2, :] = bnx
     out_ref[2:3, :] = bny
@@ -258,6 +380,25 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
     best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
                           n_tri // tb, tmin, tmax, tb=tb)
     _write_closest(out_ref, i_ref, best, rt)
+
+
+def _closest_kernel_clustered(rays_ref, tris_ref, boxes_ref, out_ref,
+                              i_ref, *, n_tri, tmin, tmax):
+    rt = rays_ref.shape[1]
+    best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
+                          n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
+                          boxes_ref=boxes_ref)
+    _write_closest(out_ref, i_ref, best, rt)
+
+
+def _occluded_kernel_clustered(rays_ref, tris_ref, boxes_ref, occ_ref, *,
+                               n_tri, tmin):
+    rt = rays_ref.shape[1]
+    tmax_r = rays_ref[6:7, :]                                     # [1, RT]
+    occ = _occlusion_sweep(_ray_rows(rays_ref), tris_ref, tmax_r, rt,
+                           n_tri // CLUSTER, tmin, tb=CLUSTER,
+                           boxes_ref=boxes_ref)
+    occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
 
 
 def _closest_nee_kernel(rays_ref, tris_ref, light_ref, out_ref, i_ref, *,
@@ -442,13 +583,117 @@ def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
 # outside (min for closest, OR for occlusion). 8k rows x 16 f32 = 0.5 MB,
 # leaving the scoped-VMEM budget to the [TB, RT] intermediates. Measured
 # v5e: this slabbed brute force beats the jnp LBVH traversal (gather-bound,
-# ~6 ns/gather) by ~10x even at 100k triangles.
+# ~6 ns/gather) by ~10x even at 100k triangles. Multi-slab scenes use the
+# clustered kernels: triangles Morton-ordered, one AABB per CLUSTER rows,
+# and each in-kernel sweep step guarded by a whole-tile slab test.
 TRI_SLAB = 8192
 
 
-def _tri_slabs(tris):
-    return [(s, tris[s:s + TRI_SLAB]) for s in range(0, tris.shape[0],
-                                                     TRI_SLAB)]
+def _tri_slabs(tris, boxes=None):
+    if boxes is None:
+        return [(s, tris[s:s + TRI_SLAB], None)
+                for s in range(0, tris.shape[0], TRI_SLAB)]
+    bc = TRI_SLAB // CLUSTER
+    return [(s, tris[s:s + TRI_SLAB], boxes[s // CLUSTER:s // CLUSTER + bc])
+            for s in range(0, tris.shape[0], TRI_SLAB)]
+
+
+def _coherence_key(rays, boxes):
+    """Sort key making ray tiles spatially coherent: direction octant in
+    the high bits, Morton code of the scene-normalized origin below.
+
+    Cluster culling only pays when the ~2048 rays of a tile agree on
+    which clusters they might touch; bounce rays are direction-random but
+    origin-local, so this ordering restores most of the coherence the
+    pixel-ordered queue loses after the first bounce."""
+    from .lbvh import morton3d
+
+    lo = jnp.min(boxes[:, 0:3], axis=0)
+    hi = jnp.max(boxes[:, 3:6], axis=0)
+    o = rays[0:3, :].T                                       # [N, 3]
+    d = rays[3:6, :]
+    p01 = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    octant = ((d[0] > 0).astype(jnp.uint32)
+              + 2 * (d[1] > 0).astype(jnp.uint32)
+              + 4 * (d[2] > 0).astype(jnp.uint32))
+    return (octant << 27) | (morton3d(p01) >> 3)
+
+
+def _sorted_rays(rays, key):
+    """Sort ray columns by key; returns (sorted rays, permutation)."""
+    n = rays.shape[1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort((key, iota) + tuple(rays[k] for k in range(8)),
+                       num_keys=1)
+    return jnp.stack(out[2:], axis=0), out[1]
+
+
+def _unsort(perm, rows):
+    """Restore original column order: sort the row bundle by ``perm``."""
+    out = jax.lax.sort((perm,) + tuple(rows), num_keys=1)
+    return out[1:]
+
+
+@functools.partial(jax.named_call, name="pallas_closest_c")
+def _closest_call_clustered(rays, tris, boxes, n_tri: int, tmin: float,
+                            tmax: float):
+    n_pad = rays.shape[1]
+    grid = (n_pad // RAY_TILE,)
+    kernel = functools.partial(_closest_kernel_clustered, n_tri=n_tri,
+                               tmin=tmin, tmax=tmax)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri // CLUSTER, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_pad * n_tri, bytes_accessed=n_pad * 48,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(rays, tris, boxes)
+
+
+@functools.partial(jax.named_call, name="pallas_occluded_c")
+def _occluded_call_clustered(rays, tris, boxes, n_tri: int, tmin: float):
+    n_pad = rays.shape[1]
+    grid = (n_pad // RAY_TILE,)
+    kernel = functools.partial(_occluded_kernel_clustered, n_tri=n_tri,
+                               tmin=tmin)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri // CLUSTER, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_pad * n_tri, bytes_accessed=n_pad * 48,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(rays, tris, boxes)
 
 
 def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
@@ -459,20 +704,32 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     n = origins.x.shape[0]
     n_pad = _pad_to(n, RAY_TILE)
     rays = pack_rays(origins, dirs, None, n_pad)
-    tris = pack_tris(scene)
+    single = pack_tris(scene).shape[0] <= TRI_SLAB
+    if single:
+        tris, boxes = pack_tris(scene), None
+    else:
+        tris, boxes = pack_tris_clustered(scene)
+        key = _coherence_key(rays, boxes)
+        rays, perm = _sorted_rays(rays, key)
     best_out = best_idx = None
-    slabs = _tri_slabs(tris)
-    tb = TRI_BLOCK if len(slabs) == 1 else TRI_BLOCK // 2
-    for s, slab in slabs:
-        out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
-                                 tb=min(tb, slab.shape[0]))
-        idx = jnp.where(out[0:1] < T_FAR, idx + s, idx)
+    for s, slab, bx in _tri_slabs(tris, boxes):
+        if bx is None:
+            out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
+                                     tb=min(TRI_BLOCK, slab.shape[0]))
+        else:
+            out, idx = _closest_call_clustered(rays, slab, bx,
+                                               slab.shape[0], tmin, tmax)
         if best_out is None:
             best_out, best_idx = out, idx
         else:
             better = out[0:1] < best_out[0:1]
             best_out = jnp.where(better, out, best_out)
             best_idx = jnp.where(better, idx, best_idx)
+    if not single:
+        rows = _unsort(perm, tuple(best_out[k] for k in range(8))
+                       + (best_idx[0],))
+        best_out = jnp.stack(rows[:8], axis=0)
+        best_idx = rows[8][None, :]
     return _hit_from_out(best_out, best_idx, n)
 
 
@@ -489,12 +746,22 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
     n = origins.x.shape[0]
     n_pad = _pad_to(n, RAY_TILE)
     rays = pack_rays(origins, dirs, tmax, n_pad)
-    tris = pack_tris(scene)
+    single = pack_tris(scene).shape[0] <= TRI_SLAB
+    if single:
+        tris, boxes = pack_tris(scene), None
+    else:
+        tris, boxes = pack_tris_clustered(scene)
+        key = _coherence_key(rays, boxes)
+        rays, perm = _sorted_rays(rays, key)
     occ = None
-    slabs = _tri_slabs(tris)
-    tb = TRI_BLOCK if len(slabs) == 1 else TRI_BLOCK // 2
-    for _, slab in slabs:
-        o = _occluded_call(rays, slab, slab.shape[0], tmin,
-                           tb=min(tb, slab.shape[0]))
+    for _, slab, bx in _tri_slabs(tris, boxes):
+        if bx is None:
+            o = _occluded_call(rays, slab, slab.shape[0], tmin,
+                               tb=min(TRI_BLOCK, slab.shape[0]))
+        else:
+            o = _occluded_call_clustered(rays, slab, bx, slab.shape[0],
+                                         tmin)
         occ = o if occ is None else jnp.maximum(occ, o)
+    if not single:
+        occ = _unsort(perm, (occ[0],))[0][None, :]
     return occ[0, :n] > 0
