@@ -715,7 +715,7 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     for s, slab, bx in _tri_slabs(tris, boxes):
         if bx is None:
             out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
-                                     tb=min(TRI_BLOCK, slab.shape[0]))
+                                     tb=min(TRI_BLOCK // 2, slab.shape[0]))
         else:
             out, idx = _closest_call_clustered(rays, slab, bx,
                                                slab.shape[0], tmin, tmax)
@@ -757,7 +757,7 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
     for _, slab, bx in _tri_slabs(tris, boxes):
         if bx is None:
             o = _occluded_call(rays, slab, slab.shape[0], tmin,
-                               tb=min(TRI_BLOCK, slab.shape[0]))
+                               tb=min(TRI_BLOCK // 2, slab.shape[0]))
         else:
             o = _occluded_call_clustered(rays, slab, bx, slab.shape[0],
                                          tmin)
