@@ -58,11 +58,14 @@ def test_checkpoint_resume_bit_exact(tmp_path, cornell_scene):
 
 
 def _run_cli(args, cwd):
+    import os
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, "-m", "tpu_pt.cli"] + args,
         capture_output=True, text=True, cwd=str(cwd), timeout=600,
-        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
-             "PALLAS_AXON_POOL_IPS": ""})
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": pypath, "PALLAS_AXON_POOL_IPS": ""})
 
 
 def test_cli_render_end_to_end(tmp_path, assets_dir):
