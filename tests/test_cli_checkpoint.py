@@ -115,3 +115,15 @@ def test_viewer_display_component():
     assert "▀" in out
     assert "status-line" in out
     assert "38;2;" in out  # truecolor fg
+
+
+def test_cli_exr_output(tmp_path, assets_dir):
+    out = tmp_path / "out.exr"
+    r = _run_cli(["render", str(assets_dir / "cornell_box.obj"),
+                  "-o", str(out), "--width", "16", "--height", "16",
+                  "--spp", "1", "--frames", "1", "--depth", "1"], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    img = film.read_exr(str(out))
+    assert img.shape == (16, 16, 3)
+    assert img.dtype == np.float32
+    assert img.max() > 0

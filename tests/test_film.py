@@ -68,3 +68,25 @@ def test_rmse():
     b = np.ones((4, 4, 3)) * 0.5
     np.testing.assert_allclose(film.rmse(a, b), 0.5)
     np.testing.assert_allclose(film.rmse(a, a), 0.0)
+
+
+def test_exr_roundtrip_float(tmp_path):
+    """EXR scanline FLOAT roundtrip is bit-exact, incl. HDR values > 1."""
+    rng = np.random.RandomState(7)
+    img = (rng.rand(9, 13, 3).astype(np.float32) * 40.0).astype(np.float32)
+    p = str(tmp_path / "x.exr")
+    film.write_exr(p, img)
+    back = film.read_exr(p)
+    np.testing.assert_array_equal(back, img)
+    with open(p, "rb") as f:
+        import struct
+        magic, version = struct.unpack("<ii", f.read(8))
+    assert magic == 20000630 and version == 2
+
+
+def test_exr_roundtrip_half(tmp_path):
+    img = np.linspace(0.0, 4.0, 5 * 7 * 3, dtype=np.float32).reshape(5, 7, 3)
+    p = str(tmp_path / "h.exr")
+    film.write_exr(p, img, half=True)
+    back = film.read_exr(p)
+    np.testing.assert_allclose(back, img, rtol=1e-2, atol=1e-3)

@@ -27,7 +27,7 @@ import numpy as np
 def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("scene", nargs="?", help="OBJ scene path")
     p.add_argument("-o", "--output", default="render.png",
-                   help="output image (.png or .ppm)")
+                   help="output image (.png, .ppm, or .exr linear HDR)")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=128,
@@ -47,8 +47,8 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    action="store_false")
     p.add_argument("--intersector", default="auto",
                    choices=["auto", "bruteforce", "pallas", "bvh"])
-    p.add_argument("--scheduler", default="regen",
-                   choices=["regen", "scan"])
+    p.add_argument("--scheduler", default="pixelq",
+                   choices=["pixelq", "regen", "scan"])
     p.add_argument("--reference-quirks", action="store_true",
                    help="replicate the reference renderer's known bugs "
                         "(fixed 0.2 metal roughness, first-hit occlusion)")
@@ -149,13 +149,25 @@ def _render_whitted_cli(args) -> int:
         print(f"\rFrame Render Time: {ms:.0f}ms", end="", flush=True)
     print()
     print(f"Average Frame Time: {total_ms / max(args.frames, 1):.1f}ms")
-    host_img = image_to_host(img)
-    if args.output.endswith(".ppm"):
-        film.write_ppm(args.output, host_img)
-    else:
-        film.write_png(args.output, host_img)
+    _write_image(args.output, image_to_host(img), accum)
     print(f"wrote {args.output}")
     return 0
+
+
+def _write_image(path, host_img_u8, accum=None):
+    """Route by extension: .ppm / .exr (linear HDR from the accumulation
+    buffer, tinyexr-parity) / .png (default)."""
+    from tpu_pt import film
+    import numpy as np
+
+    if path.endswith(".ppm"):
+        film.write_ppm(path, host_img_u8)
+    elif path.endswith(".exr"):
+        if accum is None:
+            raise ValueError("EXR output needs the HDR accumulation buffer")
+        film.write_exr(path, np.asarray(accum)[::-1])
+    else:
+        film.write_png(path, host_img_u8)
 
 
 def cmd_render(args) -> int:
@@ -196,11 +208,7 @@ def cmd_render(args) -> int:
     print(f"Average Frame Time: {total_ms / max(frames, 1):.1f}ms")
     print(f"Total Render Time: {total_ms:.0f}ms")
 
-    host_img = image_to_host(img)
-    if args.output.endswith(".ppm"):
-        film.write_ppm(args.output, host_img)
-    else:
-        film.write_png(args.output, host_img)
+    _write_image(args.output, image_to_host(img), accum)
     print(f"wrote {args.output}")
 
     if args.checkpoint:

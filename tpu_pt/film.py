@@ -5,7 +5,9 @@ TPU-native equivalent of the reference's accumulation + presentation path:
 - sRGB tonemap + 8-bit quantization ``make_color``/``toSRGB``
   (``cuda/helpers.h:35-62``)
 - image save (``sutil::saveImage``, ``sutil/sutil.cpp:542``) as PNG/PPM,
-  implemented dependency-free (zlib PNG encoder).
+  implemented dependency-free (zlib PNG encoder)
+- OpenEXR float HDR read/write (the reference vendors tinyexr for this,
+  ``support/tinyexr``) — uncompressed scanline subset, FLOAT/HALF.
 
 The accumulation buffer is a device-resident float32 [H, W, 3] array; callers
 donate it across frames so progressive rendering never round-trips to host.
@@ -190,3 +192,117 @@ def write_ppm(path: str, rgb_u8: np.ndarray) -> None:
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode())
         f.write(img.tobytes())
+
+
+# ----------------------------------------------------------------------------
+# OpenEXR (float HDR) IO — the reference vendors tinyexr for this
+# (``support/tinyexr``, used by ``sutil::loadImage``); here a dependency-free
+# subset: scanline images, NO_COMPRESSION, FLOAT or HALF channels.
+# ----------------------------------------------------------------------------
+
+_EXR_MAGIC = 20000630
+_EXR_PT_UINT, _EXR_PT_HALF, _EXR_PT_FLOAT = 0, 1, 2
+
+
+def write_exr(path: str, rgb: np.ndarray, half: bool = False) -> None:
+    """Write a linear float RGB image as a scanline EXR (uncompressed).
+
+    ``rgb`` is [H, W, 3] float; ``half`` selects HALF (float16) channels.
+    Channels are stored B, G, R (alphabetical, as EXR requires).
+    """
+    img = np.asarray(rgb, np.float32)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected [H, W, 3], got {img.shape}")
+    h, w, _ = img.shape
+    ptype = _EXR_PT_HALF if half else _EXR_PT_FLOAT
+    dtype = np.dtype("<f2") if half else np.dtype("<f4")
+
+    def attr(name: bytes, typ: bytes, data: bytes) -> bytes:
+        return name + b"\0" + typ + b"\0" + struct.pack("<i", len(data)) + data
+
+    chans = b""
+    for ch in (b"B", b"G", b"R"):
+        chans += ch + b"\0" + struct.pack("<i", ptype) + b"\0\0\0\0"
+        chans += struct.pack("<ii", 1, 1)
+    chans += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (
+        attr(b"channels", b"chlist", chans)
+        + attr(b"compression", b"compression", b"\0")
+        + attr(b"dataWindow", b"box2i", box)
+        + attr(b"displayWindow", b"box2i", box)
+        + attr(b"lineOrder", b"lineOrder", b"\0")
+        + attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+        + attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0.0, 0.0))
+        + attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        + b"\0"
+    )
+    preamble = struct.pack("<ii", _EXR_MAGIC, 2) + header
+    bgr = img[:, :, ::-1].astype(dtype)           # scanlines store B, G, R
+    line_bytes = 3 * w * dtype.itemsize
+    table_pos = len(preamble)
+    data_pos = table_pos + 8 * h
+    with open(path, "wb") as f:
+        f.write(preamble)
+        for y in range(h):
+            f.write(struct.pack("<Q", data_pos + y * (8 + line_bytes)))
+        for y in range(h):
+            f.write(struct.pack("<ii", y, line_bytes))
+            f.write(bgr[y].tobytes(order="F"))    # per channel, then x
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Read a scanline EXR written by ``write_exr`` (or any uncompressed
+    single-part FLOAT/HALF RGB file). Returns [H, W, 3] float32 (R, G, B)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    magic, version = struct.unpack_from("<ii", buf, 0)
+    if magic != _EXR_MAGIC:
+        raise ValueError("not an EXR file")
+    if version & 0x200:
+        raise ValueError("multi-part EXR not supported")
+    pos = 8
+    attrs = {}
+    while buf[pos] != 0:
+        e = buf.index(b"\0", pos)
+        name = buf[pos:e].decode()
+        pos = e + 1
+        e = buf.index(b"\0", pos)
+        typ = buf[pos:e].decode()
+        pos = e + 1
+        (size,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        attrs[name] = (typ, buf[pos:pos + size])
+        pos += size
+    pos += 1
+
+    if attrs["compression"][1][0] != 0:
+        raise ValueError("only NO_COMPRESSION EXR supported")
+    x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+
+    chans = []
+    cb = attrs["channels"][1]
+    cpos = 0
+    while cb[cpos] != 0:
+        e = cb.index(b"\0", cpos)
+        cname = cb[cpos:e].decode()
+        (ptype,) = struct.unpack_from("<i", cb, e + 1)
+        chans.append((cname, ptype))
+        cpos = e + 1 + 16
+    dtypes = {_EXR_PT_HALF: np.dtype("<f2"), _EXR_PT_FLOAT: np.dtype("<f4"),
+              _EXR_PT_UINT: np.dtype("<u4")}
+
+    offsets = struct.unpack_from(f"<{h}Q", buf, pos)
+    out = {}
+    for y_i, off in enumerate(offsets):
+        y, nbytes = struct.unpack_from("<ii", buf, off)
+        p = off + 8
+        for cname, ptype in chans:            # stored alphabetically
+            dt = dtypes[ptype]
+            row = np.frombuffer(buf, dt, w, p).astype(np.float32)
+            out.setdefault(cname, np.zeros((h, w), np.float32))[y - y0] = row
+            p += w * dt.itemsize
+    if all(c in out for c in "RGB"):
+        return np.stack([out["R"], out["G"], out["B"]], axis=2)
+    return np.stack([out[c] for c, _ in chans], axis=2)
