@@ -79,13 +79,17 @@ def test_nonaligned_ray_count(cornell_scene):
 
 
 def test_multi_slab_matches_single(mixed_scene, rays, monkeypatch):
-    """Scenes larger than TRI_SLAB sweep in slabs combined outside the
-    kernel; shrinking the slab must not change any result."""
+    """Scenes larger than TRI_SLAB take the clustered path (Morton
+    reorder, 2-level AABB culling, ray sorting), in slabs combined outside
+    the kernel; shrinking every size knob must not change any result."""
     o, d = rays
     ref = pallas_bf.intersect_closest(mixed_scene, o, d)
     ref_occ = pallas_bf.intersect_occluded(
         mixed_scene, o, d, jnp.full((o.shape[0],), 500.0))
     monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 64)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
     out = pallas_bf.intersect_closest(mixed_scene, o, d)
     occ = pallas_bf.intersect_occluded(
         mixed_scene, o, d, jnp.full((o.shape[0],), 500.0))

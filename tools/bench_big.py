@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Big-scene benchmark: Mrays/s on the ~100k-tri displaced sphere.
+
+Exercises the clustered Pallas path (BASELINE.json config 4 geometry).
+Run ``tools/make_assets.py --big`` first. Prints one JSON line like
+bench.py; knobs via env: BIG_SIZE (512), BIG_SPP (4), BIG_FRAMES (2),
+BIG_DEPTH (8), BIG_SCENE (assets/big_mesh.obj).
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+    import tpu_pt
+    from tpu_pt.render import CameraArrays, render_frame, init_accum
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    obj = os.environ.get("BIG_SCENE",
+                         os.path.join(REPO, "assets", "big_mesh.obj"))
+    scene = tpu_pt.load_scene(obj)
+
+    size = int(os.environ.get("BIG_SIZE", 512 if on_tpu else 64))
+    spp = int(os.environ.get("BIG_SPP", 4 if on_tpu else 1))
+    frames = int(os.environ.get("BIG_FRAMES", 2 if on_tpu else 1))
+    depth = int(os.environ.get("BIG_DEPTH", 8))
+    cfg = tpu_pt.RenderConfig(width=size, height=size, spp=spp,
+                              max_depth=depth,
+                              use_direct_lighting=True,
+                              use_importance_sampling=True)
+    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+
+    accum = init_accum(cfg)
+    t_c0 = time.perf_counter()
+    accum, img, stats = render_frame(scene, cam, cfg, 0, accum)
+    jax.block_until_ready((accum, img))
+    compile_s = time.perf_counter() - t_c0
+    rays_per_frame = float(stats.rays_traced) + float(stats.shadow_rays)
+
+    t0 = time.perf_counter()
+    for f in range(1, frames + 1):
+        accum, img, stats = render_frame(scene, cam, cfg, f, accum)
+    jax.block_until_ready((accum, img))
+    dt = time.perf_counter() - t0
+
+    mrays = rays_per_frame * frames / dt / 1e6
+    print(json.dumps({
+        "metric": f"Mrays/s/chip, {size}x{size} big scene "
+                  f"({scene.num_tris_padded} padded tris), {depth} bounces, "
+                  f"{spp} spp, IS+NEE on",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "backend": backend,
+        "ms_per_frame": round(dt / frames * 1e3, 2),
+        "rays_per_frame": int(rays_per_frame),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

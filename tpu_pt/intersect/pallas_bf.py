@@ -47,7 +47,10 @@ from ..scene.arrays import SceneArrays, BSDF_REFRACTION
 from ..vec3 import V3, as_v3
 from .moller import Hit, T_FAR, DET_EPS
 
-RAY_TILE = 2048       # rays per grid program
+RAY_TILE = 2048       # rays per grid program (dense small-scene kernels)
+RAY_TILE_C = 512     # rays per grid program, clustered kernels — smaller
+                      # tiles are more coherent, so the whole-tile cull
+                      # tests skip more cluster sweeps
 FUSED_RAY_TILE = 2048  # fused closest+NEE kernel ray tile (it halves the
                        # tri block instead to fit both sweeps' [TB, RT]
                        # intermediates in the 16 MB scoped-VMEM budget)
@@ -114,22 +117,28 @@ def pack_tris(scene: SceneArrays) -> jnp.ndarray:
 
 
 # Cluster size for the culled big-scene path: one tri block per cluster,
-# so the in-kernel AABB test guards exactly one sweep step.
-CLUSTER = 256
+# so the in-kernel AABB test guards exactly one sweep step. SUPER clusters
+# form a supercluster with its own AABB — a second hierarchy level whose
+# slab test skips SUPER sweep steps (and their per-cluster box tests) at
+# once when a ray tile misses the whole region.
+CLUSTER = 128
+SUPER = 8
 
 
 def pack_tris_clustered(scene: SceneArrays):
-    """Morton-order the packed triangles and compute per-cluster AABBs.
+    """Morton-order the packed triangles and compute the 2-level AABBs.
 
     Returns (tris [T_pad, 16] in Morton order, boxes [C, 8] with rows
-    (min xyz, max xyz, pad, pad)). Spatially sorted clusters give the
-    in-kernel slab test something to cull; invalid/padded rows contribute
-    empty boxes. Once per scene; XLA hoists it out of the render loop.
+    (min xyz, max xyz, pad, pad), sboxes [C // SUPER, 8] supercluster
+    AABBs). Spatially sorted clusters give the in-kernel slab tests
+    something to cull; invalid/padded rows contribute empty boxes (min
+    +big / max -big — never useful). T_pad is a CLUSTER*SUPER multiple so
+    every slab divides into whole superclusters. Once per scene; XLA
+    hoists it out of the render loop.
     """
     from .lbvh import morton3d
 
     packed = pack_tris(scene)
-    t_pad = packed.shape[0]
     v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
     valid = scene.tri_valid
     centroid = v0 + (e1 + e2) / 3.0
@@ -138,21 +147,30 @@ def pack_tris_clustered(scene: SceneArrays):
     p01 = (centroid - lo) / jnp.maximum(hi - lo, 1e-12)
     code = jnp.where(valid, morton3d(jnp.clip(p01, 0.0, 1.0)),
                      jnp.uint32(0xFFFFFFFF))
-    if code.shape[0] != t_pad:
+    if code.shape[0] != packed.shape[0]:
         import numpy as _np
-        code = jnp.pad(code, (0, t_pad - code.shape[0]),
+        code = jnp.pad(code, (0, packed.shape[0] - code.shape[0]),
                        constant_values=_np.uint32(0xFFFFFFFF))
     order = jnp.argsort(code)
     packed = packed[order]
+
+    # Pad the sorted triangles to a whole number of superclusters
+    # (valid=0 rows: empty boxes, rejected by the plane guard anyway).
+    t_pad = _pad_to(packed.shape[0], CLUSTER * SUPER)
+    if t_pad != packed.shape[0]:
+        packed = jnp.pad(packed, ((0, t_pad - packed.shape[0]), (0, 0)))
 
     # Per-cluster AABBs over the sorted triangles' three vertices.
     n_c = t_pad // CLUSTER
 
     def tri_corners(a):
-        pad = t_pad - a.shape[0]
+        pad = order.shape[0] - a.shape[0]
         if pad:
             a = jnp.pad(a, ((0, pad), (0, 0)))
-        return a[order]
+        a = a[order]
+        if t_pad != a.shape[0]:
+            a = jnp.pad(a, ((0, t_pad - a.shape[0]), (0, 0)))
+        return a
 
     p0 = tri_corners(v0)
     p1 = tri_corners(v0 + e1)
@@ -167,7 +185,51 @@ def pack_tris_clustered(scene: SceneArrays):
         jnp.where(vmask, p2, -big)).reshape(n_c, CLUSTER, 3).max(axis=1)
     boxes = jnp.concatenate(
         [mins, maxs, jnp.zeros((n_c, 2), jnp.float32)], axis=1)
-    return packed, boxes
+    n_s = n_c // SUPER
+    smins = mins.reshape(n_s, SUPER, 3).min(axis=1)
+    smaxs = maxs.reshape(n_s, SUPER, 3).max(axis=1)
+    sboxes = jnp.concatenate(
+        [smins, smaxs, jnp.zeros((n_s, 2), jnp.float32)], axis=1)
+    return packed, boxes, sboxes
+
+
+_OCT_SIGNS = None
+
+
+def _octant_signs():
+    global _OCT_SIGNS
+    if _OCT_SIGNS is None:
+        import numpy as _np
+        o = _np.arange(8)
+        _OCT_SIGNS = jnp.asarray(_np.stack(
+            [_np.where(o & 1, 1.0, -1.0), _np.where(o & 2, 1.0, -1.0),
+             _np.where(o & 4, 1.0, -1.0)], axis=1), jnp.float32)  # [8, 3]
+    return _OCT_SIGNS
+
+
+def octant_orders(boxes: jnp.ndarray, sboxes: jnp.ndarray):
+    """Front-to-back visitation tables for one slab.
+
+    For rays in direction octant o, visiting boxes in ascending projection
+    of their centers onto the octant diagonal is near-to-far for every ray
+    origin — so the sweep's running best-t tightens early and the slab
+    tests cull the far clusters (the dense analog of ordered BVH
+    traversal). Returns (sorder [8*NS, 1] i32: row o*NS+k is the k-th
+    supercluster to visit for octant o; corder [8*NC, 1] i32: within
+    supercluster sb, the j-th cluster's LOCAL index is row
+    ``o*NC + sb*SUPER + j``). Flat [rows, 1] layout keeps the kernel's
+    dynamic indices in the sublane dimension (Mosaic rejects dynamic lane
+    indices). Empty boxes sort arbitrarily; their tests never pass.
+    """
+    signs = _octant_signs()                                       # [8, 3]
+    sc = 0.5 * (sboxes[:, 0:3] + sboxes[:, 3:6])                  # [NS, 3]
+    cc = 0.5 * (boxes[:, 0:3] + boxes[:, 3:6])                    # [NC, 3]
+    sproj = signs @ sc.T                                          # [8, NS]
+    sorder = jnp.argsort(sproj, axis=1).astype(jnp.int32)
+    n_c = boxes.shape[0]
+    cproj = (signs @ cc.T).reshape(8, n_c // SUPER, SUPER)
+    corder = jnp.argsort(cproj, axis=2).astype(jnp.int32).reshape(8, n_c)
+    return sorder.reshape(-1, 1), corder.reshape(-1, 1)
 
 
 def pack_rays(origins: V3, dirs: V3, row6: jnp.ndarray | None,
@@ -257,8 +319,20 @@ def _box_near_far(ray, inv, boxes_ref, b):
             jnp.minimum(jnp.minimum(hx, hy), hz))
 
 
+def _tile_octant(ray, rt):
+    """Majority direction octant of a ray tile (rays arrive sorted by an
+    octant-major key, so this is exact away from octant boundaries)."""
+    half = rt // 2
+
+    def vote(c):
+        return (jnp.sum((c > 0).astype(jnp.int32)) > half).astype(jnp.int32)
+
+    return vote(ray[3]) + 2 * vote(ray[4]) + 4 * vote(ray[5])
+
+
 def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
-                   boxes_ref=None):
+                   boxes_ref=None, sboxes_ref=None, sorder_ref=None,
+                   corder_ref=None):
     """Min-reduce the plane+edge test over all tri blocks. Returns the
     (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests; ``tri`` comes
     from the packed original-id column, so it survives cluster reordering.
@@ -266,7 +340,8 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
     With ``boxes_ref`` ([NB, 8] cluster AABBs), each block is guarded by a
     whole-tile slab test (tightened by the running best t) and skipped via
     ``lax.cond`` when no ray in the tile can improve — the dense-wavefront
-    analog of BVH node culling."""
+    analog of BVH node culling. ``sboxes_ref`` ([NB // SUPER, 8]) adds the
+    supercluster level: one slab test skips SUPER clusters at once."""
 
     def sweep(b, carry):
         best_t, bi, bnx, bny, bnz, bm, bu, bv = carry
@@ -322,13 +397,34 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
             jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32))
+    if sboxes_ref is not None:
+        ns, nc = nb // SUPER, nb
+        so_base = _tile_octant(ray, rt) * ns
+        co_base = _tile_octant(ray, rt) * nc
+
+        def super_step(k, carry):
+            sb = sorder_ref[so_base + k, 0]   # k-th nearest supercluster
+            tnear, tfar = _box_near_far(ray, inv, sboxes_ref, sb)
+            useful = (tnear <= tfar) & (tfar > tmin) & (tnear < carry[0])
+
+            def cluster_step(j, c):
+                return step(
+                    sb * SUPER + corder_ref[co_base + sb * SUPER + j, 0], c)
+
+            return jax.lax.cond(
+                jnp.any(useful),
+                lambda c: jax.lax.fori_loop(0, SUPER, cluster_step, c),
+                lambda c: c, carry)
+
+        return jax.lax.fori_loop(0, nb // SUPER, super_step, init)
     if nb == 1:
         return step(0, init)
     return jax.lax.fori_loop(0, nb, step, init)
 
 
 def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
-                     boxes_ref=None):
+                     boxes_ref=None, sboxes_ref=None, sorder_ref=None,
+                     corder_ref=None):
     """OR-reduce "any non-refractive hit in (tmin, tmax)" over tri blocks."""
 
     def sweep(b, occ):
@@ -354,6 +450,27 @@ def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
     # i32/f32 carries only: Mosaic's loop lowering rejects bool carries
     # ("failed to legalize scf.for").
     init = jnp.zeros((1, rt), jnp.float32)
+    if sboxes_ref is not None:
+        ns, nc = nb // SUPER, nb
+        so_base = _tile_octant(ray, rt) * ns
+        co_base = _tile_octant(ray, rt) * nc
+
+        def super_step(k, occ):
+            sb = sorder_ref[so_base + k, 0]   # near-first: occ sets early
+            tnear, tfar = _box_near_far(ray, inv, sboxes_ref, sb)
+            useful = ((tnear <= tfar) & (tfar > tmin) & (tnear < tmax)
+                      & (occ < 0.5))
+
+            def cluster_step(j, c):
+                return step(
+                    sb * SUPER + corder_ref[co_base + sb * SUPER + j, 0], c)
+
+            return jax.lax.cond(
+                jnp.any(useful),
+                lambda c: jax.lax.fori_loop(0, SUPER, cluster_step, c),
+                lambda c: c, occ)
+
+        return jax.lax.fori_loop(0, nb // SUPER, super_step, init)
     if nb == 1:
         return step(0, init)
     return jax.lax.fori_loop(0, nb, step, init)
@@ -382,22 +499,26 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
     _write_closest(out_ref, i_ref, best, rt)
 
 
-def _closest_kernel_clustered(rays_ref, tris_ref, boxes_ref, out_ref,
-                              i_ref, *, n_tri, tmin, tmax):
+def _closest_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
+                              sorder_ref, corder_ref, out_ref, i_ref, *,
+                              n_tri, tmin, tmax):
     rt = rays_ref.shape[1]
     best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
                           n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
-                          boxes_ref=boxes_ref)
+                          boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+                          sorder_ref=sorder_ref, corder_ref=corder_ref)
     _write_closest(out_ref, i_ref, best, rt)
 
 
-def _occluded_kernel_clustered(rays_ref, tris_ref, boxes_ref, occ_ref, *,
-                               n_tri, tmin):
+def _occluded_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
+                               sorder_ref, corder_ref, occ_ref, *, n_tri,
+                               tmin):
     rt = rays_ref.shape[1]
     tmax_r = rays_ref[6:7, :]                                     # [1, RT]
     occ = _occlusion_sweep(_ray_rows(rays_ref), tris_ref, tmax_r, rt,
                            n_tri // CLUSTER, tmin, tb=CLUSTER,
-                           boxes_ref=boxes_ref)
+                           boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+                           sorder_ref=sorder_ref, corder_ref=corder_ref)
     occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
 
 
@@ -585,17 +706,27 @@ def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
 # v5e: this slabbed brute force beats the jnp LBVH traversal (gather-bound,
 # ~6 ns/gather) by ~10x even at 100k triangles. Multi-slab scenes use the
 # clustered kernels: triangles Morton-ordered, one AABB per CLUSTER rows,
-# and each in-kernel sweep step guarded by a whole-tile slab test.
+# each in-kernel sweep step guarded by a whole-tile slab test, and a
+# second supercluster AABB level skipping SUPER steps at a time — those
+# slabs can be much larger (the culling, not the sweep, bounds the cost),
+# so the whole scene usually fits one kernel launch.
 TRI_SLAB = 8192
+CLUSTERED_SLAB = 32768
 
 
-def _tri_slabs(tris, boxes=None):
+def _tri_slabs(tris, boxes=None, sboxes=None):
     if boxes is None:
-        return [(s, tris[s:s + TRI_SLAB], None)
+        return [(s, tris[s:s + TRI_SLAB], None, None, None)
                 for s in range(0, tris.shape[0], TRI_SLAB)]
-    bc = TRI_SLAB // CLUSTER
-    return [(s, tris[s:s + TRI_SLAB], boxes[s // CLUSTER:s // CLUSTER + bc])
-            for s in range(0, tris.shape[0], TRI_SLAB)]
+    slab = CLUSTERED_SLAB
+    bc = slab // CLUSTER
+    sc = slab // (CLUSTER * SUPER)
+    out = []
+    for s in range(0, tris.shape[0], slab):
+        bx = boxes[s // CLUSTER:s // CLUSTER + bc]
+        sbx = sboxes[s // (CLUSTER * SUPER):s // (CLUSTER * SUPER) + sc]
+        out.append((s, tris[s:s + slab], bx, sbx, octant_orders(bx, sbx)))
+    return out
 
 
 def _coherence_key(rays, boxes):
@@ -635,27 +766,33 @@ def _unsort(perm, rows):
 
 
 @functools.partial(jax.named_call, name="pallas_closest_c")
-def _closest_call_clustered(rays, tris, boxes, n_tri: int, tmin: float,
-                            tmax: float):
+def _closest_call_clustered(rays, tris, boxes, sboxes, sorder, corder,
+                            n_tri: int, tmin: float, tmax: float):
     n_pad = rays.shape[1]
-    grid = (n_pad // RAY_TILE,)
+    grid = (n_pad // RAY_TILE_C,)
     kernel = functools.partial(_closest_kernel_clustered, n_tri=n_tri,
                                tmin=tmin, tmax=tmax)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+            pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tri // CLUSTER, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri // (CLUSTER * SUPER), 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * (n_tri // (CLUSTER * SUPER)), 1),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * (n_tri // CLUSTER), 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+            pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+            pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -666,34 +803,41 @@ def _closest_call_clustered(rays, tris, boxes, n_tri: int, tmin: float,
             flops=40 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
         interpret=_interpret(),
-    )(rays, tris, boxes)
+    )(rays, tris, boxes, sboxes, sorder, corder)
 
 
 @functools.partial(jax.named_call, name="pallas_occluded_c")
-def _occluded_call_clustered(rays, tris, boxes, n_tri: int, tmin: float):
+def _occluded_call_clustered(rays, tris, boxes, sboxes, sorder, corder,
+                             n_tri: int, tmin: float):
     n_pad = rays.shape[1]
-    grid = (n_pad // RAY_TILE,)
+    grid = (n_pad // RAY_TILE_C,)
     kernel = functools.partial(_occluded_kernel_clustered, n_tri=n_tri,
                                tmin=tmin)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+            pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tri // CLUSTER, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri // (CLUSTER * SUPER), 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * (n_tri // (CLUSTER * SUPER)), 1),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * (n_tri // CLUSTER), 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+        out_specs=pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=40 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
         interpret=_interpret(),
-    )(rays, tris, boxes)
+    )(rays, tris, boxes, sboxes, sorder, corder)
 
 
 def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
@@ -706,18 +850,19 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     rays = pack_rays(origins, dirs, None, n_pad)
     single = pack_tris(scene).shape[0] <= TRI_SLAB
     if single:
-        tris, boxes = pack_tris(scene), None
+        tris, boxes, sboxes = pack_tris(scene), None, None
     else:
-        tris, boxes = pack_tris_clustered(scene)
+        tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes)
         rays, perm = _sorted_rays(rays, key)
     best_out = best_idx = None
-    for s, slab, bx in _tri_slabs(tris, boxes):
+    for s, slab, bx, sbx, orders in _tri_slabs(tris, boxes, sboxes):
         if bx is None:
             out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
                                      tb=min(TRI_BLOCK // 2, slab.shape[0]))
         else:
-            out, idx = _closest_call_clustered(rays, slab, bx,
+            out, idx = _closest_call_clustered(rays, slab, bx, sbx,
+                                               orders[0], orders[1],
                                                slab.shape[0], tmin, tmax)
         if best_out is None:
             best_out, best_idx = out, idx
@@ -748,19 +893,20 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
     rays = pack_rays(origins, dirs, tmax, n_pad)
     single = pack_tris(scene).shape[0] <= TRI_SLAB
     if single:
-        tris, boxes = pack_tris(scene), None
+        tris, boxes, sboxes = pack_tris(scene), None, None
     else:
-        tris, boxes = pack_tris_clustered(scene)
+        tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes)
         rays, perm = _sorted_rays(rays, key)
     occ = None
-    for _, slab, bx in _tri_slabs(tris, boxes):
+    for _, slab, bx, sbx, orders in _tri_slabs(tris, boxes, sboxes):
         if bx is None:
             o = _occluded_call(rays, slab, slab.shape[0], tmin,
                                tb=min(TRI_BLOCK // 2, slab.shape[0]))
         else:
-            o = _occluded_call_clustered(rays, slab, bx, slab.shape[0],
-                                         tmin)
+            o = _occluded_call_clustered(rays, slab, bx, sbx,
+                                         orders[0], orders[1],
+                                         slab.shape[0], tmin)
         occ = o if occ is None else jnp.maximum(occ, o)
     if not single:
         occ = _unsort(perm, (occ[0],))[0][None, :]
