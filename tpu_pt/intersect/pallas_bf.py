@@ -56,6 +56,7 @@ FUSED_RAY_TILE = 2048  # fused closest+NEE kernel ray tile (it halves the
                        # intermediates in the 16 MB scoped-VMEM budget)
 TRI_BLOCK = 512       # triangles per inner step
 _BIG_IDX = 2 ** 30
+VMEM_LIMIT = 40 * 1024 * 1024  # clustered kernels sit at the 16 MB scoped-vmem cliff
 NEE_EPS = 0.01        # shadow-ray range shrink (cu:1017 "Ldist - 0.01")
 
 
@@ -193,43 +194,83 @@ def pack_tris_clustered(scene: SceneArrays):
     return packed, boxes, sboxes
 
 
-_OCT_SIGNS = None
-
-
 def _octant_signs():
-    global _OCT_SIGNS
-    if _OCT_SIGNS is None:
-        import numpy as _np
-        o = _np.arange(8)
-        _OCT_SIGNS = jnp.asarray(_np.stack(
-            [_np.where(o & 1, 1.0, -1.0), _np.where(o & 2, 1.0, -1.0),
-             _np.where(o & 4, 1.0, -1.0)], axis=1), jnp.float32)  # [8, 3]
-    return _OCT_SIGNS
+    # numpy constant (NOT a cached jnp array: that would capture one
+    # trace's tracer and leak it into the next jit).
+    import numpy as _np
+    o = _np.arange(8)
+    return _np.stack(
+        [_np.where(o & 1, 1.0, -1.0), _np.where(o & 2, 1.0, -1.0),
+         _np.where(o & 4, 1.0, -1.0)], axis=1).astype(_np.float32)  # [8, 3]
 
 
-def octant_orders(boxes: jnp.ndarray, sboxes: jnp.ndarray):
-    """Front-to-back visitation tables for one slab.
+def octant_orders(boxes: jnp.ndarray):
+    """Front-to-back in-supercluster visitation table for one slab.
 
     For rays in direction octant o, visiting boxes in ascending projection
     of their centers onto the octant diagonal is near-to-far for every ray
     origin — so the sweep's running best-t tightens early and the slab
     tests cull the far clusters (the dense analog of ordered BVH
-    traversal). Returns (sorder [8*NS, 1] i32: row o*NS+k is the k-th
-    supercluster to visit for octant o; corder [8*NC, 1] i32: within
-    supercluster sb, the j-th cluster's LOCAL index is row
-    ``o*NC + sb*SUPER + j``). Flat [rows, 1] layout keeps the kernel's
-    dynamic indices in the sublane dimension (Mosaic rejects dynamic lane
-    indices). Empty boxes sort arbitrarily; their tests never pass.
+    traversal). Returns corder [8*NC, 1] i32: within supercluster sb, the
+    j-th cluster's LOCAL index is row ``o*NC + sb*SUPER + j``. Flat
+    [rows, 1] layout keeps the kernel's dynamic indices in the sublane
+    dimension (Mosaic rejects dynamic lane indices). Empty boxes sort
+    arbitrarily; their tests never pass. (Supercluster visitation order is
+    per-tile, computed by ``super_candidates`` — true near-first.)
     """
-    signs = _octant_signs()                                       # [8, 3]
-    sc = 0.5 * (sboxes[:, 0:3] + sboxes[:, 3:6])                  # [NS, 3]
+    signs = jnp.asarray(_octant_signs())                          # [8, 3]
     cc = 0.5 * (boxes[:, 0:3] + boxes[:, 3:6])                    # [NC, 3]
-    sproj = signs @ sc.T                                          # [8, NS]
-    sorder = jnp.argsort(sproj, axis=1).astype(jnp.int32)
     n_c = boxes.shape[0]
     cproj = (signs @ cc.T).reshape(8, n_c // SUPER, SUPER)
     corder = jnp.argsort(cproj, axis=2).astype(jnp.int32).reshape(8, n_c)
-    return sorder.reshape(-1, 1), corder.reshape(-1, 1)
+    return corder.reshape(-1, 1)
+
+
+def super_candidates(rays: jnp.ndarray, sboxes: jnp.ndarray, rt: int,
+                     tmin: float, tmax) -> jnp.ndarray:
+    """Per-ray-tile supercluster work lists, computed OUTSIDE the kernel.
+
+    The in-kernel hierarchy's cost was dominated not by triangle sweeps
+    but by the sequential skip machinery itself (measured ~2/3 of tile
+    time in box tests + ``cond`` branches + dynamic order-table reads).
+    Here the same whole-tile "any ray passes the slab test" decision is
+    made for every (tile, supercluster) pair as one dense vectorized XLA
+    computation, sorted near-first by the tile's minimum entry distance,
+    and handed to the kernel as an explicit work list — the kernel then
+    loops over exactly the candidates (dynamic trip count), keeping only
+    the best-t tightening test per candidate.
+
+    ``tmax`` is a scalar (closest) or a [n_pad] per-ray bound (occlusion).
+    Returns [n_tiles * R, 1] i32 with R = 1 + NS padded to a sublane (8)
+    multiple: per tile, row 0 is the candidate count, rows 1..NS the
+    supercluster ids near-first, then zero padding.
+    """
+    ns = sboxes.shape[0]
+    n_pad = rays.shape[1]
+    n_tiles = n_pad // rt
+    o = rays[0:3, :]                                            # [3, N]
+    d = rays[3:6, :]
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
+                          jnp.where(d >= 0, 1e-12, -1e-12))
+    lo = sboxes[:, 0:3].T[:, :, None]                           # [3, NS, 1]
+    hi = sboxes[:, 3:6].T[:, :, None]
+    t0 = (lo - o[:, None, :]) * inv[:, None, :]                 # [3, NS, N]
+    t1 = (hi - o[:, None, :]) * inv[:, None, :]
+    tn = jnp.max(jnp.minimum(t0, t1), axis=0)                   # [NS, N]
+    tf = jnp.min(jnp.maximum(t0, t1), axis=0)
+    ok = (tn <= tf) & (tf > tmin) & (tn < tmax)
+    okt = ok.reshape(ns, n_tiles, rt)
+    any_ = jnp.any(okt, axis=2)                                 # [NS, tiles]
+    tnt = jnp.min(jnp.where(okt, tn.reshape(ns, n_tiles, rt),
+                            jnp.float32(T_FAR)), axis=2)        # [NS, tiles]
+    key = jnp.where(any_, tnt, jnp.float32(T_FAR)).T            # [tiles, NS]
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    cnt = jnp.sum(any_, axis=0, dtype=jnp.int32)[:, None]       # [tiles, 1]
+    tab = jnp.concatenate([cnt, order], axis=1)                 # [tiles,1+NS]
+    rows = _pad_to(1 + ns, 8)    # sublane-aligned per-tile blocks
+    if rows != 1 + ns:
+        tab = jnp.pad(tab, ((0, 0), (0, rows - 1 - ns)))
+    return tab.reshape(-1, 1)
 
 
 def pack_rays(origins: V3, dirs: V3, row6: jnp.ndarray | None,
@@ -331,7 +372,7 @@ def _tile_octant(ray, rt):
 
 
 def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
-                   boxes_ref=None, sboxes_ref=None, sorder_ref=None,
+                   boxes_ref=None, sboxes_ref=None, cand_ref=None,
                    corder_ref=None):
     """Min-reduce the plane+edge test over all tri blocks. Returns the
     (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests; ``tri`` comes
@@ -340,8 +381,10 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
     With ``boxes_ref`` ([NB, 8] cluster AABBs), each block is guarded by a
     whole-tile slab test (tightened by the running best t) and skipped via
     ``lax.cond`` when no ray in the tile can improve — the dense-wavefront
-    analog of BVH node culling. ``sboxes_ref`` ([NB // SUPER, 8]) adds the
-    supercluster level: one slab test skips SUPER clusters at once."""
+    analog of BVH node culling. With ``cand_ref`` ([1 + NS, 1], this
+    tile's precomputed work list from ``super_candidates``), the loop
+    visits only the listed superclusters, near-first, re-testing each
+    against the running best t."""
 
     def sweep(b, carry):
         best_t, bi, bnx, bny, bnz, bm, bu, bv = carry
@@ -398,12 +441,13 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
             jnp.zeros((1, rt), jnp.float32),
             jnp.zeros((1, rt), jnp.float32))
     if sboxes_ref is not None:
-        ns, nc = nb // SUPER, nb
-        so_base = _tile_octant(ray, rt) * ns
-        co_base = _tile_octant(ray, rt) * nc
+        co_base = _tile_octant(ray, rt) * nb
+        # Clamp the work-list length so a corrupt table can never run the
+        # dynamic loop past the supercluster count.
+        ncand = jnp.clip(cand_ref[0, 0], 0, nb // SUPER)
 
         def super_step(k, carry):
-            sb = sorder_ref[so_base + k, 0]   # k-th nearest supercluster
+            sb = cand_ref[1 + k, 0]           # k-th nearest supercluster
             tnear, tfar = _box_near_far(ray, inv, sboxes_ref, sb)
             useful = (tnear <= tfar) & (tfar > tmin) & (tnear < carry[0])
 
@@ -416,14 +460,14 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                 lambda c: jax.lax.fori_loop(0, SUPER, cluster_step, c),
                 lambda c: c, carry)
 
-        return jax.lax.fori_loop(0, nb // SUPER, super_step, init)
+        return jax.lax.fori_loop(0, ncand, super_step, init)
     if nb == 1:
         return step(0, init)
     return jax.lax.fori_loop(0, nb, step, init)
 
 
 def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
-                     boxes_ref=None, sboxes_ref=None, sorder_ref=None,
+                     boxes_ref=None, sboxes_ref=None, cand_ref=None,
                      corder_ref=None):
     """OR-reduce "any non-refractive hit in (tmin, tmax)" over tri blocks."""
 
@@ -451,12 +495,11 @@ def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
     # ("failed to legalize scf.for").
     init = jnp.zeros((1, rt), jnp.float32)
     if sboxes_ref is not None:
-        ns, nc = nb // SUPER, nb
-        so_base = _tile_octant(ray, rt) * ns
-        co_base = _tile_octant(ray, rt) * nc
+        co_base = _tile_octant(ray, rt) * nb
+        ncand = jnp.clip(cand_ref[0, 0], 0, nb // SUPER)
 
         def super_step(k, occ):
-            sb = sorder_ref[so_base + k, 0]   # near-first: occ sets early
+            sb = cand_ref[1 + k, 0]           # near-first: occ sets early
             tnear, tfar = _box_near_far(ray, inv, sboxes_ref, sb)
             useful = ((tnear <= tfar) & (tfar > tmin) & (tnear < tmax)
                       & (occ < 0.5))
@@ -470,7 +513,7 @@ def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
                 lambda c: jax.lax.fori_loop(0, SUPER, cluster_step, c),
                 lambda c: c, occ)
 
-        return jax.lax.fori_loop(0, nb // SUPER, super_step, init)
+        return jax.lax.fori_loop(0, ncand, super_step, init)
     if nb == 1:
         return step(0, init)
     return jax.lax.fori_loop(0, nb, step, init)
@@ -500,25 +543,25 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
 
 
 def _closest_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
-                              sorder_ref, corder_ref, out_ref, i_ref, *,
+                              cand_ref, corder_ref, out_ref, i_ref, *,
                               n_tri, tmin, tmax):
     rt = rays_ref.shape[1]
     best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
                           n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
                           boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
-                          sorder_ref=sorder_ref, corder_ref=corder_ref)
+                          cand_ref=cand_ref, corder_ref=corder_ref)
     _write_closest(out_ref, i_ref, best, rt)
 
 
 def _occluded_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
-                               sorder_ref, corder_ref, occ_ref, *, n_tri,
+                               cand_ref, corder_ref, occ_ref, *, n_tri,
                                tmin):
     rt = rays_ref.shape[1]
     tmax_r = rays_ref[6:7, :]                                     # [1, RT]
     occ = _occlusion_sweep(_ray_rows(rays_ref), tris_ref, tmax_r, rt,
                            n_tri // CLUSTER, tmin, tb=CLUSTER,
                            boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
-                           sorder_ref=sorder_ref, corder_ref=corder_ref)
+                           cand_ref=cand_ref, corder_ref=corder_ref)
     occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
 
 
@@ -704,14 +747,17 @@ def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
 # outside (min for closest, OR for occlusion). 8k rows x 16 f32 = 0.5 MB,
 # leaving the scoped-VMEM budget to the [TB, RT] intermediates. Measured
 # v5e: this slabbed brute force beats the jnp LBVH traversal (gather-bound,
-# ~6 ns/gather) by ~10x even at 100k triangles. Multi-slab scenes use the
-# clustered kernels: triangles Morton-ordered, one AABB per CLUSTER rows,
-# each in-kernel sweep step guarded by a whole-tile slab test, and a
-# second supercluster AABB level skipping SUPER steps at a time — those
-# slabs can be much larger (the culling, not the sweep, bounds the cost),
-# so the whole scene usually fits one kernel launch.
+# ~6 ns/gather) by ~10x even at 100k triangles. Bigger scenes use the
+# clustered kernels: triangles Morton-ordered, one AABB per CLUSTER rows
+# plus supercluster AABBs per SUPER clusters; per-tile supercluster work
+# lists are computed outside the kernel (``super_candidates``) and the
+# in-kernel loop visits only those, each cluster guarded by a best-t
+# slab test. Culling, not the sweep, bounds the cost — so the clustered
+# slab is as large as the scoped-VMEM budget allows (65536 rows x 16 f32
+# = 4 MB; one slab past that trips the compiler's scoped-vmem stack
+# limit), so 100k-tri scenes run in two launches.
 TRI_SLAB = 8192
-CLUSTERED_SLAB = 32768
+CLUSTERED_SLAB = 65536
 
 
 def _tri_slabs(tris, boxes=None, sboxes=None):
@@ -725,7 +771,7 @@ def _tri_slabs(tris, boxes=None, sboxes=None):
     for s in range(0, tris.shape[0], slab):
         bx = boxes[s // CLUSTER:s // CLUSTER + bc]
         sbx = sboxes[s // (CLUSTER * SUPER):s // (CLUSTER * SUPER) + sc]
-        out.append((s, tris[s:s + slab], bx, sbx, octant_orders(bx, sbx)))
+        out.append((s, tris[s:s + slab], bx, sbx, octant_orders(bx)))
     return out
 
 
@@ -766,10 +812,11 @@ def _unsort(perm, rows):
 
 
 @functools.partial(jax.named_call, name="pallas_closest_c")
-def _closest_call_clustered(rays, tris, boxes, sboxes, sorder, corder,
+def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                             n_tri: int, tmin: float, tmax: float):
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
+    ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)   # work-list rows
     kernel = functools.partial(_closest_kernel_clustered, n_tri=n_tri,
                                tmin=tmin, tmax=tmax)
     return pl.pallas_call(
@@ -784,8 +831,8 @@ def _closest_call_clustered(rays, tris, boxes, sboxes, sorder, corder,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tri // (CLUSTER * SUPER), 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * (n_tri // (CLUSTER * SUPER)), 1),
-                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * (n_tri // CLUSTER), 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -802,15 +849,18 @@ def _closest_call_clustered(rays, tris, boxes, sboxes, sorder, corder,
         cost_estimate=pl.CostEstimate(
             flops=40 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(rays, tris, boxes, sboxes, sorder, corder)
+    )(rays, tris, boxes, sboxes, cand, corder)
 
 
 @functools.partial(jax.named_call, name="pallas_occluded_c")
-def _occluded_call_clustered(rays, tris, boxes, sboxes, sorder, corder,
+def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                              n_tri: int, tmin: float):
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
+    ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)
     kernel = functools.partial(_occluded_kernel_clustered, n_tri=n_tri,
                                tmin=tmin)
     return pl.pallas_call(
@@ -825,8 +875,8 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, sorder, corder,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tri // (CLUSTER * SUPER), 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8 * (n_tri // (CLUSTER * SUPER)), 1),
-                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * (n_tri // CLUSTER), 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -836,8 +886,10 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, sorder, corder,
         cost_estimate=pl.CostEstimate(
             flops=40 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(rays, tris, boxes, sboxes, sorder, corder)
+    )(rays, tris, boxes, sboxes, cand, corder)
 
 
 def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
@@ -856,13 +908,14 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
         key = _coherence_key(rays, boxes)
         rays, perm = _sorted_rays(rays, key)
     best_out = best_idx = None
-    for s, slab, bx, sbx, orders in _tri_slabs(tris, boxes, sboxes):
+    for s, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
         if bx is None:
             out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
                                      tb=min(TRI_BLOCK // 2, slab.shape[0]))
         else:
+            cand = super_candidates(rays, sbx, RAY_TILE_C, tmin, tmax)
             out, idx = _closest_call_clustered(rays, slab, bx, sbx,
-                                               orders[0], orders[1],
+                                               cand, corder,
                                                slab.shape[0], tmin, tmax)
         if best_out is None:
             best_out, best_idx = out, idx
@@ -899,13 +952,15 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
         key = _coherence_key(rays, boxes)
         rays, perm = _sorted_rays(rays, key)
     occ = None
-    for _, slab, bx, sbx, orders in _tri_slabs(tris, boxes, sboxes):
+    for _, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
         if bx is None:
             o = _occluded_call(rays, slab, slab.shape[0], tmin,
                                tb=min(TRI_BLOCK // 2, slab.shape[0]))
         else:
+            cand = super_candidates(rays, sbx, RAY_TILE_C, tmin,
+                                    rays[6:7, :])
             o = _occluded_call_clustered(rays, slab, bx, sbx,
-                                         orders[0], orders[1],
+                                         cand, corder,
                                          slab.shape[0], tmin)
         occ = o if occ is None else jnp.maximum(occ, o)
     if not single:
