@@ -57,6 +57,11 @@ LIGHT_HIT = 3
 NOT_DONE = 4
 NUM_DONE_REASONS = 5
 
+# Dead wavefront lanes and ineligible shadow rays are "parked": origin far
+# outside any scene so every AABB slab test fails and the clustered
+# kernels spend nothing on them (brute-force kernels sweep regardless).
+PARK_COORD = 3.0e7
+
 
 @struct.dataclass
 class CameraArrays:
@@ -223,10 +228,20 @@ def _nee(scene: SceneArrays, cfg: RenderConfig, occluded_fn, shade, hit_mask,
     eligible = (hit_mask & (shade["bsdf_type"] != BSDF_REFRACTION)
                 & (n_dl > 0.0) & (ln_dl > 0.0))
 
-    # Occlusion rays only matter on eligible lanes; zero the rest.
-    occ_dir = v3.where(eligible, l_dir, V3.zeros(eligible.shape))
+    # Occlusion rays only matter on eligible lanes; park the rest far
+    # outside the scene (a zero direction would pass every AABB slab test
+    # in the clustered path — tnear = -inf — and generate cull work; a
+    # parked ray fails all of them).
+    park = V3(jnp.full(eligible.shape, PARK_COORD),
+              jnp.full(eligible.shape, PARK_COORD),
+              jnp.full(eligible.shape, PARK_COORD))
+    occ_org = v3.where(eligible, p, park)
+    away = V3(jnp.full(eligible.shape, 0.5773503),
+              jnp.full(eligible.shape, 0.5773503),
+              jnp.full(eligible.shape, 0.5773503))
+    occ_dir = v3.where(eligible, l_dir, away)
     occ_tmax = jnp.where(eligible, l_dist - 0.01, 0.0)
-    occluded = occluded_fn(p, occ_dir, occ_tmax)
+    occluded = occluded_fn(occ_org, occ_dir, occ_tmax)
 
     area = v3.length(v3.cross(lv1, lv2))
     weight = n_dl * ln_dl * area / (jnp.pi * jnp.maximum(l_dist, 1e-6) ** 2)
@@ -483,8 +498,12 @@ def _render_regen(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
         next_g = s["next_g"] + jnp.sum(fin_u)
 
         o_new, d_new = item_rays(jnp.where(has_new, new_g, 0))
-        origin = v3.where(has_new, o_new, origin)
-        direction = v3.where(has_new, d_new, direction)
+        # Retired lanes park their rays (see PARK_COORD above).
+        park = V3.full((n_lanes,), (PARK_COORD,) * 3)
+        away = V3.full((n_lanes,), (0.5773503,) * 3)
+        origin = v3.where(has_new, o_new, v3.where(alive, origin, park))
+        direction = v3.where(has_new, d_new,
+                             v3.where(alive, direction, away))
         atten = v3.where(has_new, V3.ones((n_lanes,)), atten)
         depth = jnp.where(has_new, 0, depth)
         g = jnp.where(has_new, new_g, s["g"])
@@ -641,10 +660,15 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
                                 jnp.where(has_new, new_s0, sample))
         o_new, d_new = item_rays(jnp.where(respawn, j_next, 0),
                                  jnp.where(respawn, sample_next, 0))
+        # Retired lanes park their rays (see PARK_COORD): without this
+        # they would re-trace their stale last ray every remaining round,
+        # generating real sweep work in the clustered kernels.
+        park = V3.full((n_lanes,), (PARK_COORD,) * 3)
+        away = V3.full((n_lanes,), (0.5773503,) * 3)
         origin = v3.where(cont, step["new_origin"],
-                          v3.where(respawn, o_new, s["origin"]))
+                          v3.where(respawn, o_new, park))
         direction = v3.where(cont, step["new_dir"],
-                             v3.where(respawn, d_new, s["direction"]))
+                             v3.where(respawn, d_new, away))
         atten = v3.where(cont, step["atten_cont"],
                          v3.where(respawn, V3.ones((n_lanes,)), s["atten"]))
         depth = jnp.where(cont, s["depth"] + 1, 0)
