@@ -67,14 +67,20 @@ def get_fused_closest_nee(scene: SceneArrays, cfg: RenderConfig):
                    tmin=cfg.t_min, tmax=cfg.t_max)
 
 
-def get_intersectors(scene: SceneArrays, cfg: RenderConfig):
-    """Returns (closest_fn(o, d) -> Hit, occluded_fn(o, d, tmax) -> bool)."""
+def get_intersectors(scene: SceneArrays, cfg: RenderConfig,
+                     want_uv: bool = True):
+    """Returns (closest_fn(o, d) -> Hit, occluded_fn(o, d, tmax) -> bool).
+
+    ``want_uv=False`` lets the Pallas backend skip the barycentric output
+    reduction (the OBJ path tracer shades flat normals only; the whitted
+    pipeline needs u/v for vertex-attribute interpolation)."""
     backend = _resolve(scene, cfg)
 
     if backend == "pallas":
         from . import pallas_bf
         closest = partial(pallas_bf.intersect_closest, scene,
-                          tmin=cfg.t_min, tmax=cfg.t_max)
+                          tmin=cfg.t_min, tmax=cfg.t_max,
+                          want_uv=want_uv)
         occluded = partial(pallas_bf.intersect_occluded, scene,
                            tmin=cfg.t_min,
                            quirk_first_hit=cfg.quirks.occlusion_first_hit_only)

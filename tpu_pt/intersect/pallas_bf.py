@@ -314,7 +314,14 @@ def _pe_block(ray, tris_ref, s, tb, tmin):
     # zero normal, so the parallel-plane guard already rejects them.
     ndotd = nx * dx + ny * dy + nz * dz
     ok = jnp.abs(ndotd) > DET_EPS
-    t = (d0 - (nx * ox + ny * oy + nz * oz)) / jnp.where(ok, ndotd, 1.0)
+    guard = jnp.where(ok, ndotd, 1.0)
+    # Hardware approximate reciprocal + two Newton steps instead of a
+    # full divide (measured ~3% on the closest kernel; ~1 ulp of relative
+    # t error, far inside the renderer's epsilon policy).
+    rcp = pl.reciprocal(guard, approx=True)
+    rcp = rcp * (2.0 - guard * rcp)
+    rcp = rcp * (2.0 - guard * rcp)
+    t = (d0 - (nx * ox + ny * oy + nz * oz)) * rcp
 
     # Hit point, then barycentrics as affine edge functions of it.
     px = ox + t * dx
@@ -373,7 +380,7 @@ def _tile_octant(ray, rt):
 
 def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                    boxes_ref=None, sboxes_ref=None, cand_ref=None,
-                   corder_ref=None):
+                   corder_ref=None, want_uv=True):
     """Min-reduce the plane+edge test over all tri blocks. Returns the
     (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests; ``tri`` comes
     from the packed original-id column, so it survives cluster reordering.
@@ -404,8 +411,15 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
             col = tris_ref[pl.ds(s, tb), col_id:col_id + 1]
             return jnp.sum(sel * col, axis=0, keepdims=True)      # [1, RT]
 
-        blk_u = jnp.sum(sel * u, axis=0, keepdims=True)
-        blk_v = jnp.sum(sel * v, axis=0, keepdims=True)
+        # Barycentrics are only consumed by the glTF/whitted pipeline
+        # (vertex-attribute interpolation); the OBJ path tracer shades
+        # from flat geometric normals, so its kernels skip the two
+        # [TB, RT] select-reduces (~5% of the sweep).
+        if want_uv:
+            blk_u = jnp.sum(sel * u, axis=0, keepdims=True)
+            blk_v = jnp.sum(sel * v, axis=0, keepdims=True)
+        else:
+            blk_u, blk_v = bu, bv
         # Triangle id: identity-packed scenes use the block iota directly
         # (cheaper: no extra [TB, RT] product); Morton-reordered scenes
         # read the original id from column 15.
@@ -535,21 +549,22 @@ def _write_closest(out_ref, i_ref, best, rt, occ=None):
 
 
 def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
-                    tmax, tb=TRI_BLOCK):
+                    tmax, tb=TRI_BLOCK, want_uv=True):
     rt = rays_ref.shape[1]
     best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
-                          n_tri // tb, tmin, tmax, tb=tb)
+                          n_tri // tb, tmin, tmax, tb=tb, want_uv=want_uv)
     _write_closest(out_ref, i_ref, best, rt)
 
 
 def _closest_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                               cand_ref, corder_ref, out_ref, i_ref, *,
-                              n_tri, tmin, tmax):
+                              n_tri, tmin, tmax, want_uv=True):
     rt = rays_ref.shape[1]
     best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
                           n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
                           boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
-                          cand_ref=cand_ref, corder_ref=corder_ref)
+                          cand_ref=cand_ref, corder_ref=corder_ref,
+                          want_uv=want_uv)
     _write_closest(out_ref, i_ref, best, rt)
 
 
@@ -615,11 +630,11 @@ def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin,
 
 @functools.partial(jax.named_call, name="pallas_closest")
 def _closest_call(rays, tris, n_tri: int, tmin: float, tmax: float,
-                  tb: int = TRI_BLOCK):
+                  tb: int = TRI_BLOCK, want_uv: bool = True):
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE,)
     kernel = functools.partial(_closest_kernel, n_tri=n_tri, tmin=tmin,
-                               tmax=tmax, tb=tb)
+                               tmax=tmax, tb=tb, want_uv=want_uv)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -813,12 +828,13 @@ def _unsort(perm, rows):
 
 @functools.partial(jax.named_call, name="pallas_closest_c")
 def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
-                            n_tri: int, tmin: float, tmax: float):
+                            n_tri: int, tmin: float, tmax: float,
+                            want_uv: bool = True):
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)   # work-list rows
     kernel = functools.partial(_closest_kernel_clustered, n_tri=n_tri,
-                               tmin=tmin, tmax=tmax)
+                               tmin=tmin, tmax=tmax, want_uv=want_uv)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -892,9 +908,29 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
     )(rays, tris, boxes, sboxes, cand, corder)
 
 
+def _trim_single(scene: SceneArrays, packed: jnp.ndarray):
+    """Trim a single-slab triangle buffer to the finest 8-aligned padding.
+
+    Scene arrays pad to TRI_PAD (128) rows and ``pack_tris`` to TRI_BLOCK
+    multiples, but the kernels only need the row count to split into
+    equal 8-aligned blocks — the mixed Cornell box (428 tris) sweeps 432
+    rows instead of 512. Returns (trimmed buffer, block size)."""
+    t_real = scene.num_tris
+    if not t_real or t_real >= packed.shape[0]:
+        return packed, min(TRI_BLOCK // 2, packed.shape[0])
+    hb = TRI_BLOCK // 2
+    nb = -(-t_real // hb)                 # blocks needed at <=256 rows
+    t_fine = min(-(-t_real // (8 * nb)) * 8 * nb, packed.shape[0])
+    return packed[:t_fine], t_fine // nb
+
+
 def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
-                      tmin: float = 0.01, tmax: float = T_FAR) -> Hit:
-    """Closest-hit over a flat wavefront; drop-in for the jnp backend."""
+                      tmin: float = 0.01, tmax: float = T_FAR,
+                      want_uv: bool = True) -> Hit:
+    """Closest-hit over a flat wavefront; drop-in for the jnp backend.
+
+    ``want_uv=False`` (the OBJ path tracer) skips the barycentric output
+    reduction in the kernel; ``Hit.u``/``Hit.v`` read as zeros."""
     origins = as_v3(origins)
     dirs = as_v3(dirs)
     n = origins.x.shape[0]
@@ -903,6 +939,7 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     single = pack_tris(scene).shape[0] <= TRI_SLAB
     if single:
         tris, boxes, sboxes = pack_tris(scene), None, None
+        tris, tb_single = _trim_single(scene, tris)
     else:
         tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes)
@@ -911,12 +948,13 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     for s, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
         if bx is None:
             out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
-                                     tb=min(TRI_BLOCK // 2, slab.shape[0]))
+                                     tb=tb_single, want_uv=want_uv)
         else:
             cand = super_candidates(rays, sbx, RAY_TILE_C, tmin, tmax)
             out, idx = _closest_call_clustered(rays, slab, bx, sbx,
                                                cand, corder,
-                                               slab.shape[0], tmin, tmax)
+                                               slab.shape[0], tmin, tmax,
+                                               want_uv=want_uv)
         if best_out is None:
             best_out, best_idx = out, idx
         else:
@@ -947,6 +985,7 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
     single = pack_tris(scene).shape[0] <= TRI_SLAB
     if single:
         tris, boxes, sboxes = pack_tris(scene), None, None
+        tris, tb_single = _trim_single(scene, tris)
     else:
         tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes)
@@ -955,7 +994,7 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
     for _, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
         if bx is None:
             o = _occluded_call(rays, slab, slab.shape[0], tmin,
-                               tb=min(TRI_BLOCK // 2, slab.shape[0]))
+                               tb=tb_single)
         else:
             cand = super_candidates(rays, sbx, RAY_TILE_C, tmin,
                                     rays[6:7, :])

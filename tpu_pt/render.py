@@ -722,7 +722,8 @@ def render_wavefront(scene: SceneArrays, cam: CameraArrays,
     per-lane gathers; ``sample_offset`` shifts the counter-RNG sample axis
     so spp-sharded devices draw disjoint sample sets.
     """
-    closest_fn, occluded_fn = get_intersectors(scene, cfg)
+    closest_fn, occluded_fn = get_intersectors(scene, cfg,
+                                               want_uv=False)
     fused_fn = get_fused_closest_nee(scene, cfg)
     impl = {"scan": _render_scan, "regen": _render_regen,
             "pixelq": _render_pixelq}[cfg.scheduler]

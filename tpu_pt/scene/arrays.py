@@ -65,6 +65,11 @@ class SceneArrays:
     # PathTraceParams (``pathTracer.h:102``).
     bvh: object = None
 
+    # True (unpadded) triangle count, kept static so kernels can trim
+    # their sweep range below the TRI_PAD granularity; 0 = unknown (use
+    # the padded count).
+    num_tris: int = struct.field(pytree_node=False, default=0)
+
     @property
     def num_tris_padded(self) -> int:
         return self.tri_v0.shape[0]
@@ -157,4 +162,5 @@ def build_scene_arrays(vertices: np.ndarray,
         mat_bsdf=jnp.asarray(bsdf),
         mat_is_emissive=jnp.asarray(is_emissive),
         light=light if light is not None else default_cornell_light(),
+        num_tris=t,
     )
