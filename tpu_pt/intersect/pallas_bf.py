@@ -581,7 +581,7 @@ def _occluded_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
 
 
 def _closest_nee_kernel(rays_ref, tris_ref, light_ref, out_ref, i_ref, *,
-                        n_tri, tmin, tmax):
+                        n_tri, tmin, tmax, tb=TRI_BLOCK // 2):
     """Closest hit + NEE shadow ray in one pass over the resident triangles
     (the reference's radiance-trace + ``traceOcclusion`` pair,
     ``pathTracerPrograms.cu:750-757,1015-1017``, as a single kernel).
@@ -592,10 +592,12 @@ def _closest_nee_kernel(rays_ref, tris_ref, light_ref, out_ref, i_ref, *,
     the caller masks ineligible lanes (miss/refractive/backfacing), exactly
     as the unfused path zeroes their directions."""
     rt = rays_ref.shape[1]
-    tb = TRI_BLOCK // 2    # halve live [TB, RT] intermediates (scoped VMEM)
-    nb = n_tri // tb
+    nb = n_tri // tb       # halved blocks: live [TB, RT] stay in scoped VMEM
     ray = _ray_rows(rays_ref)
-    best = _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=tb)
+    # want_uv=False: only the OBJ path tracer fuses NEE, and it shades
+    # flat geometric normals.
+    best = _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=tb,
+                          want_uv=False)
     best_t = best[0]
 
     lz1 = rays_ref[6:7, :]
@@ -689,11 +691,11 @@ def _occluded_call(rays, tris, n_tri: int, tmin: float,
 
 @functools.partial(jax.named_call, name="pallas_closest_nee")
 def _closest_nee_call(rays, tris, light, n_tri: int, tmin: float,
-                      tmax: float):
+                      tmax: float, tb: int = TRI_BLOCK // 2):
     n_pad = rays.shape[1]
     grid = (n_pad // FUSED_RAY_TILE,)
     kernel = functools.partial(_closest_nee_kernel, n_tri=n_tri, tmin=tmin,
-                               tmax=tmax)
+                               tmax=tmax, tb=tb)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -747,13 +749,13 @@ def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
     n = origins.x.shape[0]
     n_pad = _pad_to(n, FUSED_RAY_TILE)
     rays = pack_rays(origins, dirs, lz1, n_pad, row7=lz2)
-    tris = pack_tris(scene)
+    tris, tb = _trim_single(scene, pack_tris(scene))
     light = jnp.zeros((1, 128), jnp.float32)
     light = light.at[0, 0:3].set(scene.light.corner)
     light = light.at[0, 3:6].set(scene.light.v1)
     light = light.at[0, 6:9].set(scene.light.v2)
     out, idx = _closest_nee_call(rays, tris, light, tris.shape[0], tmin,
-                                 tmax)
+                                 tmax, tb=min(tb, TRI_BLOCK // 2))
     return _hit_from_out(out, idx, n), out[7, :n] > 0.5
 
 
