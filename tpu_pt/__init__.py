@@ -13,6 +13,31 @@ sharding for multi-chip rendering.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (the reference's PTX/OptiX-IR disk
+    cache, ``sutil.cpp:986-1029`` — compiled device code reused across
+    runs). Kernels here take 60-90 s to compile on TPU; the cache makes
+    every process after the first start in seconds. Opt out with
+    TPU_PT_NO_COMPILE_CACHE=1 or point TPU_PT_COMPILE_CACHE elsewhere."""
+    if _os.environ.get("TPU_PT_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        path = _os.environ.get(
+            "TPU_PT_COMPILE_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "tpu_pt_xla"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass    # never let cache setup break rendering
+
+
+_enable_compile_cache()
+
 from .config import RenderConfig, Quirks  # noqa: F401
 from .camera import Camera, Trackball, cornell_default_camera  # noqa: F401
 from .render import (CameraArrays, RenderStats, render_frame,  # noqa: F401
