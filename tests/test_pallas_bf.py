@@ -166,3 +166,43 @@ def test_deep_render_cross_backend_agreement(mixed_scene):
     diff = np.abs(np.asarray(ra) - np.asarray(rb))
     assert np.mean(diff) < 1e-5, f"mean {np.mean(diff)}"
     assert np.quantile(diff, 0.999) < 1e-3, f"p999 {np.quantile(diff, .999)}"
+
+
+def test_trim_single_block_arithmetic():
+    """_trim_single must return 8-aligned equal blocks covering the true
+    triangle count for any count, and never exceed the packed rows."""
+    import types
+
+    for t_real in [1, 7, 8, 32, 428, 500, 512, 520, 2041, 4000, 8192]:
+        rows512 = max(512, -(-t_real // 512) * 512)
+        packed = jnp.zeros((rows512, 16), jnp.float32)
+        scene = types.SimpleNamespace(num_tris=t_real)
+        trimmed, tb = pallas_bf._trim_single(scene, packed)
+        rows = trimmed.shape[0]
+        assert rows >= t_real, (t_real, rows)
+        assert rows <= rows512
+        assert rows % tb == 0, (t_real, rows, tb)
+        assert tb <= pallas_bf.TRI_BLOCK // 2
+        assert tb % 8 == 0 or rows < 8, (t_real, tb)
+
+
+def test_trace_pixel_matches_renderer(mixed_scene):
+    """The debug single-path replay must reproduce the renderer's radiance
+    for its pixel (counter RNG => bitwise replay)."""
+    from tpu_pt import debug
+    from tpu_pt.render import render_wavefront
+
+    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+    cfg = tpu_pt.RenderConfig(width=16, height=16, spp=1, max_depth=4,
+                              use_direct_lighting=True,
+                              use_importance_sampling=True)
+    radiance, _ = render_wavefront(mixed_scene, cam, cfg, 0, 16 * 16, 0)
+    x, y = 5, 7
+    recs = debug.trace_pixel(mixed_scene, cam, cfg, x, y)
+    assert recs and recs[-1]["done"]
+    assert recs[-1]["reason"] in ("MISS", "MAX_DEPTH", "RUSSIAN_ROULETTE",
+                                  "LIGHT_HIT")
+    total = np.sum([r["contrib"] for r in recs], axis=0)
+    np.testing.assert_allclose(
+        total, np.asarray(radiance)[y * 16 + x], rtol=1e-5, atol=1e-7)
+    assert "d0:" in debug.format_trace(recs)

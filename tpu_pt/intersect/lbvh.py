@@ -363,32 +363,44 @@ def _traverse(bvh: BVH, origins: V3, dirs: V3, tmin, tmax, mode: str,
     return out
 
 
-def build_lbvh_host(scene: SceneArrays) -> BVH:
+def build_lbvh_host(scene: SceneArrays, host: dict | None = None) -> BVH:
     """Host-side LBVH build via the native (C++) builder.
 
     Same flattened layout as :func:`build_lbvh`; preferred at scene-load
-    time because it avoids the device build's jit-compile latency. The
-    device build remains available for fully-on-accelerator pipelines.
+    time because it avoids the device build's jit-compile latency. Pass
+    ``host`` (the padded numpy arrays from ``build_scene_arrays(...,
+    return_host=True)``) to avoid any device->host readback — over a
+    tunneled TPU a single pull runs at whole-seconds latency, and scene
+    load was measured paying minutes in pulls alone. Without ``host`` the
+    arrays are pulled from the device (CPU backends: free).
     """
     from .. import native
     import numpy as np
 
-    v0 = np.asarray(scene.tri_v0)
-    e1 = np.asarray(scene.tri_e1)
-    e2 = np.asarray(scene.tri_e2)
+    if host is None:
+        host = dict(v0=np.asarray(scene.tri_v0),
+                    e1=np.asarray(scene.tri_e1),
+                    e2=np.asarray(scene.tri_e2),
+                    normal=np.asarray(scene.tri_normal),
+                    valid=np.asarray(scene.tri_valid),
+                    mat_id=np.asarray(scene.mat_id),
+                    mat_bsdf=np.asarray(scene.mat_bsdf))
+    v0 = host["v0"]
+    e1 = host["e1"]
+    e2 = host["e2"]
     p1, p2 = v0 + e1, v0 + e2
     tri_min = np.minimum(v0, np.minimum(p1, p2))
     tri_max = np.maximum(v0, np.maximum(p1, p2))
-    valid = np.asarray(scene.tri_valid)
+    valid = host["valid"]
     left, skip, tri, bmin, bmax = native.build_lbvh_native(
         tri_min, tri_max, valid)
 
     n = v0.shape[0]
     m = 2 * n - 1
-    refr = (np.asarray(scene.mat_bsdf)[np.asarray(scene.mat_id)]
+    refr = (host["mat_bsdf"][host["mat_id"]]
             == BSDF_REFRACTION).astype(np.float32)
-    norm = np.asarray(scene.tri_normal)
-    mid = np.asarray(scene.mat_id).astype(np.float32)
+    norm = host["normal"]
+    mid = host["mat_id"].astype(np.float32)
     nodes = np.zeros((m, 24), np.float32)
     nodes[:, 0:3] = bmin
     nodes[:, 3:6] = bmax
@@ -407,17 +419,20 @@ def build_lbvh_host(scene: SceneArrays) -> BVH:
                skip=jnp.asarray(skip), tri=jnp.asarray(tri))
 
 
-def with_bvh(scene: SceneArrays, builder: str = "auto") -> SceneArrays:
+def with_bvh(scene: SceneArrays, builder: str = "auto",
+             host: dict | None = None) -> SceneArrays:
     """Return the scene with its LBVH built and attached (eager, once).
 
     builder: 'auto' (native C++ if available, else device), 'native',
     or 'device' (the jit Karras build — BASELINE config 4's on-TPU path).
+    ``host``: padded numpy scene arrays; lets the native build skip
+    device readbacks (see :func:`build_lbvh_host`).
     """
     if builder == "auto":
         from .. import native
         builder = "native" if native.available() else "device"
     if builder == "native":
-        return scene.replace(bvh=build_lbvh_host(scene))
+        return scene.replace(bvh=build_lbvh_host(scene, host=host))
     assert builder == "device", builder
     return scene.replace(bvh=jax.jit(build_lbvh)(scene))
 

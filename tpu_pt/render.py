@@ -56,6 +56,8 @@ RUSSIAN_ROULETTE = 2
 LIGHT_HIT = 3
 NOT_DONE = 4
 NUM_DONE_REASONS = 5
+DONE_REASON_NAMES = ("MISS", "MAX_DEPTH", "RUSSIAN_ROULETTE", "LIGHT_HIT",
+                     "NOT_DONE")
 
 # Dead wavefront lanes and ineligible shadow rays are "parked": origin far
 # outside any scene so every AABB slab test fails and the clustered

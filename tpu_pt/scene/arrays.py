@@ -100,13 +100,20 @@ def build_scene_arrays(vertices: np.ndarray,
                        mat_ids: np.ndarray,
                        materials: list[dict],
                        light: AreaLight | None = None,
-                       pad_to: int = TRI_PAD) -> SceneArrays:
+                       pad_to: int = TRI_PAD,
+                       return_host: bool = False):
     """Flatten host-side mesh data into a padded SceneArrays pytree.
 
     ``vertices`` [V, 3], ``indices`` [T, 3] int, ``mat_ids`` [T] int,
     ``materials`` a list of dicts with keys diffuse/emission/roughness/
     metallic/ior/bsdf (the loader's Material struct, parity with
     ``TinyObjWrapper.h:33-40``).
+
+    ``return_host=True`` additionally returns the padded numpy arrays
+    (keys v0/e1/e2/normal/valid/mat_id/mat_bsdf) so scene-load-time
+    consumers (the native LBVH builder) never read device memory back —
+    a device->host pull over a tunneled TPU runs at whole-seconds
+    latency.
     """
     vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
     indices = np.asarray(indices, np.int64).reshape(-1, 3)
@@ -147,13 +154,16 @@ def build_scene_arrays(vertices: np.ndarray,
 
     mat_ids = np.clip(mat_ids, 0, m - 1)
 
-    return SceneArrays(
-        tri_v0=jnp.asarray(pad(v0)),
-        tri_e1=jnp.asarray(pad(e1)),
-        tri_e2=jnp.asarray(pad(e2)),
-        tri_normal=jnp.asarray(pad(n)),
-        tri_valid=jnp.asarray(pad(np.ones(t, bool), fill=False)),
-        mat_id=jnp.asarray(pad(mat_ids.astype(np.int32))),
+    host = dict(v0=pad(v0), e1=pad(e1), e2=pad(e2), normal=pad(n),
+                valid=pad(np.ones(t, bool), fill=False),
+                mat_id=pad(mat_ids.astype(np.int32)), mat_bsdf=bsdf)
+    scene = SceneArrays(
+        tri_v0=jnp.asarray(host["v0"]),
+        tri_e1=jnp.asarray(host["e1"]),
+        tri_e2=jnp.asarray(host["e2"]),
+        tri_normal=jnp.asarray(host["normal"]),
+        tri_valid=jnp.asarray(host["valid"]),
+        mat_id=jnp.asarray(host["mat_id"]),
         mat_diffuse=jnp.asarray(diffuse),
         mat_emission=jnp.asarray(emission),
         mat_roughness=jnp.asarray(roughness),
@@ -164,3 +174,4 @@ def build_scene_arrays(vertices: np.ndarray,
         light=light if light is not None else default_cornell_light(),
         num_tris=t,
     )
+    return (scene, host) if return_host else scene

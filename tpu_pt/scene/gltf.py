@@ -330,8 +330,9 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
             bsdf=BSDF_REFRACTION if tables["kind"][i] == KIND_GLASS
             else BSDF_DIFFUSE,
         ))
-    geom = build_scene_arrays(verts, idx, tmat, pt_mats,
-                              light=default_cornell_light())
+    geom, host = build_scene_arrays(verts, idx, tmat, pt_mats,
+                                    light=default_cornell_light(),
+                                    return_host=True)
 
     # Pad per-tri attributes to the padded triangle count.
     t_pad = geom.num_tris_padded
@@ -352,7 +353,7 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
                         np.array([0.4, 0.4, 0.4], np.float32)]
 
     from ..intersect.lbvh import with_bvh
-    geom = with_bvh(geom)
+    geom = with_bvh(geom, host=host)
 
     return WhittedScene(
         geom=geom,

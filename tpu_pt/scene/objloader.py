@@ -293,10 +293,11 @@ def load_scene(path: str, light: AreaLight | None = None,
         light = detect_area_light(mesh)
     if light is None:
         light = default_cornell_light()
-    scene = build_scene_arrays(
+    scene, host = build_scene_arrays(
         mesh.vertices, mesh.indices, mesh.mat_indices,
-        [m.as_dict() for m in mesh.materials], light=light)
+        [m.as_dict() for m in mesh.materials], light=light,
+        return_host=True)
     if build_bvh:
         from ..intersect.lbvh import with_bvh
-        scene = with_bvh(scene)
+        scene = with_bvh(scene, host=host)
     return scene
