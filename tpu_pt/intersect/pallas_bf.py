@@ -123,7 +123,7 @@ def pack_tris(scene: SceneArrays) -> jnp.ndarray:
 # slab test skips SUPER sweep steps (and their per-cluster box tests) at
 # once when a ray tile misses the whole region.
 CLUSTER = 128
-SUPER = 8
+SUPER = 4
 
 
 def pack_tris_clustered(scene: SceneArrays):
@@ -244,29 +244,54 @@ def super_candidates(rays: jnp.ndarray, sboxes: jnp.ndarray, rt: int,
     Returns [n_tiles * R, 1] i32 with R = 1 + NS padded to a sublane (8)
     multiple: per tile, row 0 is the candidate count, rows 1..NS the
     supercluster ids near-first, then zero padding.
+
+    The test is CONSERVATIVE interval arithmetic per tile (origin AABB x
+    direction bounds x box), not a per-ray sweep: a [tiles, NS] problem
+    instead of [N, NS] — measured 1.7 ms -> ~0.1 ms per call at 65k rays,
+    and the per-(tile, super) slab re-test inside the kernel gates any
+    false positives before their clusters are swept. Per axis, with the
+    numerator interval [b_lo - o_hi, b_hi - o_lo] and the reciprocal
+    direction interval (unbounded when the tile's directions span zero —
+    that axis then passes trivially), the product interval bounds every
+    ray's [tnear_axis, tfar_axis]; max/min over axes bound tnear/tfar.
     """
     ns = sboxes.shape[0]
     n_pad = rays.shape[1]
     n_tiles = n_pad // rt
-    o = rays[0:3, :]                                            # [3, N]
-    d = rays[3:6, :]
-    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
-                          jnp.where(d >= 0, 1e-12, -1e-12))
-    lo = sboxes[:, 0:3].T[:, :, None]                           # [3, NS, 1]
-    hi = sboxes[:, 3:6].T[:, :, None]
-    t0 = (lo - o[:, None, :]) * inv[:, None, :]                 # [3, NS, N]
-    t1 = (hi - o[:, None, :]) * inv[:, None, :]
-    tn = jnp.max(jnp.minimum(t0, t1), axis=0)                   # [NS, N]
-    tf = jnp.min(jnp.maximum(t0, t1), axis=0)
-    ok = (tn <= tf) & (tf > tmin) & (tn < tmax)
-    okt = ok.reshape(ns, n_tiles, rt)
-    any_ = jnp.any(okt, axis=2)                                 # [NS, tiles]
-    tnt = jnp.min(jnp.where(okt, tn.reshape(ns, n_tiles, rt),
-                            jnp.float32(T_FAR)), axis=2)        # [NS, tiles]
-    key = jnp.where(any_, tnt, jnp.float32(T_FAR)).T            # [tiles, NS]
+    big = jnp.float32(3e38)
+    o = rays[0:3, :].reshape(3, n_tiles, rt)
+    d = rays[3:6, :].reshape(3, n_tiles, rt)
+    o_lo = jnp.min(o, axis=2)[:, :, None]                     # [3, tiles, 1]
+    o_hi = jnp.max(o, axis=2)[:, :, None]
+    d_lo = jnp.min(d, axis=2)
+    d_hi = jnp.max(d, axis=2)
+    definite = (d_lo > 1e-12) | (d_hi < -1e-12)               # [3, tiles]
+    i1 = 1.0 / jnp.where(definite, d_lo, 1.0)
+    i2 = 1.0 / jnp.where(definite, d_hi, 1.0)
+    inv_lo = jnp.minimum(i1, i2)[:, :, None]                  # [3, tiles, 1]
+    inv_hi = jnp.maximum(i1, i2)[:, :, None]
+    def_ = definite[:, :, None]
+
+    b_lo = sboxes[:, 0:3].T[:, None, :]                       # [3, 1, NS]
+    b_hi = sboxes[:, 3:6].T[:, None, :]
+    n_lo = b_lo - o_hi                                        # [3, tiles, NS]
+    n_hi = b_hi - o_lo
+    p = jnp.stack([n_lo * inv_lo, n_lo * inv_hi,
+                   n_hi * inv_lo, n_hi * inv_hi])             # [4, 3, T, NS]
+    ax_lo = jnp.where(def_, jnp.min(p, axis=0), -big)
+    ax_hi = jnp.where(def_, jnp.max(p, axis=0), big)
+    tn = jnp.max(ax_lo, axis=0)                               # [tiles, NS]
+    tf = jnp.min(ax_hi, axis=0)
+
+    if jnp.ndim(tmax) == 0:
+        tmax_t = tmax
+    else:   # per-ray bound (occlusion): per-tile upper bound
+        tmax_t = jnp.max(jnp.reshape(tmax, (n_tiles, rt)), axis=1)[:, None]
+    any_ = (tn <= tf) & (tf > tmin) & (tn < tmax_t)           # [tiles, NS]
+    key = jnp.where(any_, tn, jnp.float32(T_FAR))
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
-    cnt = jnp.sum(any_, axis=0, dtype=jnp.int32)[:, None]       # [tiles, 1]
-    tab = jnp.concatenate([cnt, order], axis=1)                 # [tiles,1+NS]
+    cnt = jnp.sum(any_, axis=1, dtype=jnp.int32)[:, None]     # [tiles, 1]
+    tab = jnp.concatenate([cnt, order], axis=1)               # [tiles, 1+NS]
     rows = _pad_to(1 + ns, 8)    # sublane-aligned per-tile blocks
     if rows != 1 + ns:
         tab = jnp.pad(tab, ((0, 0), (0, rows - 1 - ns)))
