@@ -54,15 +54,21 @@ def main():
     accum = init_accum(cfg)
     accum, img, stats = render_frame(scene, cam, cfg, 0, accum)
     jax.block_until_ready((accum, img))
-    rays_per_frame = float(stats.rays_traced) + float(stats.shadow_rays)
 
+    # Time frames 1..N; sum THEIR ray counts (RNG is frame-keyed, so RR
+    # termination — and the honest ray count — varies per frame). Stats
+    # stay on-device until after the clock stops.
+    frame_stats = []
     t0 = time.perf_counter()
     for f in range(1, frames + 1):
         accum, img, stats = render_frame(scene, cam, cfg, f, accum)
+        frame_stats.append(stats)
     jax.block_until_ready((accum, img))
     dt = time.perf_counter() - t0
 
-    total_rays = rays_per_frame * frames
+    total_rays = sum(float(s.rays_traced) + float(s.shadow_rays)
+                     for s in frame_stats)
+    rays_per_frame = total_rays / frames
     mrays = total_rays / dt / 1e6
     ms_per_frame = dt / frames * 1e3
 

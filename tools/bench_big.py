@@ -42,15 +42,22 @@ def main():
     accum, img, stats = render_frame(scene, cam, cfg, 0, accum)
     jax.block_until_ready((accum, img))
     compile_s = time.perf_counter() - t_c0
-    rays_per_frame = float(stats.rays_traced) + float(stats.shadow_rays)
 
+    # Sum ray counts of the TIMED frames (RR varies per frame; frame 0's
+    # count would be systematically wrong for frames 1..N). Stats stay
+    # on-device until the clock stops.
+    frame_stats = []
     t0 = time.perf_counter()
     for f in range(1, frames + 1):
         accum, img, stats = render_frame(scene, cam, cfg, f, accum)
+        frame_stats.append(stats)
     jax.block_until_ready((accum, img))
     dt = time.perf_counter() - t0
 
-    mrays = rays_per_frame * frames / dt / 1e6
+    total_rays = sum(float(s.rays_traced) + float(s.shadow_rays)
+                     for s in frame_stats)
+    rays_per_frame = total_rays / frames
+    mrays = total_rays / dt / 1e6
     print(json.dumps({
         "metric": f"Mrays/s/chip, {size}x{size} big scene "
                   f"({scene.num_tris_padded} padded tris), {depth} bounces, "

@@ -132,8 +132,8 @@ def pack_tris_clustered(scene: SceneArrays):
     Returns (tris [T_pad, 16] in Morton order, boxes [C, 8] with rows
     (min xyz, max xyz, pad, pad), sboxes [C // SUPER, 8] supercluster
     AABBs). Spatially sorted clusters give the in-kernel slab tests
-    something to cull; invalid/padded rows contribute empty boxes (min
-    +big / max -big — never useful). T_pad is a CLUSTER*SUPER multiple so
+    something to cull; all-padding clusters collapse to a far point box
+    that fails every slab test. T_pad is a CLUSTER*SUPER multiple so
     every slab divides into whole superclusters. Once per scene; XLA
     hoists it out of the render loop.
     """
@@ -155,9 +155,12 @@ def pack_tris_clustered(scene: SceneArrays):
     order = jnp.argsort(code)
     packed = packed[order]
 
-    # Pad the sorted triangles to a whole number of superclusters
-    # (valid=0 rows: empty boxes, rejected by the plane guard anyway).
-    t_pad = _pad_to(packed.shape[0], CLUSTER * SUPER)
+    # Pad the sorted triangles to a whole number of superclusters AND to
+    # an 8-supercluster multiple: a trailing slab past a CLUSTERED_SLAB
+    # boundary must still give Mosaic sublane-aligned (>= 8 row) box and
+    # work-list blocks (valid=0 rows: empty boxes, rejected by the plane
+    # guard anyway).
+    t_pad = _pad_to(packed.shape[0], 8 * CLUSTER * SUPER)
     if t_pad != packed.shape[0]:
         packed = jnp.pad(packed, ((0, t_pad - packed.shape[0]), (0, 0)))
 
@@ -184,11 +187,27 @@ def pack_tris_clustered(scene: SceneArrays):
     maxs = jnp.maximum(jnp.maximum(
         jnp.where(vmask, p0, -big), jnp.where(vmask, p1, -big)),
         jnp.where(vmask, p2, -big)).reshape(n_c, CLUSTER, 3).max(axis=1)
-    boxes = jnp.concatenate(
-        [mins, maxs, jnp.zeros((n_c, 2), jnp.float32)], axis=1)
+    # All-padding clusters come out INVERTED (min=+big > max=-big), and an
+    # inverted box passes every slab/interval test (per-axis intervals
+    # span -inf..+inf) — it would be swept by every tile, near-FIRST.
+    # Aggregate supercluster boxes from the raw values first (inverted
+    # empties are neutral under min/max), then collapse empties at BOTH
+    # levels to a far point box: tnear ~ 3e37 exceeds any tmax
+    # (T_FAR = 1e16), so every test fails.
     n_s = n_c // SUPER
     smins = mins.reshape(n_s, SUPER, 3).min(axis=1)
     smaxs = maxs.reshape(n_s, SUPER, 3).max(axis=1)
+
+    far = jnp.float32(3e37)
+
+    def collapse(lo, hi):
+        empty = jnp.any(lo > hi, axis=1, keepdims=True)
+        return jnp.where(empty, far, lo), jnp.where(empty, far, hi)
+
+    mins, maxs = collapse(mins, maxs)
+    smins, smaxs = collapse(smins, smaxs)
+    boxes = jnp.concatenate(
+        [mins, maxs, jnp.zeros((n_c, 2), jnp.float32)], axis=1)
     sboxes = jnp.concatenate(
         [smins, smaxs, jnp.zeros((n_s, 2), jnp.float32)], axis=1)
     return packed, boxes, sboxes
@@ -300,10 +319,14 @@ def super_candidates(rays: jnp.ndarray, sboxes: jnp.ndarray, rt: int,
 
 def pack_rays(origins: V3, dirs: V3, row6: jnp.ndarray | None,
               n_pad: int, row7: jnp.ndarray | None = None) -> jnp.ndarray:
-    """V3 rays -> [8, n_pad] kernel layout (zero columns never hit).
+    """V3 rays -> [8, n_pad] kernel layout.
 
     Rows 6-7 are per-kernel extras: occlusion tmax, or the NEE light-sample
-    uniforms (lz1, lz2) for the fused closest+NEE kernel."""
+    uniforms (lz1, lz2) for the fused closest+NEE kernel. Padding columns
+    are PARKED rays (far origin, diagonal direction, tmax 0), not zeros: a
+    zero direction passes every slab test (tnear = -inf through the
+    eps-guarded reciprocal), so zero padding would hand its whole ray tile
+    a full candidate list in the clustered path."""
     n = origins.x.shape[0]
     pad = n_pad - n
     z = jnp.zeros((n,), jnp.float32)
@@ -312,7 +335,12 @@ def pack_rays(origins: V3, dirs: V3, row6: jnp.ndarray | None,
             row7 if row7 is not None else z]
     out = jnp.stack(rows, axis=0)
     if pad:
-        out = jnp.pad(out, ((0, 0), (0, pad)))
+        import numpy as _np
+        fill = _np.zeros((8, 1), _np.float32)
+        fill[0:3, 0] = 3.0e7            # render.PARK_COORD
+        fill[3:6, 0] = 0.5773503        # render.PARK_DIR
+        out = jnp.concatenate(
+            [out, jnp.broadcast_to(jnp.asarray(fill), (8, pad))], axis=1)
     return out
 
 
@@ -1003,7 +1031,9 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
     origins = as_v3(origins)
     dirs = as_v3(dirs)
     if quirk_first_hit:
-        h = intersect_closest(scene, origins, dirs, tmin=tmin, tmax=T_FAR)
+        # Occlusion consumes only hit/t/mat — skip the barycentric reduces.
+        h = intersect_closest(scene, origins, dirs, tmin=tmin, tmax=T_FAR,
+                              want_uv=False)
         in_range = h.hit & (h.t < tmax)
         return in_range & (scene.mat_bsdf[h.mat] != BSDF_REFRACTION)
     n = origins.x.shape[0]
