@@ -119,11 +119,20 @@ def fr_dielectric(cos_theta_i, eta_i, eta_t):
     cos_i = jnp.abs(cos_i)
 
     sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
-    sin_t = ei / et * sin_i
+    # eta_t can be 0 on lanes whose material never refracts (the shade
+    # step evaluates every BSDF on every lane and masks after); treat it
+    # as sin_t -> huge -> TIR rather than dividing by zero.
+    sin_t = ei / jnp.maximum(et, 1e-12) * sin_i
     tir = sin_t >= 1.0
     cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
 
-    r_parl = ((et * cos_i) - (ei * cos_t)) / ((et * cos_i) + (ei * cos_t))
-    r_perp = ((ei * cos_i) - (et * cos_t)) / ((ei * cos_i) + (et * cos_t))
+    # The denominators vanish only at sin_t == 1 exactly — the TIR
+    # boundary, where the result is overridden to 1 — so masking them to
+    # 1 changes no reachable value but keeps the op NaN-free (checkify
+    # validation mode runs clean; see tpu_pt.debug.validate_frame).
+    d_parl = (et * cos_i) + (ei * cos_t)
+    d_perp = (ei * cos_i) + (et * cos_t)
+    r_parl = ((et * cos_i) - (ei * cos_t)) / jnp.where(d_parl > 0, d_parl, 1.0)
+    r_perp = ((ei * cos_i) - (et * cos_t)) / jnp.where(d_perp > 0, d_perp, 1.0)
     f = 0.5 * (r_parl * r_parl + r_perp * r_perp)
     return jnp.where(tir, 1.0, f)

@@ -81,6 +81,47 @@ def trace_pixel(scene: SceneArrays, cam: CameraArrays, cfg: RenderConfig,
     return records
 
 
+def validate_frame(scene: SceneArrays, cam: CameraArrays, cfg: RenderConfig,
+                   frame_idx: int = 0, accum=None):
+    """Render one frame under ``checkify`` — the OptiX validation-mode-ALL
+    analog (``PathTracerMain.cpp:248-253``).
+
+    The reference turns on `OPTIX_DEVICE_CONTEXT_VALIDATION_MODE_ALL` plus
+    a level-4 log callback to catch API misuse at runtime; the JAX-native
+    equivalent instruments the traced computation itself: NaN/Inf
+    production and out-of-bounds indexing anywhere in the frame raise a
+    ``JaxRuntimeError`` with the failing check's location instead of
+    silently corrupting the image. Debug/CI tool — the instrumented frame
+    is slower; never use it in the render loop.
+
+    Returns (new_accum, frame_u8, stats) like ``render_frame``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+
+    from . import film
+    from .render import init_accum, render_wavefront
+
+    if accum is None:
+        accum = init_accum(cfg)
+
+    def frame_fn(accum):
+        n = cfg.width * cfg.height
+        radiance, stats = render_wavefront(scene, cam, cfg, 0, n,
+                                           jnp.uint32(frame_idx))
+        frame_img = radiance.reshape(cfg.height, cfg.width, 3)
+        new_accum = film.accumulate(accum, frame_img,
+                                    jnp.uint32(frame_idx))
+        return new_accum, film.make_color(new_accum), stats
+
+    checked = jax.jit(checkify.checkify(
+        frame_fn, errors=checkify.float_checks | checkify.index_checks))
+    err, out = checked(accum)
+    err.throw()
+    return out
+
+
 def format_trace(records: list[dict]) -> str:
     """Human-readable dump, one line per bounce (the printf analog)."""
     lines = []

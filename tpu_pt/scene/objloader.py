@@ -259,11 +259,21 @@ def detect_area_light(mesh: ObjMesh) -> AreaLight | None:
 
 def load_scene(path: str, light: AreaLight | None = None,
                auto_light: bool = True,
-               build_bvh: bool = True) -> SceneArrays:
+               build_bvh: bool = True,
+               split_large: bool = False) -> SceneArrays:
     """OBJ (or glTF/GLB) file -> device-ready SceneArrays (LBVH attached).
 
     glTF scenes route through :mod:`tpu_pt.scene.gltf`; the path tracer
-    consumes their geometry + PBR-derived materials directly."""
+    consumes their geometry + PBR-derived materials directly.
+
+    ``split_large`` bisects world-spanning triangles at load time on
+    scenes big enough for the clustered intersection path (see
+    :mod:`tpu_pt.scene.refine`); small scenes are never touched. Off by
+    default: measured on the 100k-tri benchmark scene it is slightly
+    net-negative (0.99 -> 0.94 Mrays/s at 256^2) — the per-tile interval
+    candidate lists already absorb the few world-spanning clusters, so
+    the extra rows outweigh the culling gain. Kept for scenes whose
+    large-triangle fraction is higher."""
     if path.lower().endswith((".gltf", ".glb")):
         from .gltf import load_gltf
         ws = load_gltf(path)
@@ -273,7 +283,6 @@ def load_scene(path: str, light: AreaLight | None = None,
         elif auto_light and ws.light_pos.shape[0] > 0:
             # Path tracing needs an area light for NEE; synthesize a small
             # downward quad at the glTF point light's position.
-            import numpy as np
             pos = np.asarray(ws.light_pos)[0]
             col = np.asarray(ws.light_color)[0]
             v = np.asarray(scene.tri_v0)[np.asarray(scene.tri_valid)]
@@ -293,8 +302,14 @@ def load_scene(path: str, light: AreaLight | None = None,
         light = detect_area_light(mesh)
     if light is None:
         light = default_cornell_light()
+    verts, idx, mids = mesh.vertices, mesh.indices, mesh.mat_indices
+    if split_large:
+        from ..intersect.pallas_bf import TRI_SLAB
+        if np.asarray(idx).reshape(-1, 3).shape[0] > TRI_SLAB:
+            from .refine import split_large_tris
+            verts, idx, mids = split_large_tris(verts, idx, mids)
     scene, host = build_scene_arrays(
-        mesh.vertices, mesh.indices, mesh.mat_indices,
+        verts, idx, mids,
         [m.as_dict() for m in mesh.materials], light=light,
         return_host=True)
     if build_bvh:
