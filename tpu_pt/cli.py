@@ -61,6 +61,9 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="resume from a checkpoint (.npz)")
     p.add_argument("--stats", action="store_true",
                    help="print per-frame telemetry")
+    p.add_argument("--validate", action="store_true",
+                   help="render under checkify NaN/Inf/OOB checks (the "
+                        "reference's OptiX validation-mode-ALL; slower)")
     p.add_argument("--pipeline", default="auto",
                    choices=["auto", "pathtrace", "whitted"],
                    help="auto: path tracer for .obj, whitted direct "
@@ -181,6 +184,12 @@ def cmd_render(args) -> int:
 
     scene, camera, cfg, accum, frame_start = _build(args)
     cam = CameraArrays.from_camera(camera)
+
+    if args.validate:
+        from tpu_pt.debug import validate_frame
+
+        def render_frame(scene, cam, cfg, f, accum):  # noqa: F811
+            return validate_frame(scene, cam, cfg, f, accum)
 
     total_ms = 0.0
     img = None

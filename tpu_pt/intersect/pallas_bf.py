@@ -125,7 +125,7 @@ def pack_tris(scene: SceneArrays) -> jnp.ndarray:
 # slab test skips SUPER sweep steps (and their per-cluster box tests) at
 # once when a ray tile misses the whole region.
 CLUSTER = 128
-SUPER = 4
+SUPER = int(os.environ.get("TPT_SUPER", 4))   # clusters per supercluster
 
 
 def pack_tris_clustered(scene: SceneArrays):
@@ -435,7 +435,7 @@ def _tile_octant(ray, rt):
 
 def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                    boxes_ref=None, sboxes_ref=None, cand_ref=None,
-                   corder_ref=None, want_uv=True):
+                   corder_ref=None, want_uv=True, init=None):
     """Min-reduce the plane+edge test over all tri blocks. Returns the
     (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests; ``tri`` comes
     from the packed original-id column, so it survives cluster reordering.
@@ -501,14 +501,15 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
             return jax.lax.cond(jnp.any(useful), lambda c: sweep(b, c),
                                 lambda c: c, carry)
 
-    init = (jnp.full((1, rt), T_FAR, jnp.float32),
-            jnp.zeros((1, rt), jnp.float32),
-            jnp.zeros((1, rt), jnp.float32),
-            jnp.zeros((1, rt), jnp.float32),
-            jnp.zeros((1, rt), jnp.float32),
-            jnp.zeros((1, rt), jnp.float32),
-            jnp.zeros((1, rt), jnp.float32),
-            jnp.zeros((1, rt), jnp.float32))
+    if init is None:
+        init = (jnp.full((1, rt), T_FAR, jnp.float32),
+                jnp.zeros((1, rt), jnp.float32),
+                jnp.zeros((1, rt), jnp.float32),
+                jnp.zeros((1, rt), jnp.float32),
+                jnp.zeros((1, rt), jnp.float32),
+                jnp.zeros((1, rt), jnp.float32),
+                jnp.zeros((1, rt), jnp.float32),
+                jnp.zeros((1, rt), jnp.float32))
     if sboxes_ref is not None:
         co_base = _tile_octant(ray, rt) * nb
         # Clamp the work-list length so a corrupt table can never run the
@@ -620,6 +621,28 @@ def _closest_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                           boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
                           cand_ref=cand_ref, corder_ref=corder_ref,
                           want_uv=want_uv)
+    _write_closest(out_ref, i_ref, best, rt)
+
+
+def _closest_kernel_chained(rays_ref, tris_ref, boxes_ref, sboxes_ref,
+                            cand_ref, corder_ref, pout_ref, pidx_ref,
+                            out_ref, i_ref, *, n_tri, tmin, tmax,
+                            want_uv=True):
+    """Clustered closest-hit seeded with a previous slab's best hit.
+
+    The running best-t then culls this slab's clusters from step one
+    (and the caller's candidate lists were already narrowed by the
+    per-ray prior t) — multi-slab scenes traverse later slabs nearly
+    for free wherever an earlier slab already found a close hit."""
+    rt = rays_ref.shape[1]
+    init = (pout_ref[0:1, :], pidx_ref[0:1, :].astype(jnp.float32),
+            pout_ref[1:2, :], pout_ref[2:3, :], pout_ref[3:4, :],
+            pout_ref[4:5, :], pout_ref[5:6, :], pout_ref[6:7, :])
+    best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
+                          n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
+                          boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+                          cand_ref=cand_ref, corder_ref=corder_ref,
+                          want_uv=want_uv, init=init)
     _write_closest(out_ref, i_ref, best, rt)
 
 
@@ -904,12 +927,24 @@ def _unsort(perm, rows):
 @functools.partial(jax.named_call, name="pallas_closest_c")
 def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                             n_tri: int, tmin: float, tmax: float,
-                            want_uv: bool = True):
+                            want_uv: bool = True, prior=None):
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)   # work-list rows
-    kernel = functools.partial(_closest_kernel_clustered, n_tri=n_tri,
-                               tmin=tmin, tmax=tmax, want_uv=want_uv)
+    if prior is None:
+        kernel = functools.partial(_closest_kernel_clustered, n_tri=n_tri,
+                                   tmin=tmin, tmax=tmax, want_uv=want_uv)
+        extra_in, extra_specs = (), ()
+    else:
+        kernel = functools.partial(_closest_kernel_chained, n_tri=n_tri,
+                                   tmin=tmin, tmax=tmax, want_uv=want_uv)
+        extra_in = prior
+        extra_specs = (
+            pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -926,6 +961,7 @@ def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * (n_tri // CLUSTER), 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            *extra_specs,
         ],
         out_specs=[
             pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
@@ -943,7 +979,7 @@ def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(rays, tris, boxes, sboxes, cand, corder)
+    )(rays, tris, boxes, sboxes, cand, corder, *extra_in)
 
 
 @functools.partial(jax.named_call, name="pallas_occluded_c")
@@ -1024,18 +1060,23 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
         if bx is None:
             out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
                                      tb=tb_single, want_uv=want_uv)
+            if best_out is not None:
+                better = out[0:1] < best_out[0:1]
+                out = jnp.where(better, out, best_out)
+                idx = jnp.where(better, idx, best_idx)
         else:
-            cand = super_candidates(rays, sbx, RAY_TILE_C, tmin, tmax)
+            # Chain slabs through the running best hit: the per-ray
+            # prior t narrows this slab's candidate lists, and the
+            # kernel seeds its carry with the prior rows so the best-t
+            # cluster tests cull from step one (no outside merge).
+            slab_tmax = tmax if best_out is None else best_out[0]
+            cand = super_candidates(rays, sbx, RAY_TILE_C, tmin, slab_tmax)
+            prior = None if best_out is None else (best_out, best_idx)
             out, idx = _closest_call_clustered(rays, slab, bx, sbx,
                                                cand, corder,
                                                slab.shape[0], tmin, tmax,
-                                               want_uv=want_uv)
-        if best_out is None:
-            best_out, best_idx = out, idx
-        else:
-            better = out[0:1] < best_out[0:1]
-            best_out = jnp.where(better, out, best_out)
-            best_idx = jnp.where(better, idx, best_idx)
+                                               want_uv=want_uv, prior=prior)
+        best_out, best_idx = out, idx
     if not single:
         rows = _unsort(perm, tuple(best_out[k] for k in range(8))
                        + (best_idx[0],))
@@ -1073,6 +1114,13 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
             o = _occluded_call(rays, slab, slab.shape[0], tmin,
                                tb=tb_single)
         else:
+            if occ is not None:
+                # Park already-occluded rays for the next slab: tmax=0
+                # fails every box/triangle test, so their tiles' work
+                # lists shrink (often to nothing).
+                rays = jnp.concatenate(
+                    [rays[0:6], jnp.where(occ > 0, 0.0, rays[6:7]),
+                     rays[7:8]], axis=0)
             cand = super_candidates(rays, sbx, RAY_TILE_C, tmin,
                                     rays[6:7, :])
             o = _occluded_call_clustered(rays, slab, bx, sbx,
