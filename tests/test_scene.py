@@ -100,3 +100,48 @@ def test_load_scene_end_to_end(assets_dir):
     assert s.num_tris_padded % 128 == 0
     assert s.num_tris_padded >= n_valid
     assert np.asarray(s.mat_is_emissive).any()
+
+
+def test_nee_occluder_subset(mixed_scene):
+    """Occluder analysis culls hull walls + refractive tris, keeps blocks.
+
+    Every triangle NOT in the subset must be provably unable to occlude:
+    brute-check by shooting segments from random in-box points to random
+    light points and verifying each culled triangle never intersects
+    strictly inside (tmin, dist - 0.01) — the moller sweep over only the
+    culled rows must report no occlusion the full sweep would miss."""
+    import jax.numpy as jnp
+    from tpu_pt.intersect import moller
+    from tpu_pt.vec3 import V3
+
+    s = mixed_scene
+    assert s.num_occluders >= 0
+    assert 0 < s.num_occluders < s.num_tris
+    idx = np.asarray(s.occ_index)[: s.num_occluders]
+    # Refractive triangles never occlude (cu:672-681) -> none in subset.
+    bsdf = np.asarray(s.mat_bsdf)[np.asarray(s.mat_id)[idx]]
+    from tpu_pt.scene.arrays import BSDF_REFRACTION
+    assert not np.any(bsdf == BSDF_REFRACTION)
+
+    rng_ = np.random.default_rng(7)
+    n = 256
+    o = V3(*[jnp.asarray(rng_.uniform(lo, hi, n).astype(np.float32))
+             for lo, hi in ((1.0, 555.0), (1.0, 547.0), (1.0, 558.0))])
+    lc = np.asarray(s.light.corner, np.float64)
+    lp = (lc + rng_.uniform(0, 1, (n, 1)) * np.asarray(s.light.v1)
+          + rng_.uniform(0, 1, (n, 1)) * np.asarray(s.light.v2))
+    dx = jnp.asarray(lp[:, 0], jnp.float32) - o.x
+    dy = jnp.asarray(lp[:, 1], jnp.float32) - o.y
+    dz = jnp.asarray(lp[:, 2], jnp.float32) - o.z
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    d = V3(dx / dist, dy / dist, dz / dist)
+    tmax = dist - 0.01
+
+    full = moller.intersect_occluded(s, o, d, tmax)
+    # Scene restricted to the CULLED triangles only: valid &= ~in_subset.
+    culled_valid = np.asarray(s.tri_valid).copy()
+    culled_valid[idx] = False
+    s_culled = s.replace(tri_valid=jnp.asarray(culled_valid))
+    culled = moller.intersect_occluded(s_culled, o, d, tmax)
+    assert not bool(jnp.any(culled & ~full))  # sanity (subset of full)
+    assert not bool(jnp.any(culled)), "a culled triangle occluded a segment"

@@ -1019,20 +1019,44 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
     )(rays, tris, boxes, sboxes, cand, corder)
 
 
-def _trim_single(scene: SceneArrays, packed: jnp.ndarray):
+def _trim_rows(t_real: int, packed: jnp.ndarray):
     """Trim a single-slab triangle buffer to the finest 8-aligned padding.
 
     Scene arrays pad to TRI_PAD (128) rows and ``pack_tris`` to TRI_BLOCK
     multiples, but the kernels only need the row count to split into
     equal 8-aligned blocks — the mixed Cornell box (428 tris) sweeps 432
     rows instead of 512. Returns (trimmed buffer, block size)."""
-    t_real = scene.num_tris
     if not t_real or t_real >= packed.shape[0]:
         return packed, min(TRI_BLOCK // 2, packed.shape[0])
     hb = TRI_BLOCK // 2
     nb = -(-t_real // hb)                 # blocks needed at <=256 rows
     t_fine = min(-(-t_real // (8 * nb)) * 8 * nb, packed.shape[0])
     return packed[:t_fine], t_fine // nb
+
+
+def _trim_single(scene: SceneArrays, packed: jnp.ndarray):
+    return _trim_rows(scene.num_tris, packed)
+
+
+def _occ_subset(scene: SceneArrays):
+    """Packed rows of the NEE occluder subset, or None.
+
+    Scene build classifies which triangles can possibly occlude a
+    surface->area-light shadow segment (``scene/arrays.py
+    nee_occluder_index``): refractive triangles (light passes,
+    ``pathTracerPrograms.cu:672-681``) and hull-boundary triangles (every
+    segment endpoint on one side of their plane) never can. Gathering just
+    those rows shrinks the occlusion sweep — in a Cornell box from the
+    whole scene to the interior blocks. Padding rows (duplicates of row
+    occ_index[0]) get their valid column zeroed so an empty subset stays
+    empty. Returns (packed [O_pad, 16], n_occ) or None when the scene
+    carries no analysis."""
+    if scene.num_occluders < 0 or scene.occ_index is None:
+        return None
+    sub = pack_tris(scene)[scene.occ_index]
+    lane = (jnp.arange(sub.shape[0]) < scene.num_occluders)
+    sub = sub * jnp.where(lane, 1.0, 0.0).astype(sub.dtype)[:, None]
+    return sub, scene.num_occluders
 
 
 def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
@@ -1100,6 +1124,13 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
     n = origins.x.shape[0]
     n_pad = _pad_to(n, RAY_TILE)
     rays = pack_rays(origins, dirs, tmax, n_pad)
+    sub = _occ_subset(scene)
+    if sub is not None and sub[0].shape[0] <= TRI_SLAB:
+        # Sweep only the precomputed occluder subset — one single-slab
+        # pass even when the full scene takes the clustered path.
+        tris, tb_sub = _trim_rows(sub[1], sub[0])
+        occ = _occluded_call(rays, tris, tris.shape[0], tmin, tb=tb_sub)
+        return occ[0, :n] > 0
     single = pack_tris(scene).shape[0] <= TRI_SLAB
     if single:
         tris, boxes, sboxes = pack_tris(scene), None, None

@@ -70,6 +70,13 @@ class SceneArrays:
     # the padded count).
     num_tris: int = struct.field(pytree_node=False, default=0)
 
+    # NEE shadow-ray occluder subset (see ``nee_occluder_index``): indices
+    # into the padded triangle arrays of every triangle that can possibly
+    # occlude a scene-surface -> area-light segment, padded to a multiple
+    # of 8. None / -1 = unknown (occlusion kernels sweep all triangles).
+    occ_index: jnp.ndarray = None          # [O_pad] i32
+    num_occluders: int = struct.field(pytree_node=False, default=-1)
+
     @property
     def num_tris_padded(self) -> int:
         return self.tri_v0.shape[0]
@@ -81,18 +88,105 @@ class SceneArrays:
 
 def default_cornell_light() -> AreaLight:
     """The reference's hardcoded Cornell area light
-    (``PathTracerMain.cpp:154-158``)."""
+    (``PathTracerMain.cpp:154-158``). Host (numpy) leaves — converted to
+    device arrays by ``build_scene_arrays`` — so scene-build-time geometry
+    analysis (``nee_occluder_index``) never reads device memory back."""
     v1 = np.array([0.0, 0.0, 105.0], np.float32)
     v2 = np.array([-130.0, 0.0, 0.0], np.float32)
     n = np.cross(v1, v2)
     n = n / np.linalg.norm(n)
     return AreaLight(
-        corner=jnp.asarray([343.0, 547.0, 227.0], jnp.float32),
-        v1=jnp.asarray(v1),
-        v2=jnp.asarray(v2),
-        normal=jnp.asarray(n, jnp.float32),
-        emission=jnp.asarray([10.0, 10.0, 10.0], jnp.float32),
+        corner=np.array([343.0, 547.0, 227.0], np.float32),
+        v1=v1,
+        v2=v2,
+        normal=n.astype(np.float32),
+        emission=np.array([10.0, 10.0, 10.0], np.float32),
     )
+
+
+def _host_light(light: AreaLight):
+    """(corner, v1, v2) as numpy, or None if any leaf lives on device.
+
+    A device->host pull over a tunneled TPU costs whole seconds, so
+    occluder analysis only runs when the light is host-backed (every
+    loader constructs lights on host; only hand-built device lights
+    opt out, losing nothing but the culling optimization)."""
+    leaves = (light.corner, light.v1, light.v2)
+    if all(isinstance(x, (np.ndarray, list, tuple)) for x in leaves):
+        return tuple(np.asarray(x, np.float64) for x in leaves)
+    return None
+
+
+def _device_light(light: AreaLight) -> AreaLight:
+    return AreaLight(corner=jnp.asarray(light.corner, jnp.float32),
+                     v1=jnp.asarray(light.v1, jnp.float32),
+                     v2=jnp.asarray(light.v2, jnp.float32),
+                     normal=jnp.asarray(light.normal, jnp.float32),
+                     emission=jnp.asarray(light.emission, jnp.float32))
+
+
+def nee_occluder_index(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                       valid: np.ndarray, refractive: np.ndarray,
+                       light_cvv: tuple, pad_align: int = 8):
+    """Indices of every triangle that can occlude an NEE shadow segment.
+
+    NEE shadow rays (``pathTracerPrograms.cu:1003-1026``) are segments from
+    a scene-surface point to a point on the area light, tested over
+    ``(tmin, l_dist - 0.01)``. Two whole classes of triangles can never
+    produce such an occlusion and are culled here once at scene build:
+
+    - refractive triangles — the reference's occlusion program lets light
+      pass through them (``pathTracerPrograms.cu:672-681``);
+    - hull-boundary triangles: if every possible segment endpoint (the
+      scene AABB, hence every surface point, plus the light quad's four
+      corners) lies on ONE side of the triangle's plane, no segment
+      between two endpoints can properly cross that plane. In a Cornell
+      box this removes the walls, floor and ceiling, leaving only the
+      interior blocks — the occlusion sweep shrinks from the whole scene
+      to a handful of rows.
+
+    Points within ``eps`` of the plane count as "on" it: a segment whose
+    endpoint sits on the plane only touches it at the endpoint, which the
+    NEE tmin / (l_dist - 0.01) range excludes. Computed in float64 so the
+    on-plane classification of axis-aligned walls is robust.
+
+    ``light_cvv`` is the host-side (corner, v1, v2) triple. Returns
+    (occ_index int32 [O_pad] padded to ``pad_align``, n_occ).
+    """
+    v0 = np.asarray(v0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    valid = np.asarray(valid, bool)
+    refractive = np.asarray(refractive, bool)
+
+    n = np.cross(e1, e2)
+    nlen = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(nlen > 0, n / np.maximum(nlen, 1e-300), 0.0)
+    d0 = np.sum(n * v0, axis=-1)                              # [T]
+
+    vmask = np.concatenate([valid, valid, valid])
+    pts = np.concatenate([v0, v0 + e1, v0 + e2], axis=0)[vmask]
+    if pts.size == 0:
+        return np.zeros(pad_align, np.int32), 0
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                        for y in (lo[1], hi[1])
+                        for z in (lo[2], hi[2])], np.float64)  # [8, 3]
+    lc, lv1, lv2 = (np.asarray(x, np.float64) for x in light_cvv)
+    endpoints = np.concatenate(
+        [corners, [lc, lc + lv1, lc + lv2, lc + lv1 + lv2]], axis=0)
+
+    eps = 1e-4 * float(np.linalg.norm(hi - lo)) + 1e-12
+    dist = endpoints @ n.T - d0[None, :]                      # [12, T]
+    one_side = np.all(dist >= -eps, axis=0) | np.all(dist <= eps, axis=0)
+
+    mask = valid & ~refractive & ~one_side
+    idx = np.flatnonzero(mask).astype(np.int32)
+    n_occ = int(idx.size)
+    o_pad = max(pad_align, -(-n_occ // pad_align) * pad_align)
+    out = np.zeros(o_pad, np.int32)
+    out[:n_occ] = idx
+    return out, n_occ
 
 
 def build_scene_arrays(vertices: np.ndarray,
@@ -157,6 +251,16 @@ def build_scene_arrays(vertices: np.ndarray,
     host = dict(v0=pad(v0), e1=pad(e1), e2=pad(e2), normal=pad(n),
                 valid=pad(np.ones(t, bool), fill=False),
                 mat_id=pad(mat_ids.astype(np.int32)), mat_bsdf=bsdf)
+    the_light = light if light is not None else default_cornell_light()
+    light_cvv = _host_light(the_light)
+    if light_cvv is not None:
+        refr = bsdf[host["mat_id"]] == BSDF_REFRACTION
+        occ_index, n_occ = nee_occluder_index(
+            host["v0"], host["e1"], host["e2"], host["valid"], refr,
+            light_cvv)
+        occ_index = jnp.asarray(occ_index)
+    else:
+        occ_index, n_occ = None, -1
     scene = SceneArrays(
         tri_v0=jnp.asarray(host["v0"]),
         tri_e1=jnp.asarray(host["e1"]),
@@ -171,7 +275,9 @@ def build_scene_arrays(vertices: np.ndarray,
         mat_ior=jnp.asarray(ior),
         mat_bsdf=jnp.asarray(bsdf),
         mat_is_emissive=jnp.asarray(is_emissive),
-        light=light if light is not None else default_cornell_light(),
+        light=_device_light(the_light),
         num_tris=t,
+        occ_index=occ_index,
+        num_occluders=n_occ,
     )
     return (scene, host) if return_host else scene

@@ -250,11 +250,13 @@ def detect_area_light(mesh: ObjMesh) -> AreaLight | None:
     if float(np.dot(n, centroid - light_center)) < 0.0:
         n = -n
     mat = mesh.materials[emissive_ids[0]]
-    return AreaLight(corner=jnp.asarray(c, jnp.float32),
-                     v1=jnp.asarray(v1, jnp.float32),
-                     v2=jnp.asarray(v2, jnp.float32),
-                     normal=jnp.asarray(n, jnp.float32),
-                     emission=jnp.asarray(mat.emission, jnp.float32))
+    # Host (numpy) leaves: build_scene_arrays moves them to device and
+    # uses the host values for occluder analysis without a D2H pull.
+    return AreaLight(corner=np.asarray(c, np.float32),
+                     v1=np.asarray(v1, np.float32),
+                     v2=np.asarray(v2, np.float32),
+                     normal=np.asarray(n, np.float32),
+                     emission=np.asarray(mat.emission, np.float32))
 
 
 def load_scene(path: str, light: AreaLight | None = None,
