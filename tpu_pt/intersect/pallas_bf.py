@@ -247,9 +247,59 @@ def octant_orders(boxes: jnp.ndarray):
     return corder.reshape(-1, 1)
 
 
+def super_candidates_exact(rays: jnp.ndarray, sboxes: jnp.ndarray, rt: int,
+                           tmin: float, tmax) -> jnp.ndarray:
+    """Exact per-ray slab tests, OR-reduced per tile (vs the interval
+    variant below, which bounds the tile's rays conservatively).
+
+    Same [n_tiles * R, 1] table contract as ``super_candidates``. Costs a
+    dense [N, NS] pass in XLA (axis-incremental so temporaries stay
+    [N, NS]); in exchange the tile's candidate set is the TRUE union of
+    its rays' pierced boxes — interval unions over a 512-ray tile pass
+    boxes no ray actually crosses whenever origins or directions spread.
+    Near-first key = tile-min tnear over the rays that pierce."""
+    ns = sboxes.shape[0]
+    n_pad = rays.shape[1]
+    n_tiles = n_pad // rt
+    big = jnp.float32(3e38)
+    o = rays[0:3, :]
+    d = rays[3:6, :]
+    eps = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) > eps, d,
+                          jnp.where(d >= 0, eps, -eps))
+    tn = jnp.full((n_pad, ns), -big)
+    tf = jnp.full((n_pad, ns), big)
+    for a in range(3):
+        t0 = (sboxes[None, :, a] - o[a][:, None]) * inv[a][:, None]
+        t1 = (sboxes[None, :, a + 3] - o[a][:, None]) * inv[a][:, None]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    if jnp.ndim(tmax) == 0:
+        tmax_r = jnp.full((n_pad, 1), tmax)
+    else:
+        tmax_r = jnp.reshape(tmax, (n_pad, 1))
+    ok = (tn <= tf) & (tf > tmin) & (tn < tmax_r)             # [N, NS]
+    okt = ok.reshape(n_tiles, rt, ns)
+    any_ = jnp.any(okt, axis=1)                               # [tiles, NS]
+    tkey = jnp.min(jnp.where(okt, tn.reshape(n_tiles, rt, ns),
+                             jnp.float32(T_FAR)), axis=1)
+    key = jnp.where(any_, tkey, jnp.float32(T_FAR))
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    cnt = jnp.sum(any_, axis=1, dtype=jnp.int32)[:, None]
+    tab = jnp.concatenate([cnt, order], axis=1)
+    rows = _pad_to(1 + ns, 8)
+    if rows != 1 + ns:
+        tab = jnp.pad(tab, ((0, 0), (0, rows - 1 - ns)))
+    return tab.reshape(-1, 1)
+
+
 def super_candidates(rays: jnp.ndarray, sboxes: jnp.ndarray, rt: int,
                      tmin: float, tmax) -> jnp.ndarray:
     """Per-ray-tile supercluster work lists, computed OUTSIDE the kernel.
+
+    Dispatches to ``super_candidates_exact`` unless ``TPT_CAND=interval``
+    (the conservative whole-tile interval-arithmetic variant, kept for
+    A/B measurement and as documentation of the cheaper scheme).
 
     The in-kernel hierarchy's cost was dominated not by triangle sweeps
     but by the sequential skip machinery itself (measured ~2/3 of tile
@@ -276,6 +326,8 @@ def super_candidates(rays: jnp.ndarray, sboxes: jnp.ndarray, rt: int,
     that axis then passes trivially), the product interval bounds every
     ray's [tnear_axis, tfar_axis]; max/min over axes bound tnear/tfar.
     """
+    if os.environ.get("TPT_CAND", "exact") != "interval":
+        return super_candidates_exact(rays, sboxes, rt, tmin, tmax)
     ns = sboxes.shape[0]
     n_pad = rays.shape[1]
     n_tiles = n_pad // rt
