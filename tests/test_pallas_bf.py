@@ -99,6 +99,25 @@ def test_multi_slab_matches_single(mixed_scene, rays, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
 
 
+def test_binned_matches_reference(mixed_scene, rays, monkeypatch):
+    """Pair-binned scheduler vs the Möller reference, with k small enough
+    to force overflow lanes through the clustered completion pass."""
+    o, d = rays
+    ref = moller.intersect_closest(mixed_scene, o, d)
+    tmax = jnp.full((o.shape[0],), 500.0)
+    ref_occ = moller.intersect_occluded(mixed_scene, o, d, tmax)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 128)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 128)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 32)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    out = pallas_bf.intersect_closest_binned(mixed_scene, o, d, k=2)
+    occ = pallas_bf.intersect_occluded_binned(mixed_scene, o, d, tmax, k=2)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(out.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
+
+
 def test_fused_closest_nee_matches_separate(mixed_scene, rays):
     """The fused closest+NEE kernel must agree with the two-kernel path on
     every lane where its occlusion bit is defined (hit lanes)."""

@@ -487,7 +487,8 @@ def _tile_octant(ray, rt):
 
 def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                    boxes_ref=None, sboxes_ref=None, cand_ref=None,
-                   corder_ref=None, want_uv=True, init=None):
+                   corder_ref=None, want_uv=True, init=None,
+                   orig_id=None):
     """Min-reduce the plane+edge test over all tri blocks. Returns the
     (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests; ``tri`` comes
     from the packed original-id column, so it survives cluster reordering.
@@ -499,6 +500,8 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
     tile's precomputed work list from ``super_candidates``), the loop
     visits only the listed superclusters, near-first, re-testing each
     against the running best t."""
+
+    use_orig_id = boxes_ref is not None if orig_id is None else orig_id
 
     def sweep(b, carry):
         best_t, bi, bnx, bny, bnz, bm, bu, bv = carry
@@ -530,7 +533,7 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
         # Triangle id: identity-packed scenes use the block iota directly
         # (cheaper: no extra [TB, RT] product); Morton-reordered scenes
         # read the original id from column 15.
-        blk_i = (pick(15) if boxes_ref is not None
+        blk_i = (pick(15) if use_orig_id
                  else (blk_sub + s).astype(jnp.float32))
         better = blk_t < best_t
         return (jnp.where(better, blk_t, best_t),
@@ -922,9 +925,68 @@ def _tri_slabs(tris, boxes=None, sboxes=None):
     return out
 
 
-def _coherence_key(rays, boxes):
+def _candidate_key(rays, sboxes, tmin=0.01):
+    """Sort key grouping rays by their two NEAREST pierced superclusters.
+
+    Spatial keys (octant/direction morton) group rays that LOOK alike;
+    what the per-tile union actually needs is rays that NEED the same
+    clusters. Measured on the 100k-tri scene: bounce-ray tiles under the
+    dir12 key swept 158 of 200 superclusters (exact union) while each
+    ray pierces only ~8 — direction spread in a tile unions nearly the
+    whole scene. Keying by (nearest sid, second sid, origin morton)
+    groups rays whose traversal begins identically, and their remaining
+    candidate sets correlate, so tile unions collapse toward the per-ray
+    count. Costs one dense [N, NS] slab pass (the same math
+    ``super_candidates_exact`` runs later per slab).
+
+    Key layout (uint32): sid pair (sid0*(NS+1)+sid1, NS = no-hit
+    sentinel) in the high bits, scene-origin morton below."""
+    ns = sboxes.shape[0]
+    n_pad = rays.shape[1]
+    big = jnp.float32(3e38)
+    o = rays[0:3, :]
+    d = rays[3:6, :]
+    eps = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) > eps, d,
+                          jnp.where(d >= 0, eps, -eps))
+    tn = jnp.full((n_pad, ns), -big)
+    tf = jnp.full((n_pad, ns), big)
+    for a in range(3):
+        t0 = (sboxes[None, :, a] - o[a][:, None]) * inv[a][:, None]
+        t1 = (sboxes[None, :, a + 3] - o[a][:, None]) * inv[a][:, None]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    ok = (tn <= tf) & (tf > tmin)
+    key_t = jnp.where(ok, tn, big)
+    sid0 = jnp.argmin(key_t, axis=1)                          # [N]
+    t0_ = jnp.min(key_t, axis=1)
+    key_t2 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, key_t.shape, 1)
+        == sid0[:, None], big, key_t)
+    sid1 = jnp.argmin(key_t2, axis=1)
+    t1_ = jnp.min(key_t2, axis=1)
+    none0 = t0_ >= big
+    none1 = t1_ >= big
+    s0 = jnp.where(none0, ns, sid0).astype(jnp.uint32)
+    s1 = jnp.where(none1, ns, sid1).astype(jnp.uint32)
+    pair = s0 * jnp.uint32(ns + 1) + s1
+    from .lbvh import morton3d
+    lo = jnp.min(sboxes[:, 0:3], axis=0)
+    hi = jnp.max(sboxes[:, 3:6], axis=0)
+    p01 = jnp.clip((o.T - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    pair_bits = max((ns + 1) * (ns + 1) - 1, 1).bit_length()
+    shift = max(0, 32 - pair_bits)
+    return (pair << shift) | (morton3d(p01) >> jnp.uint32(30 - shift))
+
+
+def _coherence_key(rays, boxes, sboxes=None):
     """Sort key making ray tiles spatially coherent: direction octant in
     the high bits, Morton code of the scene-normalized origin below.
+
+    Mode ``cand`` (env knob) delegates to ``_candidate_key`` (group by
+    needed clusters, not by looks) — measured a wash on the tiled path
+    (1.58 vs dir12's 1.64 Mrays/s whole-frame) while costing an extra
+    [N, NS] slab pass, so dir12 stays the default.
 
     Cluster culling only pays when the rays of a tile agree on which
     clusters they might touch; bounce rays are direction-random but
@@ -950,6 +1012,10 @@ def _coherence_key(rays, boxes):
     d = rays[3:6, :]
     p01 = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
     mode = os.environ.get("TPT_SORT_KEY", "dir12")
+    if mode == "cand":
+        if sboxes is not None:
+            return _candidate_key(rays, sboxes)
+        mode = "dir12"         # no supercluster boxes at this call site
     if mode in ("dir6", "dir9", "dir12"):
         d01 = jnp.clip(0.5 * (d.T + 1.0), 0.0, 1.0)
         dbits = {"dir6": 6, "dir9": 9, "dir12": 12}[mode]
@@ -1111,13 +1177,428 @@ def _occ_subset(scene: SceneArrays):
     return sub, scene.num_occluders
 
 
+# ---------------------------------------------------------------------------
+# Pair-binned big-scene path.
+#
+# The clustered path above is tile-synchronized: a 512-ray tile sweeps the
+# UNION of its rays' candidate superclusters. Measured on the 100k-tri
+# scene, bounce-ray tiles sweep ~158 of 200 superclusters while each ray
+# pierces only ~8 — no sort key closes that gap (dir12 158, candidate-pair
+# key 149), because 512 bounce rays' candidate sets are genuinely
+# disjoint. This path decouples scheduling from ray order entirely: every
+# (ray, pierced-supercluster) PAIR becomes one unit of work. Pairs are
+# sorted by supercluster, each supercluster's run padded to whole
+# PAIR_TILE tiles, so a kernel tile is 512 pairs sharing ONE supercluster
+# — fetched by scalar-prefetch block indexing — and sweeps exactly its
+# 512 triangles. Work scales with Σ per-ray pierced counts, not with
+# per-tile unions; all data movement is multi-operand ``lax.sort``s
+# (~21 ms per 3.25M-row 8-operand sort on-chip; arbitrary gathers of
+# the same data run at ~0.4 GB/s and are avoided everywhere).
+#
+# Measured (v5p chip, 100k-tri scene, 262k rays): binned closest 122 ms
+# vs tiled 440 ms on surface-origin random-direction wavefronts, binned
+# occlusion 121 ms vs tiled 235 ms on shadow rays (58% of which pierce
+# more than PAIR_K superclusters — the any-hit short-circuit keeps the
+# completion pass off the ones already occluded). But the real
+# renderer's regenerated wavefronts are camera-coherent, where the
+# tiled path drops well under the binned path's ~100 ms fixed
+# schedule+reduce cost (whole-frame A/B: tiled 1.64 vs binned 0.63
+# Mrays/s). Hence OPT-IN via TPT_BINNED; it is the right path for
+# externally-supplied incoherent ray batches, not for camera rendering.
+# ---------------------------------------------------------------------------
+PAIR_TILE = 512
+PAIR_K = int(os.environ.get("TPT_PAIR_K", 12))
+
+
+def _sb_rows() -> int:
+    """Triangles per supercluster/kernel tile. Read at call time so it
+    tracks CLUSTER/SUPER overrides (tests shrink them)."""
+    return CLUSTER * SUPER
+
+
+def _pack_tris_binned(scene: SceneArrays):
+    """Cluster-ordered rows + a trailing all-zero sentinel supercluster
+    (invalid-pair tiles and list padding point at it; zero rows never
+    hit). Returns (tris_b [(NS+1)*sb_rows, 16], sboxes [NS, 8])."""
+    tris, _, sboxes = pack_tris_clustered(scene)
+    return jnp.pad(tris, ((0, _sb_rows()), (0, 0))), sboxes
+
+
+def _pair_schedule(rays, sboxes, k: int, tmin: float, tmax):
+    """Build the padded, supercluster-major pair schedule — sorts only.
+
+    For each ray, the k nearest (by slab-entry tnear) pierced
+    superclusters become pairs; rays piercing more than k report
+    overflow (the caller must complete them another way — nearest-k is
+    not sufficient for a correct closest hit). Pairs end up sorted by
+    supercluster id with each id's run padded to PAIR_TILE multiples,
+    so every kernel tile serves a single supercluster; invalid pairs
+    and surplus padding sink to a dead tail the kernel skips.
+
+    EVERY data movement here is a ``lax.sort`` with payload rows:
+    measured on-chip, arbitrary-index gathers/scatters of pair-sized
+    arrays run at ~0.4 GB/s effective (30+ ms each at 3M pairs) while
+    multi-operand sorts of the same data take ~0.15 ms. The padding is
+    therefore built by merging filler entries and double-sorting:
+
+      1. entries = real pairs (sid, filler=0) ++ PAIR_TILE fillers per
+         supercluster (sid, filler=1); sort by (sid, filler, order).
+      2. In sorted order, per-run prefix ops (segmented cummax) find
+         each run's real-pair count -> kept fillers = just enough to
+         round the run up to PAIR_TILE; sort again by
+         (kept ? sid * 2^22 + rank : DROP).
+
+    Returns (pair_rays [8, E_buf], idx_buf [E_buf] i32 — original pair
+    index, E_buf sentinel on fillers, tile_sid [n_tiles] i32 — block
+    row of each tile's supercluster, NS = dead tile, next_tn [N] — the
+    smallest slab-entry t among UNVISITED pierced superclusters (+big
+    if none; a hit at t <= next_tn is provably the global closest),
+    overflow [N]).
+    """
+    ns = sboxes.shape[0]
+    n_pad = rays.shape[1]
+    big = jnp.float32(3e38)
+    o = rays[0:3, :]
+    d = rays[3:6, :]
+    eps = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) > eps, d,
+                          jnp.where(d >= 0, eps, -eps))
+    tn = jnp.full((n_pad, ns), -big)
+    tf = jnp.full((n_pad, ns), big)
+    for a in range(3):
+        t0 = (sboxes[None, :, a] - o[a][:, None]) * inv[a][:, None]
+        t1 = (sboxes[None, :, a + 3] - o[a][:, None]) * inv[a][:, None]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    if jnp.ndim(tmax) == 0:
+        tmax_r = jnp.full((n_pad, 1), tmax)
+    else:
+        tmax_r = jnp.reshape(tmax, (n_pad, 1))
+    ok = (tn <= tf) & (tf > tmin) & (tn < tmax_r)             # [N, NS]
+    keyt = jnp.where(ok, tn, big)
+    # Sort keys AND ids together (payload sort): argsort + take_along_axis
+    # would gather [N, k] elements at ~0.4 GB/s (30+ ms); this is ~0.1 ms.
+    iota_ns = jnp.broadcast_to(
+        jnp.arange(ns, dtype=jnp.int32)[None, :], keyt.shape)
+    keys_sorted, sids_all = jax.lax.sort(
+        (keyt, iota_ns), num_keys=1, dimension=1)
+    sids = sids_all[:, :k]                                    # near-first
+    valid = keys_sorted[:, :k] < big
+    next_tn = keys_sorted[:, k] if k < ns else jnp.full((n_pad,), big)
+    overflow = jnp.sum(ok, axis=1, dtype=jnp.int32) > k
+
+    e = n_pad * k
+    fillers = ns * PAIR_TILE
+    e_buf = e + fillers
+    assert e_buf < (1 << 22), "pair buffer exceeds the packed-key range"
+    drop = jnp.int32(ns)                   # sort-1 key for invalid pairs
+
+    sid_r = jnp.where(valid, sids, drop).reshape(e)
+    sid_f = (jnp.arange(fillers, dtype=jnp.int32) // PAIR_TILE)
+    # One packed key: (sid, is_filler) in the high bits, position as the
+    # tiebreak below — a second key operand would grow the payload sort,
+    # which dominates the schedule's cost.
+    key1 = (jnp.concatenate([2 * sid_r, 2 * sid_f + 1]) << 22) | \
+        jnp.arange(e_buf, dtype=jnp.int32)
+    import numpy as _np
+    park = _np.zeros((8, 1), _np.float32)
+    park[0:3, 0] = 3.0e7
+    park[3:6, 0] = 0.5773503
+    nrows = 7 if jnp.ndim(tmax) else 6     # occlusion also carries tmax
+    rows = [jnp.concatenate(
+        [jnp.broadcast_to(rays[r][:, None], (n_pad, k)).reshape(e),
+         jnp.full((fillers,), float(park[r, 0]))]) for r in range(nrows)]
+    idx = jnp.concatenate(
+        [jnp.arange(e, dtype=jnp.int32),
+         jnp.full((fillers,), e_buf, jnp.int32)])
+
+    k1, idx1, *rows1 = jax.lax.sort((key1, idx) + tuple(rows), num_keys=1)
+
+    # Per-run prefix machinery (all dense VPU ops).
+    sid1 = (k1 >> 22) // 2
+    isf1 = ((k1 >> 22) & 1) == 1
+    pos = jnp.arange(e_buf, dtype=jnp.int32)
+    new = jnp.concatenate(
+        [jnp.ones((1,), bool), sid1[1:] != sid1[:-1]])
+    rstart = jax.lax.cummax(jnp.where(new, pos, -1))
+    rank = pos - rstart
+    # First filler of a run sits at rank == (number of real pairs).
+    first_f = isf1 & (new | ~jnp.concatenate(
+        [jnp.zeros((1,), bool), isf1[:-1]]))
+    seg = jnp.int32(1) << 22               # rank < 2^22 at <=4M pairs
+    cnt_prop = jax.lax.cummax(
+        sid1 * seg + jnp.where(first_f, rank + 1, 0))
+    count = cnt_prop - sid1 * seg - 1      # valid at filler positions
+    pcount = -(-count // PAIR_TILE) * PAIR_TILE
+    keep = jnp.where(isf1, rank < pcount, sid1 < ns)
+    key2 = jnp.where(keep, sid1 * seg + rank, jnp.int32(2) << 29)
+
+    k2, idx_buf, *rows2 = jax.lax.sort(
+        (key2, idx1) + tuple(rows1), num_keys=1)
+    pair_rays = jnp.stack(rows2, axis=0)
+    tile_sid = jnp.minimum(k2[::PAIR_TILE] >> 22, ns)
+    return pair_rays, tile_sid, idx_buf, next_tn, overflow
+
+
+def _binned_closest_kernel(sid_ref, rays_ref, tris_ref, out_ref, i_ref, *,
+                           ns, sb, tmin, want_uv):
+    rt = rays_ref.shape[1]
+    live = sid_ref[pl.program_id(0)] < ns
+
+    @pl.when(live)
+    def _():
+        best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt, 1, tmin,
+                              T_FAR, tb=sb, want_uv=want_uv,
+                              orig_id=True)
+        _write_closest(out_ref, i_ref, best, rt)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        # Dead tail (dropped pairs / surplus fillers): miss defaults so
+        # the unsort can consume every column deterministically.
+        out_ref[0:1, :] = jnp.full((1, rt), T_FAR, jnp.float32)
+        out_ref[1:8, :] = jnp.zeros((7, rt), jnp.float32)
+        i_ref[:, :] = jnp.zeros((1, rt), jnp.int32)
+
+
+@functools.partial(jax.named_call, name="pallas_closest_binned")
+def _closest_call_binned(pair_rays, tile_sid, tris_b, tmin: float,
+                         want_uv: bool):
+    e_pad = pair_rays.shape[1]
+    grid = (e_pad // PAIR_TILE,)
+    sb = _sb_rows()
+    ns = tris_b.shape[0] // sb - 1
+    kernel = functools.partial(_binned_closest_kernel, ns=ns, sb=sb,
+                               tmin=tmin, want_uv=want_uv)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, PAIR_TILE), lambda i, sid: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb, 16), lambda i, sid: (sid[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, PAIR_TILE), lambda i, sid: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PAIR_TILE), lambda i, sid: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, e_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, e_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=34 * e_pad * sb, bytes_accessed=e_pad * 48,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(tile_sid, pair_rays, tris_b)
+
+
+def _reduce_pairs(out, idx, idx_buf, n_pad: int, k: int,
+                  want_uv: bool = True):
+    """Per-pair kernel outputs -> per-ray best rows.
+
+    One payload sort by original pair index restores pair order (filler
+    columns carry the E_buf sentinel and sink past the first N*k
+    entries); the [N, k] min-reduce then selects per-ray bests with
+    dense masked sums — no gathers anywhere (see ``_pair_schedule``).
+    Carries only the consumed rows (t, normal, mat [, uv]) — the sort is
+    the reduce's whole cost, so every skipped operand is ~9% off it."""
+    e = n_pad * k
+    nrows = 7 if want_uv else 5            # t,nx,ny,nz,mat[,u,v]
+    _, t_s, tri_s, *aux = jax.lax.sort(
+        (idx_buf, out[0], idx[0]) + tuple(out[r] for r in range(1, nrows)),
+        num_keys=1)
+    t = t_s[:e].reshape(n_pad, k)
+    best_t = jnp.min(t, axis=1, keepdims=True)                # [N, 1]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (n_pad, k), 1)
+    kbest = jnp.min(jnp.where(t == best_t, iota_k, k), axis=1,
+                    keepdims=True)
+    sel = (iota_k == kbest).astype(jnp.float32)
+
+    def pick(a):
+        return jnp.sum(a[:e].reshape(n_pad, k) * sel, axis=1)
+
+    rows = [best_t[:, 0]] + [pick(a) for a in aux]
+    if not want_uv:
+        rows += [jnp.zeros((n_pad,)), jnp.zeros((n_pad,))]
+    return rows, pick(tri_s.astype(jnp.float32)).astype(jnp.int32)
+
+
+def _binned_occluded_kernel(sid_ref, rays_ref, tris_ref, occ_ref, *, ns,
+                            sb, tmin):
+    rt = rays_ref.shape[1]
+    live = sid_ref[pl.program_id(0)] < ns
+
+    @pl.when(live)
+    def _():
+        tmax_r = rays_ref[6:7, :]
+        occ = _occlusion_sweep(_ray_rows(rays_ref), tris_ref, tmax_r, rt,
+                               1, tmin, tb=sb)
+        occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        occ_ref[:, :] = jnp.zeros((1, rt), jnp.int32)
+
+
+@functools.partial(jax.named_call, name="pallas_occluded_binned")
+def _occluded_call_binned(pair_rays, tile_sid, tris_b, tmin: float):
+    e_pad = pair_rays.shape[1]
+    grid = (e_pad // PAIR_TILE,)
+    sb = _sb_rows()
+    ns = tris_b.shape[0] // sb - 1
+    kernel = functools.partial(_binned_occluded_kernel, ns=ns, sb=sb,
+                               tmin=tmin)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, PAIR_TILE), lambda i, sid: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb, 16), lambda i, sid: (sid[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, PAIR_TILE), lambda i, sid: (0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, e_pad), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=34 * e_pad * sb, bytes_accessed=e_pad * 48,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(tile_sid, pair_rays, tris_b)
+
+
+def intersect_occluded_binned(scene: SceneArrays, origins: V3, dirs: V3,
+                              tmax: jnp.ndarray, tmin: float = 0.01,
+                              k: int = None) -> jnp.ndarray:
+    """Pair-binned any-hit occlusion (see the section comment above)."""
+    origins = as_v3(origins)
+    dirs = as_v3(dirs)
+    if k is None:
+        k = PAIR_K
+    n = origins.x.shape[0]
+    n_pad = _pad_to(n, RAY_TILE)
+    rays = pack_rays(origins, dirs, tmax, n_pad)
+    tris_b, sboxes = _pack_tris_binned(scene)
+    k = min(k, sboxes.shape[0])
+    pair_rays, tile_sid, idx_buf, _, overflow = _pair_schedule(
+        rays, sboxes, k, tmin, rays[6])
+    occ = _occluded_call_binned(pair_rays, tile_sid, tris_b, tmin)
+    e = n_pad * k
+    _, occ_s = jax.lax.sort((idx_buf, occ[0]), num_keys=1)
+    occ_r = jnp.any(occ_s[:e].reshape(n_pad, k) > 0, axis=1)[:n]
+
+    # Any-hit short-circuit: an overflow ray already occluded by one of
+    # its nearest-k superclusters needs no completion pass.
+    ovf = overflow[:n] & ~occ_r
+    park_o = V3(jnp.where(ovf, origins.x, 3.0e7),
+                jnp.where(ovf, origins.y, 3.0e7),
+                jnp.where(ovf, origins.z, 3.0e7))
+    park_d = V3(jnp.where(ovf, dirs.x, 0.5773503),
+                jnp.where(ovf, dirs.y, 0.5773503),
+                jnp.where(ovf, dirs.z, 0.5773503))
+    fb = _intersect_occluded_tiled(scene, park_o, park_d,
+                                   jnp.where(ovf, tmax, 0.0), tmin)
+    return jnp.where(ovf, fb, occ_r)
+
+
+def intersect_closest_binned(scene: SceneArrays, origins: V3, dirs: V3,
+                             tmin: float = 0.01, tmax: float = T_FAR,
+                             want_uv: bool = True, k: int = None) -> Hit:
+    """Pair-binned closest hit (see the section comment above).
+
+    Rays whose pierced-supercluster count exceeds k are completed by the
+    clustered path (others parked), keeping nearest-k truncation exact."""
+    origins = as_v3(origins)
+    dirs = as_v3(dirs)
+    if k is None:
+        k = PAIR_K
+    n = origins.x.shape[0]
+    n_pad = _pad_to(n, RAY_TILE)
+    rays = pack_rays(origins, dirs, None, n_pad)
+    tris_b, sboxes = _pack_tris_binned(scene)
+    k = min(k, sboxes.shape[0])
+    pair_rays, tile_sid, idx_buf, next_tn, overflow = _pair_schedule(
+        rays, sboxes, k, tmin, tmax)
+    out, idx = _closest_call_binned(pair_rays, tile_sid, tris_b, tmin,
+                                    want_uv)
+    rows, tri = _reduce_pairs(out, idx, idx_buf, n_pad, k, want_uv)
+    if jnp.ndim(tmax) == 0 and tmax < T_FAR:
+        rows[0] = jnp.where(rows[0] < tmax, rows[0], jnp.float32(T_FAR))
+
+    # Overflow completion: the same wavefront through the clustered
+    # path, exact lanes parked (their tiles' candidate lists are
+    # empty, so the pass costs ~nothing when no ray overflows).
+    # Near-first early exit: superclusters were taken in tnear order,
+    # so a best hit at t <= next_tn (the nearest UNVISITED entry t)
+    # cannot be beaten by any unvisited supercluster — only overflow
+    # rays failing that test need the pass (~0 for primary/bounce hits).
+    ovf = overflow[:n] & (rows[0][:n] > next_tn[:n])
+    park_o = V3(jnp.where(ovf, origins.x, 3.0e7),
+                jnp.where(ovf, origins.y, 3.0e7),
+                jnp.where(ovf, origins.z, 3.0e7))
+    park_d = V3(jnp.where(ovf, dirs.x, 0.5773503),
+                jnp.where(ovf, dirs.y, 0.5773503),
+                jnp.where(ovf, dirs.z, 0.5773503))
+    fb = _intersect_closest_tiled(scene, park_o, park_d, tmin, tmax,
+                                  want_uv)
+
+    tv = rows[0][:n]
+    bt = jnp.where(ovf, fb.t, tv)
+    sel = lambda a, b: jnp.where(ovf, a, b)     # noqa: E731
+    return Hit(
+        t=bt,
+        tri=sel(fb.tri, tri[:n]),
+        hit=bt < T_FAR,
+        normal=V3(sel(fb.normal.x, rows[1][:n]),
+                  sel(fb.normal.y, rows[2][:n]),
+                  sel(fb.normal.z, rows[3][:n])),
+        mat=sel(fb.mat, rows[4][:n].astype(jnp.int32)),
+        u=sel(fb.u, rows[5][:n]),
+        v=sel(fb.v, rows[6][:n]),
+    )
+
+
 def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
                       tmin: float = 0.01, tmax: float = T_FAR,
                       want_uv: bool = True) -> Hit:
     """Closest-hit over a flat wavefront; drop-in for the jnp backend.
 
-    ``want_uv=False`` (the OBJ path tracer) skips the barycentric output
-    reduction in the kernel; ``Hit.u``/``Hit.v`` read as zeros."""
+    Small scenes run the dense single-slab sweep; big scenes the
+    clustered tile-synchronized path. ``TPT_BINNED=1`` (or ``closest``/
+    ``occ`` for one side) opts big scenes into the pair-binned scheduler
+    instead — measured 3.2x faster on INCOHERENT wavefronts (surface-
+    origin random-direction rays) but slower on the renderer's real
+    camera-regenerated wavefronts, whose coherence the tiled path's ray
+    sort exploits; see the pair-binned section comment. ``want_uv=False``
+    (the OBJ path tracer) skips the barycentric output reduction in the
+    kernel; ``Hit.u``/``Hit.v`` read as zeros."""
+    if (pack_tris(scene).shape[0] > TRI_SLAB
+            and os.environ.get("TPT_BINNED", "0") in ("1", "closest")):
+        return intersect_closest_binned(scene, origins, dirs, tmin=tmin,
+                                        tmax=tmax, want_uv=want_uv)
+    return _intersect_closest_tiled(scene, origins, dirs, tmin, tmax,
+                                    want_uv)
+
+
+def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
+                             tmin: float = 0.01, tmax: float = T_FAR,
+                             want_uv: bool = True) -> Hit:
     origins = as_v3(origins)
     dirs = as_v3(dirs)
     n = origins.x.shape[0]
@@ -1129,7 +1610,7 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
         tris, tb_single = _trim_single(scene, tris)
     else:
         tris, boxes, sboxes = pack_tris_clustered(scene)
-        key = _coherence_key(rays, boxes)
+        key = _coherence_key(rays, boxes, sboxes)
         rays, perm = _sorted_rays(rays, key)
     best_out = best_idx = None
     for s, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
@@ -1183,13 +1664,28 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
         tris, tb_sub = _trim_rows(sub[1], sub[0])
         occ = _occluded_call(rays, tris, tris.shape[0], tmin, tb=tb_sub)
         return occ[0, :n] > 0
+    if (pack_tris(scene).shape[0] > TRI_SLAB
+            and os.environ.get("TPT_BINNED", "0") in ("1", "occ")):
+        return intersect_occluded_binned(scene, origins, dirs, tmax,
+                                         tmin=tmin)
+    return _intersect_occluded_tiled(scene, origins, dirs, tmax, tmin)
+
+
+def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
+                              tmax: jnp.ndarray,
+                              tmin: float = 0.01) -> jnp.ndarray:
+    origins = as_v3(origins)
+    dirs = as_v3(dirs)
+    n = origins.x.shape[0]
+    n_pad = _pad_to(n, RAY_TILE)
+    rays = pack_rays(origins, dirs, tmax, n_pad)
     single = pack_tris(scene).shape[0] <= TRI_SLAB
     if single:
         tris, boxes, sboxes = pack_tris(scene), None, None
         tris, tb_single = _trim_single(scene, tris)
     else:
         tris, boxes, sboxes = pack_tris_clustered(scene)
-        key = _coherence_key(rays, boxes)
+        key = _coherence_key(rays, boxes, sboxes)
         rays, perm = _sorted_rays(rays, key)
     occ = None
     for _, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
