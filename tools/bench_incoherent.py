@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Incoherent-wavefront intersection microbench (big scene).
+
+The renderer's own wavefronts are camera-coherent after the ray sort;
+externally-supplied batches (e.g. a user tracing arbitrary rays through
+``intersect_closest``) are not. This bench builds the worst case —
+surface-point origins with uniform-sphere directions — and times the
+closest-hit and occlusion paths on it, so scheduler knobs (TPT_GUARD,
+TPT_BINNED) can be compared on the workload they exist for.
+
+Knobs: INC_RAYS (262144), INC_SCENE (assets/big_mesh.obj), INC_REPS (3).
+Prints one JSON line per path.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import tpu_pt
+    from tpu_pt.vec3 import V3
+    from tpu_pt.intersect import pallas_bf as bf
+
+    obj = os.environ.get("INC_SCENE",
+                         os.path.join(REPO, "assets", "big_mesh.obj"))
+    scene = tpu_pt.load_scene(obj)
+    n = int(os.environ.get("INC_RAYS", 262144))
+    reps = int(os.environ.get("INC_REPS", 3))
+
+    # Surface-ish origins: random points inside the scene AABB, uniform
+    # sphere directions — no tile shares a direction cone.
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    tris = bf.pack_tris(scene)
+    lo = jnp.min(tris[:, 0:3], axis=0)
+    hi = jnp.max(tris[:, 0:3], axis=0)
+    p = jax.random.uniform(k1, (n, 3)) * (hi - lo) + lo
+    d = jax.random.normal(k2, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    origins = V3(p[:, 0], p[:, 1], p[:, 2])
+    dirs = V3(d[:, 0], d[:, 1], d[:, 2])
+    tmax = jnp.full((n,), 1e4, jnp.float32)
+
+    closest = jax.jit(lambda o, dd: bf.intersect_closest(scene, o, dd))
+    occluded = jax.jit(lambda o, dd, t: bf.intersect_occluded(scene, o,
+                                                              dd, t))
+
+    for name, fn, arg in (("closest", closest, (origins, dirs)),
+                          ("occluded", occluded, (origins, dirs, tmax))):
+        out = fn(*arg)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*arg)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "metric": f"incoherent {name}, {n} rays, "
+                      f"{scene.num_tris_padded} padded tris",
+            "value": round(n / dt / 1e6, 3),
+            "unit": "Mrays/s",
+            "ms": round(dt * 1e3, 2),
+            "guard": os.environ.get("TPT_GUARD", "both"),
+            "binned": os.environ.get("TPT_BINNED", "0"),
+        }))
+
+
+if __name__ == "__main__":
+    main()

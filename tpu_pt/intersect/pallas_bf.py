@@ -488,7 +488,7 @@ def _tile_octant(ray, rt):
 def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                    boxes_ref=None, sboxes_ref=None, cand_ref=None,
                    corder_ref=None, want_uv=True, init=None,
-                   orig_id=None):
+                   orig_id=None, guard="both"):
     """Min-reduce the plane+edge test over all tri blocks. Returns the
     (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests; ``tri`` comes
     from the packed original-id column, so it survives cluster reordering.
@@ -499,7 +499,21 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
     analog of BVH node culling. With ``cand_ref`` ([1 + NS, 1], this
     tile's precomputed work list from ``super_candidates``), the loop
     visits only the listed superclusters, near-first, re-testing each
-    against the running best t."""
+    against the running best t.
+
+    ``guard`` picks the in-kernel skip machinery for the candidate-list
+    path: "both" re-tests each supercluster AND each cluster against the
+    running best (maximal culling, maximal sequential cond/box overhead),
+    "super" keeps only the supercluster cond, "none" sweeps every listed
+    candidate densely with zero conds. Measured (v5e, 100k-tri scene)
+    the guards earn their serial cost on BOTH workload classes:
+    whole-frame 512^2 x 8-bounce camera wavefronts 1.64 / 1.52 / 1.49
+    Mrays/s (both/super/none), and uniform-random incoherent batches
+    (``tools/bench_incoherent.py``) 11.0 / 8.8 / 5.2 — skipped sweeps
+    beat cond-free pipelining even when tile candidate unions are wide,
+    because the near-first order plus running-best test still retires
+    most listed superclusters early. "both" is the default;
+    ``TPT_GUARD`` stays as the ablation knob behind those numbers."""
 
     use_orig_id = boxes_ref is not None if orig_id is None else orig_id
 
@@ -566,19 +580,36 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                 jnp.zeros((1, rt), jnp.float32),
                 jnp.zeros((1, rt), jnp.float32))
     if sboxes_ref is not None:
-        co_base = _tile_octant(ray, rt) * nb
         # Clamp the work-list length so a corrupt table can never run the
         # dynamic loop past the supercluster count.
         ncand = jnp.clip(cand_ref[0, 0], 0, nb // SUPER)
+
+        if guard == "none":
+            def super_step(k, carry):
+                sb = cand_ref[1 + k, 0]       # k-th nearest supercluster
+
+                def cluster_step(j, c):
+                    return sweep(sb * SUPER + j, c)
+
+                return jax.lax.fori_loop(0, SUPER, cluster_step, carry)
+
+            return jax.lax.fori_loop(0, ncand, super_step, init)
+
+        co_base = _tile_octant(ray, rt) * nb
 
         def super_step(k, carry):
             sb = cand_ref[1 + k, 0]           # k-th nearest supercluster
             tnear, tfar = _box_near_far(ray, inv, sboxes_ref, sb)
             useful = (tnear <= tfar) & (tfar > tmin) & (tnear < carry[0])
 
-            def cluster_step(j, c):
-                return step(
-                    sb * SUPER + corder_ref[co_base + sb * SUPER + j, 0], c)
+            if guard == "super":
+                def cluster_step(j, c):
+                    return sweep(sb * SUPER + j, c)
+            else:
+                def cluster_step(j, c):
+                    return step(
+                        sb * SUPER
+                        + corder_ref[co_base + sb * SUPER + j, 0], c)
 
             return jax.lax.cond(
                 jnp.any(useful),
@@ -593,8 +624,12 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
 
 def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
                      boxes_ref=None, sboxes_ref=None, cand_ref=None,
-                     corder_ref=None):
-    """OR-reduce "any non-refractive hit in (tmin, tmax)" over tri blocks."""
+                     corder_ref=None, guard="both"):
+    """OR-reduce "any non-refractive hit in (tmin, tmax)" over tri blocks.
+
+    ``guard`` as in ``_closest_sweep``; occlusion's guards also carry the
+    any-hit early exit (``occ < 0.5``), so "none" trades that for a
+    cond-free pipeline."""
 
     def sweep(b, occ):
         s = b * tb
@@ -620,8 +655,20 @@ def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
     # ("failed to legalize scf.for").
     init = jnp.zeros((1, rt), jnp.float32)
     if sboxes_ref is not None:
-        co_base = _tile_octant(ray, rt) * nb
         ncand = jnp.clip(cand_ref[0, 0], 0, nb // SUPER)
+
+        if guard == "none":
+            def super_step(k, occ):
+                sb = cand_ref[1 + k, 0]
+
+                def cluster_step(j, c):
+                    return sweep(sb * SUPER + j, c)
+
+                return jax.lax.fori_loop(0, SUPER, cluster_step, occ)
+
+            return jax.lax.fori_loop(0, ncand, super_step, init)
+
+        co_base = _tile_octant(ray, rt) * nb
 
         def super_step(k, occ):
             sb = cand_ref[1 + k, 0]           # near-first: occ sets early
@@ -629,9 +676,14 @@ def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
             useful = ((tnear <= tfar) & (tfar > tmin) & (tnear < tmax)
                       & (occ < 0.5))
 
-            def cluster_step(j, c):
-                return step(
-                    sb * SUPER + corder_ref[co_base + sb * SUPER + j, 0], c)
+            if guard == "super":
+                def cluster_step(j, c):
+                    return sweep(sb * SUPER + j, c)
+            else:
+                def cluster_step(j, c):
+                    return step(
+                        sb * SUPER
+                        + corder_ref[co_base + sb * SUPER + j, 0], c)
 
             return jax.lax.cond(
                 jnp.any(useful),
@@ -669,20 +721,21 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
 
 def _closest_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                               cand_ref, corder_ref, out_ref, i_ref, *,
-                              n_tri, tmin, tmax, want_uv=True):
+                              n_tri, tmin, tmax, want_uv=True,
+                              guard="both"):
     rt = rays_ref.shape[1]
     best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
                           n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
                           boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
                           cand_ref=cand_ref, corder_ref=corder_ref,
-                          want_uv=want_uv)
+                          want_uv=want_uv, guard=guard)
     _write_closest(out_ref, i_ref, best, rt)
 
 
 def _closest_kernel_chained(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                             cand_ref, corder_ref, pout_ref, pidx_ref,
                             out_ref, i_ref, *, n_tri, tmin, tmax,
-                            want_uv=True):
+                            want_uv=True, guard="both"):
     """Clustered closest-hit seeded with a previous slab's best hit.
 
     The running best-t then culls this slab's clusters from step one
@@ -697,19 +750,20 @@ def _closest_kernel_chained(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                           n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
                           boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
                           cand_ref=cand_ref, corder_ref=corder_ref,
-                          want_uv=want_uv, init=init)
+                          want_uv=want_uv, init=init, guard=guard)
     _write_closest(out_ref, i_ref, best, rt)
 
 
 def _occluded_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                                cand_ref, corder_ref, occ_ref, *, n_tri,
-                               tmin):
+                               tmin, guard="both"):
     rt = rays_ref.shape[1]
     tmax_r = rays_ref[6:7, :]                                     # [1, RT]
     occ = _occlusion_sweep(_ray_rows(rays_ref), tris_ref, tmax_r, rt,
                            n_tri // CLUSTER, tmin, tb=CLUSTER,
                            boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
-                           cand_ref=cand_ref, corder_ref=corder_ref)
+                           cand_ref=cand_ref, corder_ref=corder_ref,
+                           guard=guard)
     occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
 
 
@@ -1042,6 +1096,15 @@ def _unsort(perm, rows):
     return out[1:]
 
 
+def _guard_mode() -> str:
+    """In-kernel skip machinery for the clustered path (see
+    ``_closest_sweep``). Env knob ``TPT_GUARD`` (both | super | none)."""
+    mode = os.environ.get("TPT_GUARD", "both")
+    if mode not in ("both", "super", "none"):
+        raise ValueError(f"TPT_GUARD must be both|super|none, got {mode!r}")
+    return mode
+
+
 @functools.partial(jax.named_call, name="pallas_closest_c")
 def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                             n_tri: int, tmin: float, tmax: float,
@@ -1049,13 +1112,16 @@ def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)   # work-list rows
+    guard = _guard_mode()
     if prior is None:
         kernel = functools.partial(_closest_kernel_clustered, n_tri=n_tri,
-                                   tmin=tmin, tmax=tmax, want_uv=want_uv)
+                                   tmin=tmin, tmax=tmax, want_uv=want_uv,
+                                   guard=guard)
         extra_in, extra_specs = (), ()
     else:
         kernel = functools.partial(_closest_kernel_chained, n_tri=n_tri,
-                                   tmin=tmin, tmax=tmax, want_uv=want_uv)
+                                   tmin=tmin, tmax=tmax, want_uv=want_uv,
+                                   guard=guard)
         extra_in = prior
         extra_specs = (
             pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
@@ -1107,7 +1173,7 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)
     kernel = functools.partial(_occluded_kernel_clustered, n_tri=n_tri,
-                               tmin=tmin)
+                               tmin=tmin, guard=_guard_mode())
     return pl.pallas_call(
         kernel,
         grid=grid,
