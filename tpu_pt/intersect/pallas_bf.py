@@ -129,32 +129,46 @@ SUPER = int(os.environ.get("TPT_SUPER", 4))   # clusters per supercluster
 
 
 def pack_tris_clustered(scene: SceneArrays):
-    """Morton-order the packed triangles and compute the 2-level AABBs.
+    """Spatially order the packed triangles and compute the 2-level AABBs.
 
-    Returns (tris [T_pad, 16] in Morton order, boxes [C, 8] with rows
+    Returns (tris [T_pad, 16] in cluster order, boxes [C, 8] with rows
     (min xyz, max xyz, pad, pad), sboxes [C // SUPER, 8] supercluster
     AABBs). Spatially sorted clusters give the in-kernel slab tests
     something to cull; all-padding clusters collapse to a far point box
     that fails every slab test. T_pad is a CLUSTER*SUPER multiple so
-    every slab divides into whole superclusters. Once per scene; XLA
-    hoists it out of the render loop.
-    """
-    from .lbvh import morton3d
+    every slab divides into whole superclusters.
 
+    The order is the scene's precomputed balanced-kd permutation
+    (``scene.cluster_order``, built host-side at load —
+    ``scene/arrays.py median_split_order``) when present: kd leaves cut
+    the mean pierced superclusters per bounce ray vs Morton runs, which
+    overlap badly on curved dense meshes. Scenes without one (hand-built
+    arrays, shrunken-CLUSTER tests) fall back to a device-computed
+    Morton order. Once per scene; XLA hoists it out of the render loop.
+    """
     packed = pack_tris(scene)
     v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
     valid = scene.tri_valid
-    centroid = v0 + (e1 + e2) / 3.0
-    lo = jnp.min(jnp.where(valid[:, None], centroid, jnp.inf), axis=0)
-    hi = jnp.max(jnp.where(valid[:, None], centroid, -jnp.inf), axis=0)
-    p01 = (centroid - lo) / jnp.maximum(hi - lo, 1e-12)
-    code = jnp.where(valid, morton3d(jnp.clip(p01, 0.0, 1.0)),
-                     jnp.uint32(0xFFFFFFFF))
-    if code.shape[0] != packed.shape[0]:
-        import numpy as _np
-        code = jnp.pad(code, (0, packed.shape[0] - code.shape[0]),
-                       constant_values=_np.uint32(0xFFFFFFFF))
-    order = jnp.argsort(code)
+    if getattr(scene, "cluster_order", None) is not None:
+        order = scene.cluster_order
+        if order.shape[0] < packed.shape[0]:
+            order = jnp.concatenate([
+                order, jnp.arange(order.shape[0], packed.shape[0],
+                                  dtype=order.dtype)])
+    else:
+        from .lbvh import morton3d
+
+        centroid = v0 + (e1 + e2) / 3.0
+        lo = jnp.min(jnp.where(valid[:, None], centroid, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(valid[:, None], centroid, -jnp.inf), axis=0)
+        p01 = (centroid - lo) / jnp.maximum(hi - lo, 1e-12)
+        code = jnp.where(valid, morton3d(jnp.clip(p01, 0.0, 1.0)),
+                         jnp.uint32(0xFFFFFFFF))
+        if code.shape[0] != packed.shape[0]:
+            import numpy as _np
+            code = jnp.pad(code, (0, packed.shape[0] - code.shape[0]),
+                           constant_values=_np.uint32(0xFFFFFFFF))
+        order = jnp.argsort(code)
     packed = packed[order]
 
     # Pad the sorted triangles to a whole number of superclusters AND to

@@ -77,6 +77,12 @@ class SceneArrays:
     occ_index: jnp.ndarray = None          # [O_pad] i32
     num_occluders: int = struct.field(pytree_node=False, default=-1)
 
+    # Clustered-intersector triangle ordering (see ``median_split_order``):
+    # a permutation of the padded triangle rows whose consecutive 128-row
+    # runs are balanced-kd leaves. None = fall back to a Morton ordering
+    # computed on device (small scenes never read it).
+    cluster_order: jnp.ndarray = None      # [T] i32
+
     @property
     def num_tris_padded(self) -> int:
         return self.tri_v0.shape[0]
@@ -102,6 +108,49 @@ def default_cornell_light() -> AreaLight:
         normal=n.astype(np.float32),
         emission=np.array([10.0, 10.0, 10.0], np.float32),
     )
+
+
+def median_split_order(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                       valid: np.ndarray, leaf: int = 128) -> np.ndarray:
+    """Equal-count recursive median-split (balanced-kd) triangle order.
+
+    Consecutive ``leaf``-row runs of the returned permutation are the
+    leaves of a balanced kd-tree over triangle centroids: each node
+    splits its triangles at the count median along its widest centroid
+    axis, rounded to a whole-leaf boundary, so leaves never straddle a
+    split. The clustered intersectors build one AABB per consecutive
+    ``leaf`` rows (``pallas_bf.pack_tris_clustered``); kd leaves make
+    those boxes compact and nearly disjoint, where Morton-run clusters
+    overlap badly on curved dense meshes (measured on the 100k-tri
+    displaced sphere: mean pierced 512-tri superclusters per bounce ray
+    8.3 under Morton order). Invalid/padding rows sort to the tail of
+    their subtree (and of the whole array at the root split). Host-side
+    numpy; runs once at scene build. ``len(v0)`` must be a multiple of
+    ``leaf`` (``TRI_PAD`` guarantees it)."""
+    t = v0.shape[0]
+    c = (v0 + (e1 + e2) / 3.0).astype(np.float64)
+    c = np.where(valid[:, None], c, np.inf)
+    out = np.empty(t, np.int64)
+    stack = [(0, np.arange(t))]
+    while stack:
+        off, idx = stack.pop()
+        n = idx.shape[0]
+        if n <= leaf:
+            out[off:off + n] = idx
+            continue
+        cc = c[idx]
+        fin = np.isfinite(cc[:, 0])
+        if not fin.any():
+            out[off:off + n] = idx
+            continue
+        lo = cc[fin].min(axis=0)
+        hi = cc[fin].max(axis=0)
+        axis = int(np.argmax(hi - lo))
+        nl = (n // leaf // 2) * leaf
+        part = np.argpartition(cc[:, axis], nl)
+        stack.append((off, idx[part[:nl]]))
+        stack.append((off + nl, idx[part[nl:]]))
+    return out
 
 
 def _host_light(light: AreaLight):
@@ -261,6 +310,14 @@ def build_scene_arrays(vertices: np.ndarray,
         occ_index = jnp.asarray(occ_index)
     else:
         occ_index, n_occ = None, -1
+    # Precompute the clustered-path triangle order for scenes big enough
+    # to take it (the Pallas single-slab path covers everything smaller);
+    # host-side so the render jit never re-derives it per frame.
+    cluster_order = None
+    if t_pad > 4096:
+        cluster_order = jnp.asarray(median_split_order(
+            host["v0"], host["e1"], host["e2"],
+            host["valid"]).astype(np.int32))
     scene = SceneArrays(
         tri_v0=jnp.asarray(host["v0"]),
         tri_e1=jnp.asarray(host["e1"]),
@@ -279,5 +336,6 @@ def build_scene_arrays(vertices: np.ndarray,
         num_tris=t,
         occ_index=occ_index,
         num_occluders=n_occ,
+        cluster_order=cluster_order,
     )
     return (scene, host) if return_host else scene
