@@ -124,8 +124,15 @@ def pack_tris(scene: SceneArrays) -> jnp.ndarray:
 # form a supercluster with its own AABB — a second hierarchy level whose
 # slab test skips SUPER sweep steps (and their per-cluster box tests) at
 # once when a ray tile misses the whole region.
-CLUSTER = 128
-SUPER = int(os.environ.get("TPT_SUPER", 4))   # clusters per supercluster
+CLUSTER = int(os.environ.get("TPT_CLUSTER", 128))
+# Clusters per supercluster. 1 = the candidate lists address single
+# clusters directly (no second level). Swept under the balanced-kd
+# ordering (512^2 x 8-bounce 100k-tri frame, Mrays/s): CLUSTER/SUPER
+# 128/4 = 1.97, 128/2 = 2.05, 128/1 = 2.13 (2.47 with the redundant
+# inner guard dropped — see ``_guard_mode``), 256/1 = 1.75, 64/2 = 2.08,
+# 64/1 = 1.77. kd leaf boxes are tight enough that per-128-tri work
+# lists beat the coarser two-level culling the Morton order needed.
+SUPER = int(os.environ.get("TPT_SUPER", 1))
 
 
 def pack_tris_clustered(scene: SceneArrays):
@@ -1112,10 +1119,17 @@ def _unsort(perm, rows):
 
 def _guard_mode() -> str:
     """In-kernel skip machinery for the clustered path (see
-    ``_closest_sweep``). Env knob ``TPT_GUARD`` (both | super | none)."""
+    ``_closest_sweep``). Env knob ``TPT_GUARD`` (both | super | none).
+
+    At SUPER == 1 the per-cluster re-test inside a visited supercluster
+    checks the IDENTICAL box the supercluster cond just passed, so
+    "both" degrades to "super" (measured 2.13 -> 2.47 Mrays/s on the
+    100k-tri frame — the redundant test was ~14% of the kernel)."""
     mode = os.environ.get("TPT_GUARD", "both")
     if mode not in ("both", "super", "none"):
         raise ValueError(f"TPT_GUARD must be both|super|none, got {mode!r}")
+    if mode == "both" and SUPER == 1:
+        return "super"
     return mode
 
 
