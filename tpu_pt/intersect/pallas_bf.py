@@ -49,10 +49,15 @@ from ..vec3 import V3, as_v3
 from .moller import Hit, T_FAR, DET_EPS
 
 RAY_TILE = 2048       # rays per grid program (dense small-scene kernels)
-RAY_TILE_C = int(os.environ.get("TPT_RT_C", 512))
+RAY_TILE_C = int(os.environ.get("TPT_RT_C", 256))
                       # rays per grid program, clustered kernels — smaller
-                      # tiles are more coherent, so the whole-tile cull
-                      # tests skip more cluster sweeps (env knob for tuning)
+                      # tiles are more coherent, so their candidate work
+                      # lists are shorter. Swept on the 100k-tri frame
+                      # under kd order + guard "none" (Mrays/s): 128 =
+                      # 2.48, 256 = 2.75, 512 = 2.52, 1024 = 2.01; the
+                      # old 512 default dates from the guarded kernels,
+                      # whose per-step conds amortized better over wide
+                      # tiles (env knob for tuning)
 FUSED_RAY_TILE = 2048  # fused closest+NEE kernel ray tile (it halves the
                        # tri block instead to fit both sweeps' [TB, RT]
                        # intermediates in the 16 MB scoped-VMEM budget)
@@ -526,15 +531,15 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
     path: "both" re-tests each supercluster AND each cluster against the
     running best (maximal culling, maximal sequential cond/box overhead),
     "super" keeps only the supercluster cond, "none" sweeps every listed
-    candidate densely with zero conds. Measured (v5e, 100k-tri scene)
-    the guards earn their serial cost on BOTH workload classes:
-    whole-frame 512^2 x 8-bounce camera wavefronts 1.64 / 1.52 / 1.49
-    Mrays/s (both/super/none), and uniform-random incoherent batches
-    (``tools/bench_incoherent.py``) 11.0 / 8.8 / 5.2 — skipped sweeps
-    beat cond-free pipelining even when tile candidate unions are wide,
-    because the near-first order plus running-best test still retires
-    most listed superclusters early. "both" is the default;
-    ``TPT_GUARD`` stays as the ablation knob behind those numbers."""
+    candidate densely with zero conds. The guards earned their cost under
+    the original Morton cluster order (whole-frame 1.64 / 1.52 / 1.49
+    Mrays/s both/super/none; incoherent batches 11.0 / 8.8 / 5.2), but
+    the balanced-kd order + single-level 128-tri work lists flipped the
+    verdict: the lists are now tight enough that the per-step cond
+    machinery only serializes the sweep. Measured (v5e, 100k-tri scene,
+    RAY_TILE_C 256): whole-frame 2.53 (super) vs 2.75 (none) Mrays/s,
+    and incoherent batches are at parity (~11.5-12.3 every mode). "none"
+    is the default; ``TPT_GUARD`` stays as the ablation knob."""
 
     use_orig_id = boxes_ref is not None if orig_id is None else orig_id
 
@@ -1119,13 +1124,17 @@ def _unsort(perm, rows):
 
 def _guard_mode() -> str:
     """In-kernel skip machinery for the clustered path (see
-    ``_closest_sweep``). Env knob ``TPT_GUARD`` (both | super | none).
+    ``_closest_sweep``). Env knob ``TPT_GUARD`` (both | super | none);
+    default "none" — under the kd cluster order the precomputed work
+    lists are tight enough that in-kernel conds only serialize the sweep
+    (2.53 -> 2.75 Mrays/s on the 100k-tri frame, parity on incoherent
+    batches; measurement table in ``_closest_sweep``).
 
     At SUPER == 1 the per-cluster re-test inside a visited supercluster
     checks the IDENTICAL box the supercluster cond just passed, so
     "both" degrades to "super" (measured 2.13 -> 2.47 Mrays/s on the
     100k-tri frame — the redundant test was ~14% of the kernel)."""
-    mode = os.environ.get("TPT_GUARD", "both")
+    mode = os.environ.get("TPT_GUARD", "none")
     if mode not in ("both", "super", "none"):
         raise ValueError(f"TPT_GUARD must be both|super|none, got {mode!r}")
     if mode == "both" and SUPER == 1:
