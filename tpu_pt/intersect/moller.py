@@ -32,9 +32,11 @@ T_FAR = 1e16
 @struct.dataclass
 class Hit:
     """Closest-hit result. Normal and material id are produced by the
-    intersector itself (selected during the triangle sweep) because
-    post-hoc ``table[tri]`` gathers are pathologically slow on TPU
-    (~1 GB/s effective) — returning them here keeps shading gather-free."""
+    intersector itself because post-hoc ``table[tri]`` gathers are
+    pathologically slow on TPU (~1 GB/s effective) — either selected
+    in-sweep, or (small scenes) recovered from the winning tri id by an
+    exact one-hot matmul (``pallas_bf._lean_resolve``). Shading stays
+    gather-free either way."""
     t: jnp.ndarray        # [N] f32, T_FAR on miss
     tri: jnp.ndarray      # [N] i32, 0 on miss
     hit: jnp.ndarray      # [N] bool

@@ -745,6 +745,44 @@ def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
     _write_closest(out_ref, i_ref, best, rt)
 
 
+def _lean_sweep(ray, tris_ref, rt, nb, tmin, tb):
+    """(t, tri-id) min-reduce only — no in-sweep normal/material selects.
+
+    The full sweep's winner-attribute machinery (``sel`` compare + four
+    masked [TB, RT] select-reduces) is ~16% of the closest kernel; small
+    scenes recover (normal, material) OUTSIDE the kernel from the tri id
+    with one one-hot matmul against the packed-tri table — the same
+    in-layout lookup trick ``_shade_hit`` uses for material properties,
+    affordable because the one-hot width is the scene's triangle count."""
+
+    def sweep(b, carry):
+        best_t, bi = carry
+        s = b * tb
+        t, _, _, _ = _pe_block(ray, tris_ref, s, tb, tmin)
+        blk_t = jnp.min(t, axis=0, keepdims=True)                 # [1, RT]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (tb, rt), 0)
+        cand = jnp.where(t == blk_t, sub, _BIG_IDX)
+        blk_sub = jnp.min(cand, axis=0, keepdims=True)            # [1, RT]
+        better = blk_t < best_t
+        return (jnp.where(better, blk_t, best_t),
+                jnp.where(better, (blk_sub + s).astype(jnp.float32), bi))
+
+    init = (jnp.full((1, rt), T_FAR, jnp.float32),
+            jnp.zeros((1, rt), jnp.float32))
+    if nb == 1:
+        return sweep(0, init)
+    return jax.lax.fori_loop(0, nb, sweep, init)
+
+
+def _closest_kernel_lean(rays_ref, tris_ref, out_ref, i_ref, *, n_tri,
+                         tmin, tb=TRI_BLOCK):
+    rt = rays_ref.shape[1]
+    best_t, best_i = _lean_sweep(_ray_rows(rays_ref), tris_ref, rt,
+                                 n_tri // tb, tmin, tb)
+    out_ref[:, :] = best_t
+    i_ref[:, :] = jnp.where(best_t < T_FAR, best_i.astype(jnp.int32), 0)
+
+
 def _closest_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                               cand_ref, corder_ref, out_ref, i_ref, *,
                               n_tri, tmin, tmax, want_uv=True,
@@ -874,6 +912,66 @@ def _closest_call(rays, tris, n_tri: int, tmin: float, tmax: float,
             transcendentals=0),
         interpret=_interpret(),
     )(rays, tris)
+
+
+@functools.partial(jax.named_call, name="pallas_closest_lean")
+def _closest_call_lean(rays, tris, n_tri: int, tmin: float,
+                       tb: int = TRI_BLOCK):
+    n_pad = rays.shape[1]
+    grid = (n_pad // RAY_TILE,)
+    kernel = functools.partial(_closest_kernel_lean, n_tri=n_tri,
+                               tmin=tmin, tb=tb)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=28 * n_pad * n_tri, bytes_accessed=n_pad * 48,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(rays, tris)
+
+
+def _lean_resolve(tris, t, tri, n_tri: int):
+    """(normal, material) for the winning tri ids via one-hot matmul.
+
+    ``tris`` is the trimmed packed table the kernel swept, so row order
+    matches the returned ids. A 0/1 one-hot times an f32 table is exact
+    row selection as long as the matmul keeps f32 precision (HIGHEST —
+    measured bitwise-equal to the in-kernel selects; a hand-rolled
+    3x bf16 table-split variant is also exact but ~3% slower end to
+    end, XLA fuses the HIGHEST passes better). Misses (id 0) are zeroed
+    to match ``_hit_from_out``."""
+    tbl = jnp.concatenate([tris[:, 0:3], tris[:, 14:15]], axis=1)  # [T, 4]
+    onehot = (tri[:, None] == jnp.arange(n_tri, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+    rows = jnp.matmul(onehot, tbl, precision=jax.lax.Precision.HIGHEST)
+    hit = t < T_FAR
+    rows = jnp.where(hit[:, None], rows, 0.0)
+    return Hit(t=t, tri=tri, hit=hit,
+               normal=V3(rows[:, 0], rows[:, 1], rows[:, 2]),
+               mat=jnp.round(rows[:, 3]).astype(jnp.int32),
+               u=jnp.zeros_like(t), v=jnp.zeros_like(t))
+
+
+# One-hot resolve cost scales with the triangle count (construction +
+# [N, T] matmul operand traffic); above this the in-sweep selects win.
+LEAN_MAX_TRIS = int(os.environ.get("TPT_LEAN_MAX", 2048))
 
 
 @functools.partial(jax.named_call, name="pallas_occluded")
@@ -1711,6 +1809,14 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
     if single:
         tris, boxes, sboxes = pack_tris(scene), None, None
         tris, tb_single = _trim_single(scene, tris)
+        if (not want_uv and tmax >= T_FAR
+                and tris.shape[0] <= LEAN_MAX_TRIS):
+            # OBJ-path small scenes: lean (t, id) kernel + one-hot
+            # attribute resolve (see _lean_sweep).
+            out_t, idx = _closest_call_lean(rays, tris, tris.shape[0],
+                                            tmin, tb=tb_single)
+            return _lean_resolve(tris, out_t[0, :n], idx[0, :n],
+                                 tris.shape[0])
     else:
         tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes, sboxes)

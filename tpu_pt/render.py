@@ -580,16 +580,13 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     n_slots = max(4, (total_items + n_lanes - 1) // n_lanes
                   + int(os.environ.get("TPT_SLOT_MARGIN", 2)))
     slot_iota = jnp.arange(n_slots, dtype=jnp.uint32)[:, None]   # [S, 1]
-    # Empty slots carry a unique id past the real items (their writes
-    # land in the drain array's trash tail, sliced off) so every drain
-    # index is globally unique and in-bounds and the scatter can run as
-    # a promised-in-bounds unique-indices permutation — measured ~30%
-    # cheaper than the duplicate-tolerant scatter-add it replaces.
+    # Empty slots carry filler ids past the real items, so the drain's
+    # sort-by-id pushes them behind every real item row (see the drain
+    # below). Unique fillers keep the sort key total-ordered.
     empty_ids = (total_items + jnp.arange(n_slots * n_lanes, dtype=jnp.int32)
                  ).reshape(n_slots, n_lanes)
     uf_empty = total_items + n_slots * n_lanes + jnp.arange(
         n_lanes, dtype=jnp.int32)
-    drain_size = total_items + n_slots * n_lanes + n_lanes
 
     def item_pixel(g):
         return g % n, (g // n) * chunk                # (pixel slot, sample0)
@@ -710,26 +707,24 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
 
     out = jax.lax.while_loop(cond, body, state0)
 
-    # Drain: scatter every flush slot plus the retired lanes'
-    # register-held radiance into a dense per-ITEM array, then fold the
-    # chunk axis with a dense sum (item g covers pixel g % n). Item ids
-    # are globally unique and in-bounds (empty slots write their zeros
-    # into the trash tail past the real items), so the scatter runs as
-    # a pure promised-in-bounds unique-indices permutation — measured
-    # ~30% cheaper per update than the duplicate-tolerant scatter-add
-    # into pixels it replaces, and the chunk fold becomes a
-    # [n_chunks, n] reduction the VPU does for free.
+    # Drain: every item id in [0, total_items) appears EXACTLY ONCE
+    # across the flush slots and the retired lanes' registers (each item
+    # is claimed once and either flushed or retired), and the empty
+    # slots' filler ids all sit past total_items — so one ascending
+    # multi-operand sort by id puts item k's radiance at row k, and the
+    # chunk fold is a [n_chunks, n] reshape-sum (item g covers pixel
+    # g % n). No scatter at all: XLA lowers the scatter this replaces
+    # to three sorts + three 14 ms permute fusions; doing the one sort
+    # ourselves is ~6x cheaper (measured 52 -> 8 ms per frame).
     idx = jnp.concatenate([out["slot_g"].reshape(-1), out["uf_g"]])
-
-    def drain(chan_slots, chan_uf):
-        vals = jnp.concatenate([chan_slots.reshape(-1), chan_uf])
-        dense = jnp.zeros((drain_size,)).at[idx].set(
-            vals, mode="promise_in_bounds", unique_indices=True)
-        return dense[:total_items].reshape(n_chunks, n).sum(axis=0)
-
-    result = V3(drain(out["slot_rgb"].x, out["pending"].x),
-                drain(out["slot_rgb"].y, out["pending"].y),
-                drain(out["slot_rgb"].z, out["pending"].z))
+    srt = jax.lax.sort(
+        (idx,
+         jnp.concatenate([out["slot_rgb"].x.reshape(-1), out["pending"].x]),
+         jnp.concatenate([out["slot_rgb"].y.reshape(-1), out["pending"].y]),
+         jnp.concatenate([out["slot_rgb"].z.reshape(-1), out["pending"].z])),
+        num_keys=1)
+    result = V3(*(srt[c][:total_items].reshape(n_chunks, n).sum(axis=0)
+                  for c in (1, 2, 3)))
 
     stats = RenderStats(rays_traced=out["n_rays"],
                         shadow_rays=out["n_shadow"],
