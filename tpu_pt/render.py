@@ -566,7 +566,15 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     n_chunks = (cfg.spp + chunk - 1) // chunk
     total_items = n * n_chunks
     total = jnp.uint32(total_items)
-    n_lanes = min(cfg.lanes, total_items)
+    # Cap the wavefront so each lane averages >= ~8 items: with fewer,
+    # the queue stops regenerating and the frame tail is the unluckiest
+    # ITEM's full trace count at near-empty occupancy. Measured on the
+    # 100k-tri scene (512^2 x 4 spp = 1 item/lane at the 262144 cap):
+    # 2.97 -> 3.74 Mrays/s at items/8 lanes (the sweet spot; 16k matches,
+    # 8k over-serializes). The Cornell headline (2M items) already sits
+    # at exactly items/8 = the cap, so it is unaffected. The 4096 floor
+    # keeps tiny renders wide enough to fill the kernel grid.
+    n_lanes = min(cfg.lanes, max(4096, total_items // 8), total_items)
     spp = jnp.uint32(cfg.spp)
     # Mean flushes/lane is items/lanes; the queue self-balances (lanes that
     # draw cheap items finish more of them), so a small margin suffices —
