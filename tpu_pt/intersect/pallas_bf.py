@@ -522,10 +522,12 @@ def _tile_octant(ray, rt):
 def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                    boxes_ref=None, sboxes_ref=None, cand_ref=None,
                    corder_ref=None, want_uv=True, init=None,
-                   orig_id=None, guard="both"):
+                   orig_id=None, guard="both", lean=False, lean_base=0):
     """Min-reduce the plane+edge test over all tri blocks. Returns the
     (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests; ``tri`` comes
     from the packed original-id column, so it survives cluster reordering.
+    With ``lean=True`` the carry (and return) is just (t, packed-row id)
+    — attribute recovery happens outside the kernel.
 
     With ``boxes_ref`` ([NB, 8] cluster AABBs), each block is guarded by a
     whole-tile slab test (tightened by the running best t) and skipped via
@@ -552,7 +554,6 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
     use_orig_id = boxes_ref is not None if orig_id is None else orig_id
 
     def sweep(b, carry):
-        best_t, bi, bnx, bny, bnz, bm, bu, bv = carry
         s = b * tb
         t, _, u, v = _pe_block(ray, tris_ref, s, tb, tmin)
         if tmax < T_FAR:    # static; render paths pass tmax = T_FAR
@@ -561,6 +562,19 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
         sub = jax.lax.broadcasted_iota(jnp.int32, (tb, rt), 0)
         cand = jnp.where(t == blk_t, sub, _BIG_IDX)
         blk_sub = jnp.min(cand, axis=0, keepdims=True)            # [1, RT]
+        if lean:
+            # (t, packed-row id) carry only; the caller recovers the
+            # winner's attributes from the id outside the kernel (see
+            # ``_lean_sweep``/``_lean_resolve_packed``) — the sel/pick
+            # machinery below is ~25% of the clustered sweep.
+            # ``lean_base`` keeps ids global across chained slabs, so a
+            # surviving prior is never re-offset.
+            best_t, bi = carry
+            blk_i = (blk_sub + (s + lean_base)).astype(jnp.float32)
+            better = blk_t < best_t
+            return (jnp.where(better, blk_t, best_t),
+                    jnp.where(better, blk_i, bi))
+        best_t, bi, bnx, bny, bnz, bm, bu, bv = carry
         # Select the winning triangle's id/normal/material in-layout: a
         # masked sublane reduction, not a gather.
         sel = (sub == blk_sub).astype(jnp.float32)                # [TB, RT]
@@ -605,14 +619,18 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                                 lambda c: c, carry)
 
     if init is None:
-        init = (jnp.full((1, rt), T_FAR, jnp.float32),
-                jnp.zeros((1, rt), jnp.float32),
-                jnp.zeros((1, rt), jnp.float32),
-                jnp.zeros((1, rt), jnp.float32),
-                jnp.zeros((1, rt), jnp.float32),
-                jnp.zeros((1, rt), jnp.float32),
-                jnp.zeros((1, rt), jnp.float32),
-                jnp.zeros((1, rt), jnp.float32))
+        if lean:
+            init = (jnp.full((1, rt), T_FAR, jnp.float32),
+                    jnp.zeros((1, rt), jnp.float32))
+        else:
+            init = (jnp.full((1, rt), T_FAR, jnp.float32),
+                    jnp.zeros((1, rt), jnp.float32),
+                    jnp.zeros((1, rt), jnp.float32),
+                    jnp.zeros((1, rt), jnp.float32),
+                    jnp.zeros((1, rt), jnp.float32),
+                    jnp.zeros((1, rt), jnp.float32),
+                    jnp.zeros((1, rt), jnp.float32),
+                    jnp.zeros((1, rt), jnp.float32))
     if sboxes_ref is not None:
         # Clamp the work-list length so a corrupt table can never run the
         # dynamic loop past the supercluster count.
@@ -826,6 +844,39 @@ def _closest_kernel_chained(rays_ref, tris_ref, boxes_ref, sboxes_ref,
     _write_closest(out_ref, i_ref, best, rt)
 
 
+def _closest_kernel_clustered_lean(rays_ref, tris_ref, boxes_ref,
+                                   sboxes_ref, cand_ref, corder_ref,
+                                   out_ref, i_ref, *, n_tri, tmin, tmax,
+                                   base=0, guard="both"):
+    rt = rays_ref.shape[1]
+    best_t, best_i = _closest_sweep(
+        _ray_rows(rays_ref), tris_ref, rt, n_tri // CLUSTER, tmin, tmax,
+        tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+        cand_ref=cand_ref, corder_ref=corder_ref, guard=guard, lean=True,
+        lean_base=base)
+    out_ref[:, :] = best_t
+    i_ref[:, :] = jnp.where(best_t < T_FAR, best_i.astype(jnp.int32), 0)
+
+
+def _closest_kernel_chained_lean(rays_ref, tris_ref, boxes_ref, sboxes_ref,
+                                 cand_ref, corder_ref, pout_ref, pidx_ref,
+                                 out_ref, i_ref, *, n_tri, tmin, tmax,
+                                 base=0, guard="both"):
+    """Lean chained variant: the prior (t, GLOBAL packed id) seeds the
+    2-register carry, and this slab's winners carry ``base`` (the slab's
+    first packed row) in-kernel, so ids stay comparable across slabs and
+    a surviving prior is never re-offset."""
+    rt = rays_ref.shape[1]
+    init = (pout_ref[0:1, :], pidx_ref[0:1, :].astype(jnp.float32))
+    best_t, best_i = _closest_sweep(
+        _ray_rows(rays_ref), tris_ref, rt, n_tri // CLUSTER, tmin, tmax,
+        tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+        cand_ref=cand_ref, corder_ref=corder_ref, guard=guard, lean=True,
+        lean_base=base, init=init)
+    out_ref[:, :] = best_t
+    i_ref[:, :] = jnp.where(best_t < T_FAR, best_i.astype(jnp.int32), 0)
+
+
 def _occluded_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                                cand_ref, corder_ref, occ_ref, *, n_tri,
                                tmin, guard="both"):
@@ -980,6 +1031,54 @@ def _lean_resolve(tris, t, tri, n_tri: int):
 # One-hot resolve cost scales with the triangle count (construction +
 # [N, T] matmul operand traffic); above this the in-sweep selects win.
 LEAN_MAX_TRIS = int(os.environ.get("TPT_LEAN_MAX", 2048))
+
+
+def _lean_resolve_packed(packed, t, row):
+    """(normal, mat, orig-id) for winning PACKED row ids, any table size.
+
+    Two-level exact one-hot: split the row id as (hi, lo) over a
+    [H, 128, 5] reshape of the attribute columns, select the hi-slice
+    with a HIGHEST-precision [N, H] x [H, 640] matmul (exact — one-hot
+    times f32), then the lo row with a masked [N, 128, 5] reduction
+    (sums of one exact product). Direct one-hot would need an [N, T]
+    operand; the split costs [N, H] + [N, 640] instead, which keeps the
+    resolve affordable at 100k-row big-scene tables."""
+    tbl = jnp.concatenate([packed[:, 0:3], packed[:, 14:16]],
+                          axis=1)                                # [T, 5]
+    n_t = tbl.shape[0]
+    h = (n_t + 127) // 128
+    if h * 128 != n_t:
+        tbl = jnp.pad(tbl, ((0, h * 128 - n_t), (0, 0)))
+    hi = row // 128
+    lo = row % 128
+    # The hi-select matmul must land on the MXU: an f32 HIGHEST dot here
+    # gets fused into a [N, H, 640] broadcast-reduce on the VPU at large
+    # N (measured 18 ms/round at 32k lanes vs 0.16 at 8k). A bf16
+    # one-hot against a 3-part bf16 table split (Dekker-style, 8+8+8
+    # significand bits reconstruct all 24) keeps every pass a default-
+    # precision MXU dot and stays bitwise-exact: each product is 0/1
+    # times a bf16 part, each row sum has one nonzero term, and the
+    # three part-sums are exact f32 adds by construction.
+    oh_hi = (hi[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]
+             ).astype(jnp.bfloat16)
+    tblr = tbl.reshape(h, 128 * 5)
+    slab5 = jnp.zeros((row.shape[0], 128 * 5), jnp.float32)
+    rem = tblr
+    for _ in range(3):
+        part = rem.astype(jnp.bfloat16)
+        rem = rem - part.astype(jnp.float32)
+        slab5 = slab5 + jnp.matmul(oh_hi, part,
+                                   preferred_element_type=jnp.float32)
+    slab5 = slab5.reshape(-1, 128, 5)
+    oh_lo = (lo[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]
+             ).astype(jnp.float32)
+    rows = jnp.sum(slab5 * oh_lo[:, :, None], axis=1)            # [N, 5]
+    hit = t < T_FAR
+    rows = jnp.where(hit[:, None], rows, 0.0)
+    return Hit(t=t, tri=jnp.round(rows[:, 4]).astype(jnp.int32), hit=hit,
+               normal=V3(rows[:, 0], rows[:, 1], rows[:, 2]),
+               mat=jnp.round(rows[:, 3]).astype(jnp.int32),
+               u=jnp.zeros_like(t), v=jnp.zeros_like(t))
 
 
 @functools.partial(jax.named_call, name="pallas_occluded")
@@ -1251,23 +1350,35 @@ def _guard_mode() -> str:
 @functools.partial(jax.named_call, name="pallas_closest_c")
 def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                             n_tri: int, tmin: float, tmax: float,
-                            want_uv: bool = True, prior=None):
+                            want_uv: bool = True, prior=None,
+                            lean: bool = False, base: int = 0):
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)   # work-list rows
     guard = _guard_mode()
+    out_rows = 1 if lean else 8
     if prior is None:
-        kernel = functools.partial(_closest_kernel_clustered, n_tri=n_tri,
-                                   tmin=tmin, tmax=tmax, want_uv=want_uv,
-                                   guard=guard)
+        if lean:
+            kernel = functools.partial(_closest_kernel_clustered_lean,
+                                       n_tri=n_tri, tmin=tmin, tmax=tmax,
+                                       base=base, guard=guard)
+        else:
+            kernel = functools.partial(_closest_kernel_clustered,
+                                       n_tri=n_tri, tmin=tmin, tmax=tmax,
+                                       want_uv=want_uv, guard=guard)
         extra_in, extra_specs = (), ()
     else:
-        kernel = functools.partial(_closest_kernel_chained, n_tri=n_tri,
-                                   tmin=tmin, tmax=tmax, want_uv=want_uv,
-                                   guard=guard)
+        if lean:
+            kernel = functools.partial(_closest_kernel_chained_lean,
+                                       n_tri=n_tri, tmin=tmin, tmax=tmax,
+                                       base=base, guard=guard)
+        else:
+            kernel = functools.partial(_closest_kernel_chained,
+                                       n_tri=n_tri, tmin=tmin, tmax=tmax,
+                                       want_uv=want_uv, guard=guard)
         extra_in = prior
         extra_specs = (
-            pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
+            pl.BlockSpec((out_rows, RAY_TILE_C), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -1291,13 +1402,13 @@ def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
             *extra_specs,
         ],
         out_specs=[
-            pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
+            pl.BlockSpec((out_rows, RAY_TILE_C), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((out_rows, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -1829,6 +1940,11 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
         tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes, sboxes)
         rays, perm = _sorted_rays(rays, key)
+    # Big-scene OBJ path: lean (t, id) carry in the clustered kernels,
+    # attributes recovered once per call by the two-level one-hot
+    # (the in-sweep sel/pick machinery is ~25% of the clustered sweep).
+    lean = (not single and not want_uv
+            and os.environ.get("TPT_LEAN_BIG", "1") == "1")
     best_out = best_idx = None
     for s, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
         if bx is None:
@@ -1849,9 +1965,13 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
             out, idx = _closest_call_clustered(rays, slab, bx, sbx,
                                                cand, corder,
                                                slab.shape[0], tmin, tmax,
-                                               want_uv=want_uv, prior=prior)
+                                               want_uv=want_uv, prior=prior,
+                                               lean=lean, base=s)
         best_out, best_idx = out, idx
     if not single:
+        if lean:
+            t_row, i_row = _unsort(perm, (best_out[0], best_idx[0]))
+            return _lean_resolve_packed(tris, t_row[:n], i_row[:n])
         rows = _unsort(perm, tuple(best_out[k] for k in range(8))
                        + (best_idx[0],))
         best_out = jnp.stack(rows[:8], axis=0)
