@@ -1426,8 +1426,14 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)
+    occ_guard = os.environ.get("TPT_GUARD_OCC")
+    if occ_guard is not None and occ_guard not in ("both", "super", "none"):
+        raise ValueError(f"TPT_GUARD_OCC must be both|super|none, "
+                         f"got {occ_guard!r}")
+    if occ_guard == "both" and SUPER == 1:
+        occ_guard = "super"
     kernel = functools.partial(_occluded_kernel_clustered, n_tri=n_tri,
-                               tmin=tmin, guard=_guard_mode())
+                               tmin=tmin, guard=occ_guard or _guard_mode())
     return pl.pallas_call(
         kernel,
         grid=grid,
