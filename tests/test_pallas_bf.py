@@ -99,6 +99,46 @@ def test_multi_slab_matches_single(mixed_scene, rays, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
 
 
+def test_lean_single_matches_full(mixed_scene, rays):
+    """want_uv=False routes small scenes through the lean (t, id) kernel
+    + one-hot attribute resolve; every consumed field must match the
+    full in-sweep-select kernel exactly (u/v are documented as zeros)."""
+    o, d = rays
+    full = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=True)
+    lean = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    np.testing.assert_array_equal(np.asarray(full.hit), np.asarray(lean.hit))
+    np.testing.assert_array_equal(np.asarray(full.tri), np.asarray(lean.tri))
+    np.testing.assert_array_equal(np.asarray(full.t), np.asarray(lean.t))
+    np.testing.assert_array_equal(np.asarray(full.mat), np.asarray(lean.mat))
+    for c in "xyz":
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full.normal, c)),
+            np.asarray(getattr(lean.normal, c)))
+    assert not np.asarray(lean.u).any() and not np.asarray(lean.v).any()
+
+
+def test_lean_clustered_matches_full(mixed_scene, rays, monkeypatch):
+    """The big-scene lean carry + two-level one-hot resolve must agree
+    with the non-lean clustered kernels (TPT_LEAN_BIG=0) bitwise."""
+    o, d = rays
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 64)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    monkeypatch.setenv("TPT_LEAN_BIG", "0")
+    full = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    monkeypatch.setenv("TPT_LEAN_BIG", "1")
+    lean = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    np.testing.assert_array_equal(np.asarray(full.hit), np.asarray(lean.hit))
+    np.testing.assert_array_equal(np.asarray(full.tri), np.asarray(lean.tri))
+    np.testing.assert_array_equal(np.asarray(full.t), np.asarray(lean.t))
+    np.testing.assert_array_equal(np.asarray(full.mat), np.asarray(lean.mat))
+    for c in "xyz":
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full.normal, c)),
+            np.asarray(getattr(lean.normal, c)))
+
+
 def test_binned_matches_reference(mixed_scene, rays, monkeypatch):
     """Pair-binned scheduler vs the Möller reference, with k small enough
     to force overflow lanes through the clustered completion pass."""
