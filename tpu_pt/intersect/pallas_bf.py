@@ -931,6 +931,42 @@ def _closest_nee_kernel(rays_ref, tris_ref, light_ref, out_ref, i_ref, *,
     _write_closest(out_ref, i_ref, best, rt, occ=occ)
 
 
+def _closest_nee_kernel_lean(rays_ref, tris_ref, occ_tris_ref, light_ref,
+                             t_ref, i_ref, occ_ref, *, n_tri, n_occ,
+                             tmin, tmax, tb=TRI_BLOCK, tb_occ=TRI_BLOCK):
+    """Lean fused closest + NEE: (t, id) carry for the radiance sweep
+    (attributes resolved outside, as in ``_lean_sweep``) and the shadow
+    sweep over the precomputed OCCLUDER SUBSET rows (``_occ_subset``) —
+    the original fused kernel predated both and had to halve its tri
+    blocks to fit the 8-register carry's intermediates in scoped VMEM."""
+    rt = rays_ref.shape[1]
+    ray = _ray_rows(rays_ref)
+    best_t, best_i = _lean_sweep(ray, tris_ref, rt, n_tri // tb, tmin, tb)
+
+    lz1 = rays_ref[6:7, :]
+    lz2 = rays_ref[7:8, :]
+
+    def lc(k):
+        return light_ref[0:1, k:k + 1]                            # [1, 1]
+
+    ox, oy, oz, dx, dy, dz = ray
+    px = ox + best_t * dx
+    py = oy + best_t * dy
+    pz = oz + best_t * dz
+    tlx = lc(0) + lc(3) * lz1 + lc(6) * lz2 - px
+    tly = lc(1) + lc(4) * lz1 + lc(7) * lz2 - py
+    tlz = lc(2) + lc(5) * lz1 + lc(8) * lz2 - pz
+    dist2 = tlx * tlx + tly * tly + tlz * tlz
+    inv = jax.lax.rsqrt(jnp.maximum(dist2, jnp.float32(1e-12)))
+    shadow = (px, py, pz, tlx * inv, tly * inv, tlz * inv)
+    tmax_s = dist2 * inv - NEE_EPS                 # |to_light| - eps (cu:1017)
+    occ = _occlusion_sweep(shadow, occ_tris_ref, tmax_s, rt,
+                           n_occ // tb_occ, tmin, tb=tb_occ)
+    t_ref[:, :] = best_t
+    i_ref[:, :] = jnp.where(best_t < T_FAR, best_i.astype(jnp.int32), 0)
+    occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
+
+
 def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin,
                      tb=TRI_BLOCK):
     rt = rays_ref.shape[1]
@@ -1107,6 +1143,48 @@ def _occluded_call(rays, tris, n_tri: int, tmin: float,
     )(rays, tris)
 
 
+@functools.partial(jax.named_call, name="pallas_closest_nee_lean")
+def _closest_nee_call_lean(rays, tris, occ_tris, light, n_tri: int,
+                           n_occ: int, tmin: float, tmax: float,
+                           tb: int = TRI_BLOCK, tb_occ: int = TRI_BLOCK):
+    n_pad = rays.shape[1]
+    grid = (n_pad // FUSED_RAY_TILE,)
+    kernel = functools.partial(_closest_nee_kernel_lean, n_tri=n_tri,
+                               n_occ=n_occ, tmin=tmin, tmax=tmax,
+                               tb=tb, tb_occ=tb_occ)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, FUSED_RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_occ, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, FUSED_RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FUSED_RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FUSED_RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_pad * (n_tri + n_occ), bytes_accessed=n_pad * 52,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(rays, tris, occ_tris, light)
+
+
 @functools.partial(jax.named_call, name="pallas_closest_nee")
 def _closest_nee_call(rays, tris, light, n_tri: int, tmin: float,
                       tmax: float, tb: int = TRI_BLOCK // 2):
@@ -1172,6 +1250,18 @@ def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
     light = light.at[0, 0:3].set(scene.light.corner)
     light = light.at[0, 3:6].set(scene.light.v1)
     light = light.at[0, 6:9].set(scene.light.v2)
+    sub = _occ_subset(scene)
+    if sub is not None:
+        occ_tris, tb_occ = _trim_rows(sub[1], sub[0])
+    else:
+        occ_tris, tb_occ = tris, tb
+    if (tris.shape[0] <= LEAN_MAX_TRIS
+            and os.environ.get("TPT_LEAN_FUSED", "1") == "1"):
+        out_t, idx, occ = _closest_nee_call_lean(
+            rays, tris, occ_tris, light, tris.shape[0],
+            occ_tris.shape[0], tmin, tmax, tb=tb, tb_occ=tb_occ)
+        hit = _lean_resolve(tris, out_t[0, :n], idx[0, :n], tris.shape[0])
+        return hit, occ[0, :n] > 0
     out, idx = _closest_nee_call(rays, tris, light, tris.shape[0], tmin,
                                  tmax, tb=min(tb, TRI_BLOCK // 2))
     return _hit_from_out(out, idx, n), out[7, :n] > 0.5
