@@ -50,6 +50,25 @@ from .moller import Hit, T_FAR, DET_EPS
 
 RAY_TILE = 2048       # rays per grid program (dense small-scene kernels)
 RAY_TILE_C = int(os.environ.get("TPT_RT_C", 256))
+SUBTILE_C = int(os.environ.get("TPT_SUBTILE", RAY_TILE_C))
+                      # candidate-list granularity inside a clustered
+                      # kernel tile: lists per SUBTILE_C sorted rays; the
+                      # kernel loops its tile's lane slices, each
+                      # sweeping only ITS OWN list. On INCOHERENT rays
+                      # finer lists cut the union hard (measured mean
+                      # tile-union 63/112/195/320 clusters at
+                      # 64/128/256/512 rays — 0.57x sweep work for
+                      # 128-sublists in a 256 tile), but on the
+                      # renderer's real sort-coherent wavefronts the
+                      # union gain shrinks while [TB, 128] half-width
+                      # ops + doubled per-candidate loop overhead stay:
+                      # whole-frame 3.22 (RT 256/sub 128), 3.22
+                      # (512/128), 3.57 (512/512), 3.84 (256/256), and
+                      # even end-to-end incoherent batches lose (10.1 vs
+                      # 11.8 Mrays/s closest) — the narrower ops cost
+                      # more than the union saves on BOTH workloads.
+                      # Default = no subtiling; knob kept as the record
+                      # of the measurement.
                       # rays per grid program, clustered kernels — smaller
                       # tiles are more coherent, so their candidate work
                       # lists are shorter. Swept on the 100k-tri frame
@@ -522,7 +541,8 @@ def _tile_octant(ray, rt):
 def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                    boxes_ref=None, sboxes_ref=None, cand_ref=None,
                    corder_ref=None, want_uv=True, init=None,
-                   orig_id=None, guard="both", lean=False, lean_base=0):
+                   orig_id=None, guard="both", lean=False, lean_base=0,
+                   cand_base=0):
     """Min-reduce the plane+edge test over all tri blocks. Returns the
     (t, tri, nx, ny, nz, mat, u, v) tuple of [1, RT] bests; ``tri`` comes
     from the packed original-id column, so it survives cluster reordering.
@@ -634,11 +654,11 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
     if sboxes_ref is not None:
         # Clamp the work-list length so a corrupt table can never run the
         # dynamic loop past the supercluster count.
-        ncand = jnp.clip(cand_ref[0, 0], 0, nb // SUPER)
+        ncand = jnp.clip(cand_ref[cand_base, 0], 0, nb // SUPER)
 
         if guard == "none":
             def super_step(k, carry):
-                sb = cand_ref[1 + k, 0]       # k-th nearest supercluster
+                sb = cand_ref[cand_base + 1 + k, 0]       # k-th nearest supercluster
 
                 def cluster_step(j, c):
                     return sweep(sb * SUPER + j, c)
@@ -650,7 +670,7 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
         co_base = _tile_octant(ray, rt) * nb
 
         def super_step(k, carry):
-            sb = cand_ref[1 + k, 0]           # k-th nearest supercluster
+            sb = cand_ref[cand_base + 1 + k, 0]           # k-th nearest supercluster
             tnear, tfar = _box_near_far(ray, inv, sboxes_ref, sb)
             useful = (tnear <= tfar) & (tfar > tmin) & (tnear < carry[0])
 
@@ -676,7 +696,7 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
 
 def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
                      boxes_ref=None, sboxes_ref=None, cand_ref=None,
-                     corder_ref=None, guard="both"):
+                     corder_ref=None, guard="both", cand_base=0):
     """OR-reduce "any non-refractive hit in (tmin, tmax)" over tri blocks.
 
     ``guard`` as in ``_closest_sweep``; occlusion's guards also carry the
@@ -707,11 +727,11 @@ def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
     # ("failed to legalize scf.for").
     init = jnp.zeros((1, rt), jnp.float32)
     if sboxes_ref is not None:
-        ncand = jnp.clip(cand_ref[0, 0], 0, nb // SUPER)
+        ncand = jnp.clip(cand_ref[cand_base, 0], 0, nb // SUPER)
 
         if guard == "none":
             def super_step(k, occ):
-                sb = cand_ref[1 + k, 0]
+                sb = cand_ref[cand_base + 1 + k, 0]
 
                 def cluster_step(j, c):
                     return sweep(sb * SUPER + j, c)
@@ -723,7 +743,7 @@ def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
         co_base = _tile_octant(ray, rt) * nb
 
         def super_step(k, occ):
-            sb = cand_ref[1 + k, 0]           # near-first: occ sets early
+            sb = cand_ref[cand_base + 1 + k, 0]           # near-first: occ sets early
             tnear, tfar = _box_near_far(ray, inv, sboxes_ref, sb)
             useful = ((tnear <= tfar) & (tfar > tmin) & (tnear < tmax)
                       & (occ < 0.5))
@@ -746,6 +766,21 @@ def _occlusion_sweep(ray, tris_ref, tmax, rt, nb, tmin, tb=TRI_BLOCK,
     if nb == 1:
         return step(0, init)
     return jax.lax.fori_loop(0, nb, step, init)
+
+
+def _write_closest_lanes(out_ref, i_ref, best, lo, hi):
+    """Full 8-row result write into one lane slice of the output tile."""
+    best_t, best_i, bnx, bny, bnz, bm, bu, bv = best
+    out_ref[0:1, lo:hi] = best_t
+    out_ref[1:2, lo:hi] = bnx
+    out_ref[2:3, lo:hi] = bny
+    out_ref[3:4, lo:hi] = bnz
+    out_ref[4:5, lo:hi] = bm
+    out_ref[5:6, lo:hi] = bu
+    out_ref[6:7, lo:hi] = bv
+    out_ref[7:8, lo:hi] = jnp.zeros((1, hi - lo), jnp.float32)
+    i_ref[0:1, lo:hi] = jnp.where(best_t < T_FAR,
+                                  best_i.astype(jnp.int32), 0)
 
 
 def _write_closest(out_ref, i_ref, best, rt, occ=None):
@@ -809,22 +844,35 @@ def _closest_kernel_lean(rays_ref, tris_ref, out_ref, i_ref, *, n_tri,
     i_ref[:, :] = jnp.where(best_t < T_FAR, best_i.astype(jnp.int32), 0)
 
 
+def _sub_slices(rt):
+    """Lane slices of a clustered kernel tile, one per candidate list
+    (SUBTILE_C sorted rays each — see the SUBTILE_C comment)."""
+    w = min(SUBTILE_C, rt)
+    return [(i * w, (i + 1) * w) for i in range(rt // w)]
+
+
 def _closest_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                               cand_ref, corder_ref, out_ref, i_ref, *,
-                              n_tri, tmin, tmax, want_uv=True,
+                              n_tri, tmin, tmax, ns1, want_uv=True,
                               guard="both"):
     rt = rays_ref.shape[1]
-    best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
-                          n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
-                          boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
-                          cand_ref=cand_ref, corder_ref=corder_ref,
-                          want_uv=want_uv, guard=guard)
-    _write_closest(out_ref, i_ref, best, rt)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        # Load the subtile's ray rows straight from the ref: slicing an
+        # already-loaded [1, RT] register at a lane offset leaves a
+        # layout Mosaic cannot re-broadcast ("Invalid input layout").
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        best = _closest_sweep(ray, tris_ref, hi - lo,
+                              n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
+                              boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+                              cand_ref=cand_ref, corder_ref=corder_ref,
+                              want_uv=want_uv, guard=guard,
+                              cand_base=si * ns1)
+        _write_closest_lanes(out_ref, i_ref, best, lo, hi)
 
 
 def _closest_kernel_chained(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                             cand_ref, corder_ref, pout_ref, pidx_ref,
-                            out_ref, i_ref, *, n_tri, tmin, tmax,
+                            out_ref, i_ref, *, n_tri, tmin, tmax, ns1,
                             want_uv=True, guard="both"):
     """Clustered closest-hit seeded with a previous slab's best hit.
 
@@ -833,61 +881,87 @@ def _closest_kernel_chained(rays_ref, tris_ref, boxes_ref, sboxes_ref,
     per-ray prior t) — multi-slab scenes traverse later slabs nearly
     for free wherever an earlier slab already found a close hit."""
     rt = rays_ref.shape[1]
-    init = (pout_ref[0:1, :], pidx_ref[0:1, :].astype(jnp.float32),
-            pout_ref[1:2, :], pout_ref[2:3, :], pout_ref[3:4, :],
-            pout_ref[4:5, :], pout_ref[5:6, :], pout_ref[6:7, :])
-    best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
-                          n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
-                          boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
-                          cand_ref=cand_ref, corder_ref=corder_ref,
-                          want_uv=want_uv, init=init, guard=guard)
-    _write_closest(out_ref, i_ref, best, rt)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        # Load the subtile's ray rows straight from the ref: slicing an
+        # already-loaded [1, RT] register at a lane offset leaves a
+        # layout Mosaic cannot re-broadcast ("Invalid input layout").
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        init = (pout_ref[0:1, lo:hi],
+                pidx_ref[0:1, lo:hi].astype(jnp.float32),
+                pout_ref[1:2, lo:hi], pout_ref[2:3, lo:hi],
+                pout_ref[3:4, lo:hi], pout_ref[4:5, lo:hi],
+                pout_ref[5:6, lo:hi], pout_ref[6:7, lo:hi])
+        best = _closest_sweep(ray, tris_ref, hi - lo,
+                              n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
+                              boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+                              cand_ref=cand_ref, corder_ref=corder_ref,
+                              want_uv=want_uv, init=init, guard=guard,
+                              cand_base=si * ns1)
+        _write_closest_lanes(out_ref, i_ref, best, lo, hi)
 
 
 def _closest_kernel_clustered_lean(rays_ref, tris_ref, boxes_ref,
                                    sboxes_ref, cand_ref, corder_ref,
                                    out_ref, i_ref, *, n_tri, tmin, tmax,
-                                   base=0, guard="both"):
+                                   ns1, base=0, guard="both"):
     rt = rays_ref.shape[1]
-    best_t, best_i = _closest_sweep(
-        _ray_rows(rays_ref), tris_ref, rt, n_tri // CLUSTER, tmin, tmax,
-        tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
-        cand_ref=cand_ref, corder_ref=corder_ref, guard=guard, lean=True,
-        lean_base=base)
-    out_ref[:, :] = best_t
-    i_ref[:, :] = jnp.where(best_t < T_FAR, best_i.astype(jnp.int32), 0)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        # Load the subtile's ray rows straight from the ref: slicing an
+        # already-loaded [1, RT] register at a lane offset leaves a
+        # layout Mosaic cannot re-broadcast ("Invalid input layout").
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        best_t, best_i = _closest_sweep(
+            ray, tris_ref, hi - lo, n_tri // CLUSTER, tmin, tmax,
+            tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+            cand_ref=cand_ref, corder_ref=corder_ref, guard=guard,
+            lean=True, lean_base=base, cand_base=si * ns1)
+        out_ref[0:1, lo:hi] = best_t
+        i_ref[0:1, lo:hi] = jnp.where(best_t < T_FAR,
+                                      best_i.astype(jnp.int32), 0)
 
 
 def _closest_kernel_chained_lean(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                                  cand_ref, corder_ref, pout_ref, pidx_ref,
                                  out_ref, i_ref, *, n_tri, tmin, tmax,
-                                 base=0, guard="both"):
+                                 ns1, base=0, guard="both"):
     """Lean chained variant: the prior (t, GLOBAL packed id) seeds the
     2-register carry, and this slab's winners carry ``base`` (the slab's
     first packed row) in-kernel, so ids stay comparable across slabs and
     a surviving prior is never re-offset."""
     rt = rays_ref.shape[1]
-    init = (pout_ref[0:1, :], pidx_ref[0:1, :].astype(jnp.float32))
-    best_t, best_i = _closest_sweep(
-        _ray_rows(rays_ref), tris_ref, rt, n_tri // CLUSTER, tmin, tmax,
-        tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
-        cand_ref=cand_ref, corder_ref=corder_ref, guard=guard, lean=True,
-        lean_base=base, init=init)
-    out_ref[:, :] = best_t
-    i_ref[:, :] = jnp.where(best_t < T_FAR, best_i.astype(jnp.int32), 0)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        # Load the subtile's ray rows straight from the ref: slicing an
+        # already-loaded [1, RT] register at a lane offset leaves a
+        # layout Mosaic cannot re-broadcast ("Invalid input layout").
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        init = (pout_ref[0:1, lo:hi],
+                pidx_ref[0:1, lo:hi].astype(jnp.float32))
+        best_t, best_i = _closest_sweep(
+            ray, tris_ref, hi - lo, n_tri // CLUSTER, tmin, tmax,
+            tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+            cand_ref=cand_ref, corder_ref=corder_ref, guard=guard,
+            lean=True, lean_base=base, init=init, cand_base=si * ns1)
+        out_ref[0:1, lo:hi] = best_t
+        i_ref[0:1, lo:hi] = jnp.where(best_t < T_FAR,
+                                      best_i.astype(jnp.int32), 0)
 
 
 def _occluded_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                                cand_ref, corder_ref, occ_ref, *, n_tri,
-                               tmin, guard="both"):
+                               tmin, ns1, guard="both"):
     rt = rays_ref.shape[1]
-    tmax_r = rays_ref[6:7, :]                                     # [1, RT]
-    occ = _occlusion_sweep(_ray_rows(rays_ref), tris_ref, tmax_r, rt,
-                           n_tri // CLUSTER, tmin, tb=CLUSTER,
-                           boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
-                           cand_ref=cand_ref, corder_ref=corder_ref,
-                           guard=guard)
-    occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        # Load the subtile's ray rows straight from the ref: slicing an
+        # already-loaded [1, RT] register at a lane offset leaves a
+        # layout Mosaic cannot re-broadcast ("Invalid input layout").
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        tmax_r = rays_ref[6:7, lo:hi]
+        occ = _occlusion_sweep(ray, tris_ref, tmax_r, hi - lo,
+                               n_tri // CLUSTER, tmin, tb=CLUSTER,
+                               boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+                               cand_ref=cand_ref, corder_ref=corder_ref,
+                               guard=guard, cand_base=si * ns1)
+        occ_ref[0:1, lo:hi] = (occ > 0.0).astype(jnp.int32)
 
 
 def _closest_nee_kernel(rays_ref, tris_ref, light_ref, out_ref, i_ref, *,
@@ -1445,27 +1519,30 @@ def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)   # work-list rows
+    sub_per = RAY_TILE_C // min(SUBTILE_C, RAY_TILE_C)
     guard = _guard_mode()
     out_rows = 1 if lean else 8
     if prior is None:
         if lean:
             kernel = functools.partial(_closest_kernel_clustered_lean,
                                        n_tri=n_tri, tmin=tmin, tmax=tmax,
-                                       base=base, guard=guard)
+                                       ns1=ns1, base=base, guard=guard)
         else:
             kernel = functools.partial(_closest_kernel_clustered,
                                        n_tri=n_tri, tmin=tmin, tmax=tmax,
-                                       want_uv=want_uv, guard=guard)
+                                       ns1=ns1, want_uv=want_uv,
+                                       guard=guard)
         extra_in, extra_specs = (), ()
     else:
         if lean:
             kernel = functools.partial(_closest_kernel_chained_lean,
                                        n_tri=n_tri, tmin=tmin, tmax=tmax,
-                                       base=base, guard=guard)
+                                       ns1=ns1, base=base, guard=guard)
         else:
             kernel = functools.partial(_closest_kernel_chained,
                                        n_tri=n_tri, tmin=tmin, tmax=tmax,
-                                       want_uv=want_uv, guard=guard)
+                                       ns1=ns1, want_uv=want_uv,
+                                       guard=guard)
         extra_in = prior
         extra_specs = (
             pl.BlockSpec((out_rows, RAY_TILE_C), lambda i: (0, i),
@@ -1485,7 +1562,7 @@ def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tri // (CLUSTER * SUPER), 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns1, 1), lambda i: (i, 0),
+            pl.BlockSpec((sub_per * ns1, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * (n_tri // CLUSTER), 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1516,6 +1593,7 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)
+    sub_per = RAY_TILE_C // min(SUBTILE_C, RAY_TILE_C)
     occ_guard = os.environ.get("TPT_GUARD_OCC")
     if occ_guard is not None and occ_guard not in ("both", "super", "none"):
         raise ValueError(f"TPT_GUARD_OCC must be both|super|none, "
@@ -1523,7 +1601,8 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
     if occ_guard == "both" and SUPER == 1:
         occ_guard = "super"
     kernel = functools.partial(_occluded_kernel_clustered, n_tri=n_tri,
-                               tmin=tmin, guard=occ_guard or _guard_mode())
+                               tmin=tmin, ns1=ns1,
+                               guard=occ_guard or _guard_mode())
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1536,7 +1615,7 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_tri // (CLUSTER * SUPER), 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ns1, 1), lambda i: (i, 0),
+            pl.BlockSpec((sub_per * ns1, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8 * (n_tri // CLUSTER), 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -2056,7 +2135,8 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
             # kernel seeds its carry with the prior rows so the best-t
             # cluster tests cull from step one (no outside merge).
             slab_tmax = tmax if best_out is None else best_out[0]
-            cand = super_candidates(rays, sbx, RAY_TILE_C, tmin, slab_tmax)
+            cand = super_candidates(rays, sbx, min(SUBTILE_C, RAY_TILE_C),
+                                    tmin, slab_tmax)
             prior = None if best_out is None else (best_out, best_idx)
             out, idx = _closest_call_clustered(rays, slab, bx, sbx,
                                                cand, corder,
@@ -2133,7 +2213,8 @@ def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
                 rays = jnp.concatenate(
                     [rays[0:6], jnp.where(occ > 0, 0.0, rays[6:7]),
                      rays[7:8]], axis=0)
-            cand = super_candidates(rays, sbx, RAY_TILE_C, tmin,
+            cand = super_candidates(rays, sbx,
+                                    min(SUBTILE_C, RAY_TILE_C), tmin,
                                     rays[6:7, :])
             o = _occluded_call_clustered(rays, slab, bx, sbx,
                                          cand, corder,
