@@ -64,18 +64,26 @@ class TerminalDisplay:
 
 
 class _RawInput:
-    """Non-blocking raw keyboard input."""
+    """Non-blocking raw keyboard input. Without a TTY (piped stdin,
+    headless harness) keys are simply disabled — the viewer still
+    renders progressively instead of crashing on the terminal ioctl."""
 
     def __enter__(self):
         self.fd = sys.stdin.fileno()
-        self.old = termios.tcgetattr(self.fd)
-        tty.setcbreak(self.fd)
+        try:
+            self.old = termios.tcgetattr(self.fd)
+            tty.setcbreak(self.fd)
+        except (termios.error, OSError):
+            self.old = None
         return self
 
     def __exit__(self, *exc):
-        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
+        if self.old is not None:
+            termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
 
     def poll(self) -> str | None:
+        if self.old is None:
+            return None
         if select.select([sys.stdin], [], [], 0)[0]:
             ch = sys.stdin.read(1)
             if ch == "\x1b":  # escape sequence (arrows) or bare Esc
@@ -188,5 +196,13 @@ def run_viewer(scene_path: str, args) -> int:
                       f"IS {'on' if cfg.use_importance_sampling else 'off'}"
                       f" | [0]DL [1]IS [^v]depth [R]eset [Q]uit")
             display.draw(image_to_host(img), status)
+
+            # Headless (no TTY): no quit key can ever arrive — render
+            # --frames progressive frames and exit instead of spinning.
+            if keys.old is None and frame_idx >= args.frames:
+                break
     sys.stdout.write("\n")
+    if getattr(args, "output", None):
+        from . import film
+        film.write_png(args.output, image_to_host(img))
     return 0
