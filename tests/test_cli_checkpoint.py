@@ -97,6 +97,19 @@ def test_cli_missing_scene_errors(tmp_path):
     assert r.returncode != 0
 
 
+def test_cli_view_headless(tmp_path, assets_dir):
+    """Without a TTY the viewer must render --frames frames and exit
+    cleanly (keys disabled) instead of crashing on the termios ioctl or
+    spinning forever waiting for a quit key."""
+    out = tmp_path / "view.png"
+    r = _run_cli(["view", str(assets_dir / "cornell_box.obj"),
+                  "-o", str(out), "--width", "32", "--height", "32",
+                  "--spp", "1", "--frames", "2", "--depth", "2"], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "frame 2" in r.stdout            # status line of the last frame
+    assert film.read_png(str(out)).shape == (32, 32, 3)
+
+
 def test_viewer_display_component():
     """TerminalDisplay renders half-blocks with ANSI colors (no tty)."""
     from tpu_pt.viewer import TerminalDisplay
