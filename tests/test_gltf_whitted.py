@@ -111,6 +111,32 @@ def test_whitted_deterministic(pbr_scene, pbr_camera):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_texture_uv_transform(pbr_scene, pbr_camera):
+    """Per-material UV affine (KHR_texture_transform / the reference's
+    texcoord offset+rotation+scale, cuda/LocalShading.h): a 3x UV scale
+    must change textured pixels and leave untextured materials alone."""
+    import jax.numpy as jnp
+    from tpu_pt.whitted import render_whitted_wavefront
+
+    cfg = tpu_pt.RenderConfig(width=32, height=32, spp=2, max_depth=2,
+                              intersector="bruteforce")
+    base = np.asarray(render_whitted_wavefront(
+        pbr_scene, pbr_camera, cfg, 0, 32 * 32, 0))
+    uvx = np.tile(np.array([3.0, 0, 0, 0, 3.0, 0], np.float32),
+                  (pbr_scene.tex_id.shape[0], 1))
+    scaled_scene = pbr_scene.replace(tex_uvx=jnp.asarray(uvx))
+    scaled = np.asarray(render_whitted_wavefront(
+        scaled_scene, pbr_camera, cfg, 0, 32 * 32, 0))
+    has_tex = int(np.asarray(pbr_scene.tex_id).max()) >= 0
+    assert has_tex
+    assert not np.array_equal(base, scaled)    # textured pattern moved
+    # Identity transform reproduces the original exactly.
+    ident = np.asarray(render_whitted_wavefront(
+        pbr_scene.replace(tex_uvx=pbr_scene.tex_uvx), pbr_camera, cfg,
+        0, 32 * 32, 0))
+    np.testing.assert_array_equal(base, ident)
+
+
 # ---------------------------------------------------------------------------
 # Analytic primitives (geometry.cu / sphere.cu parity)
 # ---------------------------------------------------------------------------

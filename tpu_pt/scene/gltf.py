@@ -74,6 +74,10 @@ class WhittedScene:
     phong_exp: jnp.ndarray      # [M]
     phong_kr: jnp.ndarray       # [M, 3] reflectivity
     tex_id: jnp.ndarray         # [M] i32, -1 = none
+    tex_uvx: jnp.ndarray        # [M, 6] UV affine rows (m00 m01 ou m10
+                                # m11 ov): KHR_texture_transform / the
+                                # reference's texture offset/rotation/
+                                # scale (cuda/LocalShading.h:52-66)
     # Lights (cuda/Light.h parity: Point + Ambient).
     light_pos: jnp.ndarray      # [L, 3]
     light_color: jnp.ndarray    # [L, 3] (intensity-scaled)
@@ -97,6 +101,8 @@ def _default_whitted_tables(n_mats: int):
         phong_exp=np.full(n_mats, 32.0, np.float32),
         phong_kr=np.zeros((n_mats, 3), np.float32),
         tex_id=np.full(n_mats, -1, np.int32),
+        tex_uvx=np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32),
+                        (n_mats, 1)),
     )
 
 
@@ -314,6 +320,17 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
                 textures.append(jnp.asarray(
                     _decode_image(g, doc["images"][src])))
             tables["tex_id"][i] = tex_cache[src]
+            xf = bct.get("extensions", {}).get("KHR_texture_transform")
+            if xf:
+                ox, oy = xf.get("offset", [0.0, 0.0])
+                sx, sy = xf.get("scale", [1.0, 1.0])
+                r = xf.get("rotation", 0.0)
+                cr, sr = np.cos(r), np.sin(r)
+                # uv' = T * R * S * [u, v, 1] (KHR_texture_transform
+                # spec; matches the reference's texcoord transform in
+                # cuda/LocalShading.h).
+                tables["tex_uvx"][i] = [sx * cr, sy * sr, ox,
+                                        -sx * sr, sy * cr, oy]
 
     # --- flatten into SceneArrays (path-tracer-compatible geometry) -------
     n_t = tv.shape[0]
@@ -370,6 +387,7 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
         phong_exp=jnp.asarray(tables["phong_exp"]),
         phong_kr=jnp.asarray(tables["phong_kr"]),
         tex_id=jnp.asarray(tables["tex_id"]),
+        tex_uvx=jnp.asarray(tables["tex_uvx"]),
         light_pos=jnp.asarray(np.asarray(lights_pos, np.float32).reshape(
             -1, 3)),
         light_color=jnp.asarray(np.asarray(lights_color,

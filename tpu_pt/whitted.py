@@ -135,6 +135,12 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         base_rgb = V3(base[:, 0], base[:, 1], base[:, 2])
         base_a = base[:, 3]
         if ws.textures:
+            # Per-material UV affine (offset/rotation/scale — reference
+            # texcoord transforms, cuda/LocalShading.h; glTF
+            # KHR_texture_transform).
+            uvx = ws.tex_uvx[hit.mat]                 # [N, 6] gather
+            uu, vv = (uvx[:, 0] * uu + uvx[:, 1] * vv + uvx[:, 2],
+                      uvx[:, 3] * uu + uvx[:, 4] * vv + uvx[:, 5])
             tex_rgb, tex_a = _sample_textures(ws, tex_id, uu, vv)
             base_rgb = base_rgb * tex_rgb
             base_a = base_a * tex_a
