@@ -45,7 +45,8 @@ def test_gltf_geometry_and_materials(pbr_scene):
     assert ws.base_color.shape[0] == 4
     m = np.asarray(ws.metallic)
     assert m[2] == 1.0 and m[0] == 0.0
-    assert len(ws.textures) == 1
+    assert len(ws.textures) == 2    # checker + bump normal map
+    assert int(np.asarray(ws.ntex_id).max()) >= 0
     assert int(ws.tex_id[0]) == 0 and int(ws.tex_id[1]) == -1
     assert int(ws.alpha_mode[3]) == 2  # BLEND
     # Light transformed by its node.
@@ -135,6 +136,26 @@ def test_texture_uv_transform(pbr_scene, pbr_camera):
         pbr_scene.replace(tex_uvx=pbr_scene.tex_uvx), pbr_camera, cfg,
         0, 32 * 32, 0))
     np.testing.assert_array_equal(base, ident)
+
+
+def test_normal_mapping(pbr_scene, pbr_camera):
+    """Tangent-space normal mapping (whitted.cu normal mapping parity):
+    the bump-mapped ground must shade differently from a flat-normal
+    render of the same scene, and only where the mapped material is."""
+    from tpu_pt.whitted import render_whitted_wavefront
+
+    assert int(np.asarray(pbr_scene.ntex_id).max()) >= 0
+    cfg = tpu_pt.RenderConfig(width=64, height=64, spp=2, max_depth=2,
+                              intersector="bruteforce")
+    bumped = np.asarray(render_whitted_wavefront(
+        pbr_scene, pbr_camera, cfg, 0, 64 * 64, 0))
+    flat_scene = pbr_scene.replace(
+        ntex_id=jnp.full_like(pbr_scene.ntex_id, -1))
+    flat = np.asarray(render_whitted_wavefront(
+        flat_scene, pbr_camera, cfg, 0, 64 * 64, 0))
+    d = np.abs(bumped - flat).sum(axis=1)
+    assert (d > 1e-6).sum() > 500          # the ground visibly changed
+    assert np.isfinite(bumped).all()
 
 
 # ---------------------------------------------------------------------------

@@ -85,9 +85,30 @@ def checker_png(path, n=8, res=64):
     film.write_png(path, img)
 
 
+def bumps_png(path, n=6, res=64):
+    """Tangent-space normal map: a grid of spherical bumps."""
+    from tpu_pt import film
+    img = np.zeros((res, res, 3), np.uint8)
+    cell = res / n
+    for y in range(res):
+        for x in range(res):
+            cx = (x % cell) / cell * 2 - 1
+            cy = (y % cell) / cell * 2 - 1
+            r2 = cx * cx + cy * cy
+            if r2 < 0.64:
+                nz = math.sqrt(max(1.0 - r2 / 0.64, 0.0))
+                nv = np.array([-cx, -cy, max(nz, 0.3)])
+            else:
+                nv = np.array([0.0, 0.0, 1.0])
+            nv = nv / np.linalg.norm(nv)
+            img[y, x] = np.clip((nv * 0.5 + 0.5) * 255, 0, 255)
+    film.write_png(path, img)
+
+
 def build(out_dir: str):
     os.makedirs(out_dir, exist_ok=True)
     checker_png(os.path.join(out_dir, "checker.png"))
+    bumps_png(os.path.join(out_dir, "bumps.png"))
 
     meshes_np = [plane(12.0), cube(1.5), sphere(1.0), cube(1.0)]
     blob = b""
@@ -125,7 +146,8 @@ def build(out_dir: str):
              pbrMetallicRoughness=dict(
                  baseColorFactor=[1.0, 1.0, 1.0, 1.0],
                  baseColorTexture=dict(index=0),
-                 metallicFactor=0.0, roughnessFactor=0.9)),
+                 metallicFactor=0.0, roughnessFactor=0.9),
+             normalTexture=dict(index=1, scale=1.0)),
         dict(name="RedCube",
              pbrMetallicRoughness=dict(
                  baseColorFactor=[0.8, 0.1, 0.1, 1.0],
@@ -162,8 +184,8 @@ def build(out_dir: str):
         nodes=nodes,
         meshes=meshes,
         materials=materials,
-        textures=[dict(source=0)],
-        images=[dict(uri="checker.png")],
+        textures=[dict(source=0), dict(source=1)],
+        images=[dict(uri="checker.png"), dict(uri="bumps.png")],
         samplers=[dict(magFilter=9729, minFilter=9729,
                        wrapS=10497, wrapT=10497)],
         buffers=[dict(byteLength=len(blob),

@@ -78,6 +78,13 @@ class WhittedScene:
                                 # m11 ov): KHR_texture_transform / the
                                 # reference's texture offset/rotation/
                                 # scale (cuda/LocalShading.h:52-66)
+    ntex_id: jnp.ndarray        # [M] i32 normal-map texture, -1 = none
+    ntex_scale: jnp.ndarray     # [M] normal-map strength (glTF scale)
+    # Per-triangle UV-space tangent [T, 3] for normal mapping (flat per
+    # triangle — the reference derives dpdu at the hit from the same
+    # vertex UVs, cuda/LocalGeometry.h; divergence: no per-vertex
+    # tangent interpolation, geometrically equivalent for flat UVs).
+    tri_tangent: jnp.ndarray
     # Lights (cuda/Light.h parity: Point + Ambient).
     light_pos: jnp.ndarray      # [L, 3]
     light_color: jnp.ndarray    # [L, 3] (intensity-scaled)
@@ -103,6 +110,8 @@ def _default_whitted_tables(n_mats: int):
         tex_id=np.full(n_mats, -1, np.int32),
         tex_uvx=np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32),
                         (n_mats, 1)),
+        ntex_id=np.full(n_mats, -1, np.int32),
+        ntex_scale=np.ones(n_mats, np.float32),
     )
 
 
@@ -331,6 +340,18 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
                 # cuda/LocalShading.h).
                 tables["tex_uvx"][i] = [sx * cr, sy * sr, ox,
                                         -sx * sr, sy * cr, oy]
+        nt = m.get("normalTexture")
+        if nt is not None:
+            # Tangent-space normal map (whitted.cu normal mapping
+            # parity); stored linearly, decoded at sample time with
+            # srgb=False.
+            src = doc["textures"][nt["index"]]["source"]
+            if src not in tex_cache:
+                tex_cache[src] = len(textures)
+                textures.append(jnp.asarray(
+                    _decode_image(g, doc["images"][src])))
+            tables["ntex_id"][i] = tex_cache[src]
+            tables["ntex_scale"][i] = nt.get("scale", 1.0)
 
     # --- flatten into SceneArrays (path-tracer-compatible geometry) -------
     n_t = tv.shape[0]
@@ -356,6 +377,21 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
     vtx_attr = np.zeros((t_pad, 16), np.float32)
     vtx_attr[:n_t, 0:9] = tn.reshape(n_t, 9)
     vtx_attr[:n_t, 9:15] = tuv.reshape(n_t, 6)
+
+    # Per-triangle UV-space tangent (dP/du) for normal mapping: solve
+    # [e1; e2] = [duv1; duv2] @ [T; B] per triangle; degenerate UVs get
+    # an arbitrary edge-aligned tangent (orthonormalized at shade time).
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    duv1 = tuv[:, 1] - tuv[:, 0]
+    duv2 = tuv[:, 2] - tuv[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv2[:, 0] * duv1[:, 1]
+    ok = np.abs(det) > 1e-12
+    inv_det = np.where(ok, det, 1.0)
+    tangent = (e1 * duv2[:, 1:2] - e2 * duv1[:, 1:2]) / inv_det[:, None]
+    tangent = np.where(ok[:, None], tangent, e1)
+    tri_tangent = np.zeros((t_pad, 3), np.float32)
+    tri_tangent[:n_t] = tangent
 
     if not lights_pos and default_lights:
         # The reference app sets two default point lights when the scene
@@ -388,6 +424,9 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
         phong_kr=jnp.asarray(tables["phong_kr"]),
         tex_id=jnp.asarray(tables["tex_id"]),
         tex_uvx=jnp.asarray(tables["tex_uvx"]),
+        ntex_id=jnp.asarray(tables["ntex_id"]),
+        ntex_scale=jnp.asarray(tables["ntex_scale"]),
+        tri_tangent=jnp.asarray(tri_tangent),
         light_pos=jnp.asarray(np.asarray(lights_pos, np.float32).reshape(
             -1, 3)),
         light_color=jnp.asarray(np.asarray(lights_color,

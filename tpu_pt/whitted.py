@@ -51,11 +51,12 @@ def _interp_attrs(ws: WhittedScene, hit):
     return n, uu, vv
 
 
-def _sample_textures(ws: WhittedScene, tex_id, uu, vv):
-    """Bilinear base-color texture fetch with repeat wrap.
+def _sample_textures(ws: WhittedScene, tex_id, uu, vv, srgb=True):
+    """Bilinear texture fetch with repeat wrap.
 
     Textures have distinct static shapes, so each is sampled for its own
-    lanes and combined by mask (texture counts are small).
+    lanes and combined by mask (texture counts are small). ``srgb=False``
+    skips the sRGB->linear decode (normal maps are stored linearly).
     """
     out = V3.ones(tex_id.shape)
     alpha = jnp.ones(tex_id.shape, jnp.float32)
@@ -72,7 +73,8 @@ def _sample_textures(ws: WhittedScene, tex_id, uu, vv):
         c = (tex[y0, x0] * (1 - fx) * (1 - fy) + tex[y0, x1] * fx * (1 - fy)
              + tex[y1, x0] * (1 - fx) * fy + tex[y1, x1] * fx * fy)
         # sRGB -> linear on RGB (whitted::linearize, gamma 2.2).
-        rgb_lin = jnp.power(jnp.maximum(c[:, :3], 1e-9), 2.2)
+        rgb_lin = (jnp.power(jnp.maximum(c[:, :3], 1e-9), 2.2) if srgb
+                   else c[:, :3])
         mask = tex_id == k
         out = v3.where(mask, V3(rgb_lin[:, 0], rgb_lin[:, 1], rgb_lin[:, 2]),
                        out)
@@ -132,15 +134,39 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         flip = v3.dot(ns, direction) > 0.0
         ns = v3.where(flip, -ns, ns)
 
-        base_rgb = V3(base[:, 0], base[:, 1], base[:, 2])
-        base_a = base[:, 3]
         if ws.textures:
             # Per-material UV affine (offset/rotation/scale — reference
             # texcoord transforms, cuda/LocalShading.h; glTF
-            # KHR_texture_transform).
+            # KHR_texture_transform) — applied before EVERY texture
+            # fetch, normal maps included.
             uvx = ws.tex_uvx[hit.mat]                 # [N, 6] gather
             uu, vv = (uvx[:, 0] * uu + uvx[:, 1] * vv + uvx[:, 2],
                       uvx[:, 3] * uu + uvx[:, 4] * vv + uvx[:, 5])
+            # Tangent-space normal mapping (whitted.cu:226-244 parity):
+            # TBN from the triangle's UV tangent orthonormalized against
+            # the shading normal; degenerate tangents fall back to an
+            # ONB axis.
+            n_id = ws.ntex_id[hit.mat]
+            tan_rows = ws.tri_tangent[hit.tri]        # [N, 3] gather
+            tan = V3(tan_rows[:, 0], tan_rows[:, 1], tan_rows[:, 2])
+            tan = tan - ns * v3.dot(ns, tan)
+            t_len2 = v3.dot(tan, tan)
+            onb_t, _, _ = v3.onb_from_normal(ns)
+            tan = v3.where(t_len2 > 1e-12,
+                           tan * jax.lax.rsqrt(jnp.maximum(t_len2, 1e-12)),
+                           onb_t)
+            bit = v3.cross(ns, tan)
+            nm, _ = _sample_textures(ws, n_id, uu, vv, srgb=False)
+            n_scale = ws.ntex_scale[hit.mat]
+            tx = (nm.x * 2.0 - 1.0) * n_scale
+            ty = (nm.y * 2.0 - 1.0) * n_scale
+            tz = nm.z * 2.0 - 1.0
+            perturbed = v3.normalize(tan * tx + bit * ty + ns * tz)
+            ns = v3.where(hmask & (n_id >= 0), perturbed, ns)
+
+        base_rgb = V3(base[:, 0], base[:, 1], base[:, 2])
+        base_a = base[:, 3]
+        if ws.textures:
             tex_rgb, tex_a = _sample_textures(ws, tex_id, uu, vv)
             base_rgb = base_rgb * tex_rgb
             base_a = base_a * tex_a
