@@ -45,8 +45,10 @@ def test_gltf_geometry_and_materials(pbr_scene):
     assert ws.base_color.shape[0] == 4
     m = np.asarray(ws.metallic)
     assert m[2] == 1.0 and m[0] == 0.0
-    assert len(ws.textures) == 2    # checker + bump normal map
+    assert len(ws.textures) == 3    # checker, bump normals, MR
     assert int(np.asarray(ws.ntex_id).max()) >= 0
+    assert int(np.asarray(ws.mrtex_id)[2]) >= 0   # sphere MR map
+    assert int(np.asarray(ws.etex_id)[1]) >= 0    # red cube emissive
     assert int(ws.tex_id[0]) == 0 and int(ws.tex_id[1]) == -1
     assert int(ws.alpha_mode[3]) == 2  # BLEND
     # Light transformed by its node.
@@ -156,6 +158,25 @@ def test_normal_mapping(pbr_scene, pbr_camera):
     d = np.abs(bumped - flat).sum(axis=1)
     assert (d > 1e-6).sum() > 500          # the ground visibly changed
     assert np.isfinite(bumped).all()
+
+
+def test_mr_and_emissive_textures(pbr_scene, pbr_camera):
+    """Metallic-roughness (G/B channels x factors) and emissive (sRGB x
+    factor) textures — MaterialData.h:83,129 parity."""
+    from tpu_pt.whitted import render_whitted_wavefront
+
+    cfg = tpu_pt.RenderConfig(width=64, height=64, spp=2, max_depth=2,
+                              intersector="bruteforce")
+    img = np.asarray(render_whitted_wavefront(
+        pbr_scene, pbr_camera, cfg, 0, 64 * 64, 0))
+    no_tex = pbr_scene.replace(
+        mrtex_id=jnp.full_like(pbr_scene.mrtex_id, -1),
+        etex_id=jnp.full_like(pbr_scene.etex_id, -1))
+    img0 = np.asarray(render_whitted_wavefront(
+        no_tex, pbr_camera, cfg, 0, 64 * 64, 0))
+    d = np.abs(img - img0).sum(axis=1)
+    assert (d > 1e-6).sum() > 100          # sphere + cube shading changed
+    assert np.isfinite(img).all()
 
 
 # ---------------------------------------------------------------------------

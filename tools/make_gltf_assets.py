@@ -105,10 +105,23 @@ def bumps_png(path, n=6, res=64):
     film.write_png(path, img)
 
 
+def mr_png(path, res=64):
+    """Metallic-roughness map: G = roughness ramp in v, B = metallic
+    ramp in u (glTF channel convention)."""
+    from tpu_pt import film
+    img = np.zeros((res, res, 3), np.uint8)
+    for y in range(res):
+        for x in range(res):
+            img[y, x] = (0, int(255 * y / (res - 1)),
+                         int(255 * x / (res - 1)))
+    film.write_png(path, img)
+
+
 def build(out_dir: str):
     os.makedirs(out_dir, exist_ok=True)
     checker_png(os.path.join(out_dir, "checker.png"))
     bumps_png(os.path.join(out_dir, "bumps.png"))
+    mr_png(os.path.join(out_dir, "mr.png"))
 
     meshes_np = [plane(12.0), cube(1.5), sphere(1.0), cube(1.0)]
     blob = b""
@@ -151,11 +164,14 @@ def build(out_dir: str):
         dict(name="RedCube",
              pbrMetallicRoughness=dict(
                  baseColorFactor=[0.8, 0.1, 0.1, 1.0],
-                 metallicFactor=0.0, roughnessFactor=0.6)),
+                 metallicFactor=0.0, roughnessFactor=0.6),
+             emissiveFactor=[0.4, 0.25, 0.08],
+             emissiveTexture=dict(index=0)),
         dict(name="MetalSphere",
              pbrMetallicRoughness=dict(
                  baseColorFactor=[0.9, 0.8, 0.6, 1.0],
-                 metallicFactor=1.0, roughnessFactor=0.25)),
+                 metallicFactor=1.0, roughnessFactor=1.0,
+                 metallicRoughnessTexture=dict(index=2))),
         dict(name="BlendCube", alphaMode="BLEND",
              pbrMetallicRoughness=dict(
                  baseColorFactor=[0.2, 0.5, 0.9, 0.35],
@@ -184,8 +200,9 @@ def build(out_dir: str):
         nodes=nodes,
         meshes=meshes,
         materials=materials,
-        textures=[dict(source=0), dict(source=1)],
-        images=[dict(uri="checker.png"), dict(uri="bumps.png")],
+        textures=[dict(source=0), dict(source=1), dict(source=2)],
+        images=[dict(uri="checker.png"), dict(uri="bumps.png"),
+                dict(uri="mr.png")],
         samplers=[dict(magFilter=9729, minFilter=9729,
                        wrapS=10497, wrapT=10497)],
         buffers=[dict(byteLength=len(blob),

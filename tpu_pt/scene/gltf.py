@@ -80,6 +80,9 @@ class WhittedScene:
                                 # scale (cuda/LocalShading.h:52-66)
     ntex_id: jnp.ndarray        # [M] i32 normal-map texture, -1 = none
     ntex_scale: jnp.ndarray     # [M] normal-map strength (glTF scale)
+    mrtex_id: jnp.ndarray       # [M] i32 metallic-roughness texture
+                                # (G=roughness, B=metallic), -1 = none
+    etex_id: jnp.ndarray        # [M] i32 emissive texture, -1 = none
     # Per-triangle UV-space tangent [T, 3] for normal mapping (flat per
     # triangle — the reference derives dpdu at the hit from the same
     # vertex UVs, cuda/LocalGeometry.h; divergence: no per-vertex
@@ -112,6 +115,8 @@ def _default_whitted_tables(n_mats: int):
                         (n_mats, 1)),
         ntex_id=np.full(n_mats, -1, np.int32),
         ntex_scale=np.ones(n_mats, np.float32),
+        mrtex_id=np.full(n_mats, -1, np.int32),
+        etex_id=np.full(n_mats, -1, np.int32),
     )
 
 
@@ -340,6 +345,21 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
                 # cuda/LocalShading.h).
                 tables["tex_uvx"][i] = [sx * cr, sy * sr, ox,
                                         -sx * sr, sy * cr, oy]
+        def _load_tex(info):
+            src = doc["textures"][info["index"]]["source"]
+            if src not in tex_cache:
+                tex_cache[src] = len(textures)
+                textures.append(jnp.asarray(
+                    _decode_image(g, doc["images"][src])))
+            return tex_cache[src]
+
+        mrt = pbr.get("metallicRoughnessTexture")
+        if mrt is not None:
+            # G=roughness, B=metallic, linear (MaterialData.h:83).
+            tables["mrtex_id"][i] = _load_tex(mrt)
+        et = m.get("emissiveTexture")
+        if et is not None:
+            tables["etex_id"][i] = _load_tex(et)    # sRGB, x factor
         nt = m.get("normalTexture")
         if nt is not None:
             # Tangent-space normal map (whitted.cu normal mapping
@@ -426,6 +446,8 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
         tex_uvx=jnp.asarray(tables["tex_uvx"]),
         ntex_id=jnp.asarray(tables["ntex_id"]),
         ntex_scale=jnp.asarray(tables["ntex_scale"]),
+        mrtex_id=jnp.asarray(tables["mrtex_id"]),
+        etex_id=jnp.asarray(tables["etex_id"]),
         tri_tangent=jnp.asarray(tri_tangent),
         light_pos=jnp.asarray(np.asarray(lights_pos, np.float32).reshape(
             -1, 3)),

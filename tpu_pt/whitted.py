@@ -166,10 +166,24 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
 
         base_rgb = V3(base[:, 0], base[:, 1], base[:, 2])
         base_a = base[:, 3]
+        emissive_rgb = V3(emissive[:, 0], emissive[:, 1], emissive[:, 2])
         if ws.textures:
             tex_rgb, tex_a = _sample_textures(ws, tex_id, uu, vv)
             base_rgb = base_rgb * tex_rgb
             base_a = base_a * tex_a
+            # Metallic-roughness texture: G = roughness, B = metallic,
+            # linear, multiplied with the factors (MaterialData.h:83).
+            mr_id = ws.mrtex_id[hit.mat]
+            mr, _ = _sample_textures(ws, mr_id, uu, vv, srgb=False)
+            has_mr = mr_id >= 0
+            roughness = jnp.where(has_mr, roughness * mr.y, roughness)
+            metallic = jnp.where(has_mr, metallic * mr.z, metallic)
+            # Emissive texture (sRGB) times the emissive factor
+            # (MaterialData.h:129).
+            e_id = ws.etex_id[hit.mat]
+            em, _ = _sample_textures(ws, e_id, uu, vv)
+            emissive_rgb = v3.where(e_id >= 0, emissive_rgb * em,
+                                    emissive_rgb)
 
         # Alpha mask: treat sub-cutoff hits as pass-through continuations.
         masked_out = hmask & (alpha_mode == ALPHA_MASK) & (base_a <
@@ -184,7 +198,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
                              base_rgb, metallic)
         a_r = roughness * roughness
 
-        result = V3(emissive[:, 0], emissive[:, 1], emissive[:, 2])
+        result = emissive_rgb
 
         for li in range(n_lights):
             lpos = V3.of(ws.light_pos[li, 0], ws.light_pos[li, 1],
