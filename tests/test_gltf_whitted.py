@@ -160,6 +160,35 @@ def test_normal_mapping(pbr_scene, pbr_camera):
     assert np.isfinite(bumped).all()
 
 
+def test_checker_phong_material(pbr_scene, pbr_camera):
+    """CheckerPhong (shading.cu:169-206): a KIND_CHECKER ground must show
+    both parameter sets' diffuse colors in a spatial checkerboard."""
+    from tpu_pt.scene.gltf import KIND_CHECKER
+    from tpu_pt.whitted import render_whitted_wavefront
+
+    kind = np.asarray(pbr_scene.kind).copy()
+    kind[0] = KIND_CHECKER                      # ground material
+    c2 = np.asarray(pbr_scene.checker2).copy()
+    c2[0, 0:3] = [0.05, 0.4, 0.05]              # Kd2 green
+    c2[0, 10:12] = [2.0, 2.0]                   # inv checker size
+    base = np.asarray(pbr_scene.base_color).copy()
+    base[0, 0:3] = [0.4, 0.05, 0.05]            # Kd1 red
+    tex = np.asarray(pbr_scene.tex_id).copy()
+    tex[0] = -1                                 # procedural, untextured
+    scene = pbr_scene.replace(kind=jnp.asarray(kind),
+                              checker2=jnp.asarray(c2),
+                              base_color=jnp.asarray(base),
+                              tex_id=jnp.asarray(tex))
+    cfg = tpu_pt.RenderConfig(width=64, height=64, spp=2, max_depth=2,
+                              intersector="bruteforce")
+    img = np.asarray(render_whitted_wavefront(
+        scene, pbr_camera, cfg, 0, 64 * 64, 0)).reshape(64, 64, 3)
+    ground = img[5:30]                          # ground rows
+    reddish = (ground[..., 0] > 2 * ground[..., 1]) & (ground[..., 0] > .01)
+    greenish = (ground[..., 1] > 2 * ground[..., 0]) & (ground[..., 1] > .01)
+    assert reddish.sum() > 20 and greenish.sum() > 20
+
+
 def test_mr_and_emissive_textures(pbr_scene, pbr_camera):
     """Metallic-roughness (G/B channels x factors) and emissive (sRGB x
     factor) textures — MaterialData.h:83,129 parity."""

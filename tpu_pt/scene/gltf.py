@@ -73,6 +73,11 @@ class WhittedScene:
     phong_ks: jnp.ndarray       # [M, 3] specular color (phong/metal)
     phong_exp: jnp.ndarray      # [M]
     phong_kr: jnp.ndarray       # [M, 3] reflectivity
+    # CheckerPhong second parameter set (MaterialData.h CheckerPhong):
+    # Kd2 xyz, Ks2 xyz, Kr2 xyz, phong_exp2, inv_checker_size u, v.
+    # Set 1 is the regular base_color/phong_* tables; a KIND_CHECKER
+    # material swaps to this set on even checker cells.
+    checker2: jnp.ndarray       # [M, 12]
     tex_id: jnp.ndarray         # [M] i32, -1 = none
     tex_uvx: jnp.ndarray        # [M, 6] UV affine rows (m00 m01 ou m10
                                 # m11 ov): KHR_texture_transform / the
@@ -110,6 +115,8 @@ def _default_whitted_tables(n_mats: int):
         phong_ks=np.zeros((n_mats, 3), np.float32),
         phong_exp=np.full(n_mats, 32.0, np.float32),
         phong_kr=np.zeros((n_mats, 3), np.float32),
+        checker2=np.tile(np.array([0.3] * 3 + [0.0] * 6 + [32.0, 1.0, 1.0],
+                                  np.float32), (n_mats, 1)),
         tex_id=np.full(n_mats, -1, np.int32),
         tex_uvx=np.tile(np.array([1, 0, 0, 0, 1, 0], np.float32),
                         (n_mats, 1)),
@@ -442,6 +449,7 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
         phong_ks=jnp.asarray(tables["phong_ks"]),
         phong_exp=jnp.asarray(tables["phong_exp"]),
         phong_kr=jnp.asarray(tables["phong_kr"]),
+        checker2=jnp.asarray(tables["checker2"]),
         tex_id=jnp.asarray(tables["tex_id"]),
         tex_uvx=jnp.asarray(tables["tex_uvx"]),
         ntex_id=jnp.asarray(tables["ntex_id"]),

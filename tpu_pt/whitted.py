@@ -32,7 +32,7 @@ from .config import RenderConfig
 from .intersect import get_intersectors
 from .render import CameraArrays, camera_rays
 from .scene.gltf import (WhittedScene, KIND_GLASS, KIND_PBR, KIND_PHONG,
-                         ALPHA_BLEND, ALPHA_MASK)
+                         KIND_CHECKER, ALPHA_BLEND, ALPHA_MASK)
 from . import rng
 
 MAX_TRACE_DEPTH = 8  # whitted.h:42
@@ -167,6 +167,17 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         base_rgb = V3(base[:, 0], base[:, 1], base[:, 2])
         base_a = base[:, 3]
         emissive_rgb = V3(emissive[:, 0], emissive[:, 1], emissive[:, 2])
+
+        # CheckerPhong (shading.cu:169-206): even checker cells swap to
+        # the material's second parameter set; set 1 is the regular
+        # tables. Applies before texturing (checker materials are
+        # procedural).
+        c2 = ws.checker2[hit.mat]                     # [N, 12] gather
+        tcx = jnp.floor(uu * c2[:, 10]).astype(jnp.int32)
+        tcy = jnp.floor(vv * c2[:, 11]).astype(jnp.int32)
+        use2 = hmask & (kind == KIND_CHECKER) & (((tcx + tcy) & 1) == 0)
+        base_rgb = v3.where(use2, V3(c2[:, 0], c2[:, 1], c2[:, 2]),
+                            base_rgb)
         if ws.textures:
             tex_rgb, tex_a = _sample_textures(ws, tex_id, uu, vv)
             base_rgb = base_rgb * tex_rgb
@@ -242,10 +253,12 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         glass_dir = v3.where(glass_reflect, refl_dir, refr_dir)
 
         # Phong-metal reflections: Kr-weighted mirror (shading.cu metal).
+        # Checker cells carry their own Kr (shading.cu:190-199).
         kr = ws.phong_kr[hit.mat]
         kr_v = V3(kr[:, 0], kr[:, 1], kr[:, 2])
-        phong_refl = hmask & (kind == KIND_PHONG) & (v3.luminance(kr_v)
-                                                     > 0.0)
+        kr_v = v3.where(use2, V3(c2[:, 6], c2[:, 7], c2[:, 8]), kr_v)
+        phong_kind = (kind == KIND_PHONG) | (kind == KIND_CHECKER)
+        phong_refl = hmask & phong_kind & (v3.luminance(kr_v) > 0.0)
 
         # Alpha blend: result scales by alpha; (1-alpha) continues straight
         # (whitted.cu:268-287).
