@@ -99,6 +99,12 @@ class WhittedScene:
     ambient: jnp.ndarray        # [3]
     # Textures: tuple of [h, w, 4] float arrays (static length pytree).
     textures: tuple
+    # Static capability flags (not traced): let the renderer skip whole
+    # sampling passes for scenes that lack the channel. Conservative
+    # default True — masked math stays correct either way.
+    has_normal_maps: bool = struct.field(pytree_node=False, default=True)
+    has_mr_tex: bool = struct.field(pytree_node=False, default=True)
+    has_emissive_tex: bool = struct.field(pytree_node=False, default=True)
 
 
 def _default_whitted_tables(n_mats: int):
@@ -463,4 +469,7 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
                                            np.float32).reshape(-1, 3)),
         ambient=jnp.asarray(ambient),
         textures=tuple(textures),
+        has_normal_maps=bool((tables["ntex_id"] >= 0).any()),
+        has_mr_tex=bool((tables["mrtex_id"] >= 0).any()),
+        has_emissive_tex=bool((tables["etex_id"] >= 0).any()),
     )

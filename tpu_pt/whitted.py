@@ -142,6 +142,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
             uvx = ws.tex_uvx[hit.mat]                 # [N, 6] gather
             uu, vv = (uvx[:, 0] * uu + uvx[:, 1] * vv + uvx[:, 2],
                       uvx[:, 3] * uu + uvx[:, 4] * vv + uvx[:, 5])
+        if ws.textures and ws.has_normal_maps:
             # Tangent-space normal mapping (whitted.cu:226-244 parity):
             # TBN from the triangle's UV tangent orthonormalized against
             # the shading normal; degenerate tangents fall back to an
@@ -182,6 +183,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
             tex_rgb, tex_a = _sample_textures(ws, tex_id, uu, vv)
             base_rgb = base_rgb * tex_rgb
             base_a = base_a * tex_a
+        if ws.textures and ws.has_mr_tex:
             # Metallic-roughness texture: G = roughness, B = metallic,
             # linear, multiplied with the factors (MaterialData.h:83).
             mr_id = ws.mrtex_id[hit.mat]
@@ -189,6 +191,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
             has_mr = mr_id >= 0
             roughness = jnp.where(has_mr, roughness * mr.y, roughness)
             metallic = jnp.where(has_mr, metallic * mr.z, metallic)
+        if ws.textures and ws.has_emissive_tex:
             # Emissive texture (sRGB) times the emissive factor
             # (MaterialData.h:129).
             e_id = ws.etex_id[hit.mat]
