@@ -1351,12 +1351,15 @@ def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
 # plus supercluster AABBs per SUPER clusters; per-tile supercluster work
 # lists are computed outside the kernel (``super_candidates``) and the
 # in-kernel loop visits only those, each cluster guarded by a best-t
-# slab test. Culling, not the sweep, bounds the cost — so the clustered
-# slab is as large as the scoped-VMEM budget allows (65536 rows x 16 f32
-# = 4 MB; one slab past that trips the compiler's scoped-vmem stack
-# limit), so 100k-tri scenes run in two launches.
+# slab test. Culling, not the sweep, bounds the cost. 65536 rows x 16
+# f32 = 4 MB per slab; the lean kernels can now compile a single 131072
+# slab (the full kernels tripped the scoped-vmem stack limit), but it
+# MEASURES WORSE: 3.62 vs 3.80 Mrays/s on the 100k-tri frame and 4.6 min
+# to compile — the chained second slab's candidate lists are narrowed by
+# the per-ray prior t, which beats one flat whole-scene list. TPT_CSLAB
+# keeps the probe.
 TRI_SLAB = 8192
-CLUSTERED_SLAB = 65536
+CLUSTERED_SLAB = int(os.environ.get("TPT_CSLAB", 65536))
 
 
 def _tri_slabs(tris, boxes=None, sboxes=None):
