@@ -1351,22 +1351,38 @@ def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
 # plus supercluster AABBs per SUPER clusters; per-tile supercluster work
 # lists are computed outside the kernel (``super_candidates``) and the
 # in-kernel loop visits only those, each cluster guarded by a best-t
-# slab test. Culling, not the sweep, bounds the cost. 65536 rows x 16
-# f32 = 4 MB per slab; the lean kernels can now compile a single 131072
-# slab (the full kernels tripped the scoped-vmem stack limit), but it
-# MEASURES WORSE: 3.62 vs 3.80 Mrays/s on the 100k-tri frame and 4.6 min
-# to compile — the chained second slab's candidate lists are narrowed by
-# the per-ray prior t, which beats one flat whole-scene list. TPT_CSLAB
-# keeps the probe.
+# slab test. Culling, not the sweep, bounds the cost — and CHAINING the
+# slabs through the running best hit prunes harder than any single
+# whole-scene candidate list: each slab's lists are built against the
+# per-ray prior t from the slabs before it. Swept on the 100k-tri frame
+# (Mrays/s): 1 slab 3.62, 2x65536 3.84, 4x32768 3.99, 7x16384 3.90,
+# 13x8192 4.16, 25x4096 4.18, 49x2048 3.86; and on the 1M-tri scene
+# 16 slabs 0.89, 32 slabs 0.95, 64 slabs 0.75. The optimum slab COUNT
+# grows slowly with scene size — 16 * (T / 100k)^0.3 matches both
+# measured optima (16-25 at 100k, 32 at 1M). TPT_CSLABS overrides the
+# count, TPT_CSLAB the size outright.
 TRI_SLAB = 8192
-CLUSTERED_SLAB = int(os.environ.get("TPT_CSLAB", 65536))
+CLUSTERED_SLABS = int(os.environ.get("TPT_CSLABS", 0))  # 0 = derive
+CLUSTERED_SLAB = int(os.environ.get("TPT_CSLAB", 0))    # 0 = derive
+
+
+def _clustered_slab_rows(n_rows: int) -> int:
+    """Slab size for the chained clustered launches, rounded to the
+    8-supercluster (1024-row) alignment the box blocks need."""
+    if CLUSTERED_SLAB:
+        return CLUSTERED_SLAB
+    count = CLUSTERED_SLABS or max(4, min(64, round(
+        16.0 * (n_rows / 1e5) ** 0.3)))
+    quantum = 8 * CLUSTER * SUPER
+    per_slab = -(-n_rows // count)
+    return max(quantum, -(-per_slab // quantum) * quantum)
 
 
 def _tri_slabs(tris, boxes=None, sboxes=None):
     if boxes is None:
         return [(s, tris[s:s + TRI_SLAB], None, None, None)
                 for s in range(0, tris.shape[0], TRI_SLAB)]
-    slab = CLUSTERED_SLAB
+    slab = _clustered_slab_rows(tris.shape[0])
     bc = slab // CLUSTER
     sc = slab // (CLUSTER * SUPER)
     out = []
