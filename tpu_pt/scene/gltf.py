@@ -214,10 +214,16 @@ def _node_matrix(node: dict) -> np.ndarray:
 
 
 def _decode_image(g: _Gltf, img: dict) -> np.ndarray:
-    """Image -> float [h, w, 4] in linear-ish space (PNG only)."""
+    """Image -> float [h, w, 4]. PNG everywhere; external-file PPM too
+    (the reference textures from PPM via ``sutil::loadTexture`` /
+    ``PPMLoader``)."""
     from .. import film
     if "uri" in img and not img["uri"].startswith("data:"):
-        rgb = film.read_png(os.path.join(g.base_dir, img["uri"]))
+        path = os.path.join(g.base_dir, img["uri"])
+        if path.lower().endswith(".ppm"):
+            rgb = film.read_ppm(path)
+        else:
+            rgb = film.read_png(path)
     else:
         if "uri" in img:
             blob = base64.b64decode(img["uri"].split(",", 1)[1])
