@@ -25,6 +25,11 @@ def main():
     on_tpu = backend == "tpu"
     obj = os.environ.get("BIG_SCENE",
                          os.path.join(REPO, "assets", "big_mesh.obj"))
+    if not os.path.exists(obj):
+        import subprocess
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "make_assets.py"),
+                        "--big"], check=True)
     scene = tpu_pt.load_scene(obj)
 
     size = int(os.environ.get("BIG_SIZE", 512 if on_tpu else 64))
