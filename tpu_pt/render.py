@@ -571,10 +571,12 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     # ITEM's full trace count at near-empty occupancy. Measured on the
     # 100k-tri scene (512^2 x 4 spp = 1 item/lane at the 262144 cap):
     # 2.97 -> 3.74 Mrays/s at items/8 lanes (the sweet spot; 16k matches,
-    # 8k over-serializes). The Cornell headline (2M items) already sits
-    # at exactly items/8 = the cap, so it is unaffected. The 4096 floor
-    # keeps tiny renders wide enough to fill the kernel grid.
-    n_lanes = min(cfg.lanes, max(4096, total_items // 8), total_items)
+    # 8k over-serializes). Wider also loses: items/4 (524288 lanes) on
+    # the Cornell headline drops 170.5 -> 107 Mrays/s — the doubled slot
+    # buffers and drain sort swamp the halved round count
+    # (TPT_ITEMS_PER_LANE to reproduce). The 4096 floor keeps tiny
+    # renders wide enough to fill the kernel grid.
+    n_lanes = min(cfg.lanes, max(4096, total_items // int(os.environ.get("TPT_ITEMS_PER_LANE", 8))), total_items)
     spp = jnp.uint32(cfg.spp)
     # Mean flushes/lane is items/lanes; the queue self-balances (lanes that
     # draw cheap items finish more of them), so a small margin suffices —
