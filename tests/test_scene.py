@@ -145,3 +145,19 @@ def test_nee_occluder_subset(mixed_scene):
     culled = moller.intersect_occluded(s_culled, o, d, tmax)
     assert not bool(jnp.any(culled & ~full))  # sanity (subset of full)
     assert not bool(jnp.any(culled)), "a culled triangle occluded a segment"
+
+
+def test_median_split_order_non_leaf_multiple():
+    """Triangle counts that are not a multiple of the leaf size must
+    still terminate and return a permutation (the whole-leaf split point
+    used to round to 0 and re-push the same node forever)."""
+    import numpy as np
+    from tpu_pt.scene.arrays import median_split_order
+
+    rng = np.random.default_rng(1)
+    for t in (192, 129, 1000):
+        v0 = rng.uniform(0, 100, (t, 3)).astype(np.float32)
+        e1 = rng.uniform(-2, 2, (t, 3)).astype(np.float32)
+        e2 = rng.uniform(-2, 2, (t, 3)).astype(np.float32)
+        out = median_split_order(v0, e1, e2, np.ones(t, bool))
+        assert sorted(out.tolist()) == list(range(t))

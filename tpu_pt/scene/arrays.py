@@ -146,7 +146,11 @@ def median_split_order(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
         lo = cc[fin].min(axis=0)
         hi = cc[fin].max(axis=0)
         axis = int(np.argmax(hi - lo))
-        nl = (n // leaf // 2) * leaf
+        # Whole-leaf split point. For n that is not a leaf multiple
+        # (contract violation, but cheap to survive) the rounded split
+        # can hit 0, which would re-push this node forever — clamp to
+        # one leaf so the recursion always shrinks.
+        nl = max(leaf, (n // leaf // 2) * leaf)
         part = np.argpartition(cc[:, axis], nl)
         stack.append((off, idx[part[:nl]]))
         stack.append((off + nl, idx[part[nl:]]))
