@@ -1127,9 +1127,22 @@ def _lean_resolve(tris, t, tri, n_tri: int):
     end, XLA fuses the HIGHEST passes better). Misses (id 0) are zeroed
     to match ``_hit_from_out``."""
     tbl = jnp.concatenate([tris[:, 0:3], tris[:, 14:15]], axis=1)  # [T, 4]
+    # Exact selection in ONE default-precision MXU pass: the 0/1 one-hot
+    # is bf16-exact, and the f32 table rides as three Dekker-split bf16
+    # parts CONCATENATED column-wise ([T, 12]) — one matmul, one fused
+    # one-hot generation, then three exact f32 adds recombine the parts.
+    # (HIGHEST precision regenerates the fused one-hot once per bf16
+    # pass — 6x; three separate split matmuls — 3x; this is 1x.)
     onehot = (tri[:, None] == jnp.arange(n_tri, dtype=jnp.int32)[None, :]
-              ).astype(jnp.float32)
-    rows = jnp.matmul(onehot, tbl, precision=jax.lax.Precision.HIGHEST)
+              ).astype(jnp.bfloat16)
+    p0 = tbl.astype(jnp.bfloat16)
+    r1 = tbl - p0.astype(jnp.float32)
+    p1 = r1.astype(jnp.bfloat16)
+    p2 = (r1 - p1.astype(jnp.float32)).astype(jnp.bfloat16)
+    parts = jnp.concatenate([p0, p1, p2], axis=1)                # [T, 12]
+    sel = jnp.matmul(onehot, parts,
+                     preferred_element_type=jnp.float32)         # [N, 12]
+    rows = sel[:, 0:4] + sel[:, 4:8] + sel[:, 8:12]
     hit = t < T_FAR
     rows = jnp.where(hit[:, None], rows, 0.0)
     return Hit(t=t, tri=tri, hit=hit,
@@ -1172,6 +1185,10 @@ def _lean_resolve_packed(packed, t, row):
     oh_hi = (hi[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]
              ).astype(jnp.bfloat16)
     tblr = tbl.reshape(h, 128 * 5)
+    # Three accumulated split matmuls; the single-pass concatenated-parts
+    # variant that wins in _lean_resolve LOSES here (4.01 vs 4.14
+    # Mrays/s) — its [N, 1920] intermediate outweighs the saved one-hot
+    # regenerations at this output width.
     slab5 = jnp.zeros((row.shape[0], 128 * 5), jnp.float32)
     rem = tblr
     for _ in range(3):
