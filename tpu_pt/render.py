@@ -141,6 +141,11 @@ def _lookup_materials(scene: SceneArrays, mat_ids: jnp.ndarray):
               ).astype(jnp.float32)
     # HIGHEST precision: one-hot x table is then an exact row select
     # (default MXU precision would truncate material values to bf16).
+    # NOTE: the single-pass Dekker-split variant that speeds up
+    # pallas_bf._lean_resolve measured SLOWER here (176.9 vs 178.6
+    # Mrays/s) and — despite verifying exact in isolation — produced
+    # diverging renders inside the full fused frame graph; do not
+    # repeat without a bitwise A/B on whole frames.
     props = jnp.matmul(onehot, table,
                        precision=jax.lax.Precision.HIGHEST)     # [N, 12]
     return dict(diffuse=V3(props[:, 0], props[:, 1], props[:, 2]),
