@@ -1135,10 +1135,17 @@ def _lean_resolve(tris, t, tri, n_tri: int):
     # pass — 6x; three separate split matmuls — 3x; this is 1x.)
     onehot = (tri[:, None] == jnp.arange(n_tri, dtype=jnp.int32)[None, :]
               ).astype(jnp.bfloat16)
+    # optimization_barrier on the split parts: --xla_allow_excess_precision
+    # (set in this runtime) can elide the f32->bf16->f32 round-trip inside
+    # the fused frame graph, silently truncating the select to ONE bf16
+    # part — isolated tests stay exact, whole frames diverge. The
+    # barriers pin the rounding; measured bitwise-identical to the
+    # in-sweep selects at full-frame scale with them, diverging without.
     p0 = tbl.astype(jnp.bfloat16)
-    r1 = tbl - p0.astype(jnp.float32)
+    r1 = tbl - jax.lax.optimization_barrier(p0).astype(jnp.float32)
     p1 = r1.astype(jnp.bfloat16)
-    p2 = (r1 - p1.astype(jnp.float32)).astype(jnp.bfloat16)
+    p2 = (r1 - jax.lax.optimization_barrier(p1).astype(jnp.float32)
+          ).astype(jnp.bfloat16)
     parts = jnp.concatenate([p0, p1, p2], axis=1)                # [T, 12]
     sel = jnp.matmul(onehot, parts,
                      preferred_element_type=jnp.float32)         # [N, 12]
@@ -1192,7 +1199,10 @@ def _lean_resolve_packed(packed, t, row):
     slab5 = jnp.zeros((row.shape[0], 128 * 5), jnp.float32)
     rem = tblr
     for _ in range(3):
-        part = rem.astype(jnp.bfloat16)
+        # optimization_barrier: --xla_allow_excess_precision may elide
+        # the f32->bf16->f32 round-trip, silently truncating the split
+        # to one bf16 part (caught by whole-frame bitwise A/B).
+        part = jax.lax.optimization_barrier(rem.astype(jnp.bfloat16))
         rem = rem - part.astype(jnp.float32)
         slab5 = slab5 + jnp.matmul(oh_hi, part,
                                    preferred_element_type=jnp.float32)
