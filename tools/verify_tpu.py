@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""On-device equivalence suite: whole-frame bitwise A/Bs on the TPU.
+
+The CPU test suite runs the Pallas kernels in interpreter mode, which
+cannot catch TPU-only hazards — approximate-reciprocal accuracy, Mosaic
+lowering differences, and above all `--xla_allow_excess_precision`
+eliding f32->bf16->f32 round-trips inside fused graphs (which once
+truncated the one-hot resolve to a single bf16 part while every
+ISOLATED check stayed exact; see ARCHITECTURE.md). This script renders
+the same frames through independent code paths ON THE DEVICE and
+asserts the images match bitwise:
+
+  1. lean (t, id) kernel + one-hot resolve  vs  in-sweep select kernel
+  2. clustered lean path                    vs  non-lean clustered path
+  3. guard=none                             vs  guard=super
+  4. slot margin 2                          vs  slot margin 6
+  5. fused closest+NEE                      vs  two-kernel path
+  6. sharded (1,1) mesh step                vs  plain render_frame
+
+Each variant toggles via env, so every render runs in a fresh
+subprocess. Exit code 0 = all equivalences hold. Runtime ~4 min on a
+v5e (first run compiles; the persistent cache makes reruns fast).
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import os, sys
+import numpy as np
+sys.path.insert(0, %(repo)r)
+import jax, tpu_pt
+from tpu_pt.render import CameraArrays, render_frame, init_accum
+
+scene = tpu_pt.load_scene(%(scene)r)
+cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+cfg = tpu_pt.RenderConfig(width=128, height=128, spp=4, max_depth=6,
+                          use_direct_lighting=True,
+                          use_importance_sampling=True,
+                          fused_nee=%(fused)s)
+if %(sharded)s:
+    from tpu_pt import dist
+    mesh = dist.device_mesh(1, 1)
+    step = dist.make_sharded_renderer(scene, cfg, mesh)
+    accum = dist.init_accum_sharded(cfg, mesh)
+    accum, img, stats = step(cam, 0, accum)
+else:
+    accum = init_accum(cfg)
+    accum, img, stats = render_frame(scene, cam, cfg, 0, accum)
+np.save(%(out)r, np.asarray(img))
+"""
+
+
+def render(out, scene, env=None, fused=False, sharded=False):
+    code = CHILD % dict(repo=REPO, scene=scene, out=out,
+                        fused=repr(fused), sharded=repr(sharded))
+    e = {**os.environ, **(env or {})}
+    r = subprocess.run([sys.executable, "-c", code], env=e,
+                       capture_output=True, text=True, timeout=1200)
+    if r.returncode != 0:
+        print(r.stderr[-2000:], file=sys.stderr)
+        raise SystemExit(f"render subprocess failed ({env})")
+    return np.load(out)
+
+
+def main():
+    cornell = os.path.join(REPO, "assets", "cornell_box_mixed.obj")
+    big = os.path.join(REPO, "assets", "big_mesh.obj")
+    if not os.path.exists(big):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "make_assets.py"),
+                        "--big"], check=True)
+
+    tmp = tempfile.mkdtemp(prefix="tpt_verify_")
+    fails = 0
+
+    def check(name, a, b):
+        nonlocal fails
+        ok = np.array_equal(a, b)
+        print(f"{'PASS' if ok else 'FAIL'}  {name}")
+        if not ok:
+            d = np.abs(a.astype(int) - b.astype(int))
+            print(f"      maxdiff {d.max()}  pixels {int((d.sum(-1) > 0).sum())}")
+            fails += 1
+
+    p = lambda n: os.path.join(tmp, n + ".npy")
+
+    base = render(p("base"), cornell)
+    check("lean resolve == in-sweep selects (Cornell)",
+          base, render(p("noslean"), cornell, {"TPT_LEAN_MAX": "0"}))
+    check("fused closest+NEE == two kernels (Cornell)",
+          base, render(p("fused"), cornell, fused=True))
+    check("slot margin 6 == margin 2 (Cornell)",
+          base, render(p("margin"), cornell, {"TPT_SLOT_MARGIN": "6"}))
+    check("sharded (1,1) mesh == plain frame (Cornell)",
+          base, render(p("shard"), cornell, sharded=True))
+
+    bbase = render(p("bbase"), big)
+    check("clustered lean == non-lean (big scene)",
+          bbase, render(p("blean0"), big, {"TPT_LEAN_BIG": "0"}))
+    check("guard none == guard super (big scene)",
+          bbase, render(p("bguard"), big, {"TPT_GUARD": "super"}))
+
+    print("all equivalences hold" if not fails
+          else f"{fails} equivalence(s) BROKEN")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
