@@ -443,6 +443,32 @@ def pack_rays(origins: V3, dirs: V3, row6: jnp.ndarray | None,
     return out
 
 
+def ray_rows(origins: V3, dirs: V3, n_pad: int, extras=()):
+    """Rays as SEPARATE [1, n_pad] component operands (single-slab kernels).
+
+    The packed [8, N] layout of ``pack_rays`` costs one stacked HBM copy
+    per kernel launch; the single-slab kernels don't sort, so they can
+    read the wavefront's component rows directly — measured 8 ms/frame
+    (two packs x 155 rounds) on the 1024^2 Cornell headline. Padding
+    columns are PARKED rays exactly as in ``pack_rays``; ``extras`` rows
+    (e.g. occlusion tmax) pad with 0."""
+    n = origins.x.shape[0]
+    cols = (origins.x, origins.y, origins.z,
+            dirs.x, dirs.y, dirs.z) + tuple(extras)
+    fills = (3.0e7,) * 3 + (0.5773503,) * 3 + (0.0,) * len(extras)
+    out = []
+    for col, fill in zip(cols, fills):
+        if n_pad != n:
+            col = jnp.pad(col, (0, n_pad - n), constant_values=fill)
+        out.append(col[None, :])
+    return tuple(out)
+
+
+def _row_specs(k: int, rt: int = RAY_TILE):
+    return [pl.BlockSpec((1, rt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM) for _ in range(k)]
+
+
 def _pe_block(ray, tris_ref, s, tb, tmin):
     """Plane + edge-function test for a ray tile vs tri block ``s:s+tb``.
 
@@ -798,10 +824,11 @@ def _write_closest(out_ref, i_ref, best, rt, occ=None):
     i_ref[:, :] = jnp.where(best_t < T_FAR, best_i, 0)
 
 
-def _closest_kernel(rays_ref, tris_ref, out_ref, i_ref, *, n_tri, tmin,
-                    tmax, tb=TRI_BLOCK, want_uv=True):
-    rt = rays_ref.shape[1]
-    best = _closest_sweep(_ray_rows(rays_ref), tris_ref, rt,
+def _closest_kernel(r0, r1, r2, r3, r4, r5, tris_ref, out_ref, i_ref, *,
+                    n_tri, tmin, tmax, tb=TRI_BLOCK, want_uv=True):
+    rt = r0.shape[1]
+    ray = tuple(r[0:1, :] for r in (r0, r1, r2, r3, r4, r5))
+    best = _closest_sweep(ray, tris_ref, rt,
                           n_tri // tb, tmin, tmax, tb=tb, want_uv=want_uv)
     _write_closest(out_ref, i_ref, best, rt)
 
@@ -835,10 +862,11 @@ def _lean_sweep(ray, tris_ref, rt, nb, tmin, tb):
     return jax.lax.fori_loop(0, nb, sweep, init)
 
 
-def _closest_kernel_lean(rays_ref, tris_ref, out_ref, i_ref, *, n_tri,
-                         tmin, tb=TRI_BLOCK):
-    rt = rays_ref.shape[1]
-    best_t, best_i = _lean_sweep(_ray_rows(rays_ref), tris_ref, rt,
+def _closest_kernel_lean(r0, r1, r2, r3, r4, r5, tris_ref, out_ref, i_ref,
+                         *, n_tri, tmin, tb=TRI_BLOCK):
+    rt = r0.shape[1]
+    ray = tuple(r[0:1, :] for r in (r0, r1, r2, r3, r4, r5))
+    best_t, best_i = _lean_sweep(ray, tris_ref, rt,
                                  n_tri // tb, tmin, tb)
     out_ref[:, :] = best_t
     i_ref[:, :] = jnp.where(best_t < T_FAR, best_i.astype(jnp.int32), 0)
@@ -1041,11 +1069,12 @@ def _closest_nee_kernel_lean(rays_ref, tris_ref, occ_tris_ref, light_ref,
     occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
 
 
-def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin,
-                     tb=TRI_BLOCK):
-    rt = rays_ref.shape[1]
-    tmax_r = rays_ref[6:7, :]                                     # [1, RT]
-    occ = _occlusion_sweep(_ray_rows(rays_ref), tris_ref, tmax_r, rt,
+def _occluded_kernel(r0, r1, r2, r3, r4, r5, r6, tris_ref, occ_ref, *,
+                     n_tri, tmin, tb=TRI_BLOCK):
+    rt = r0.shape[1]
+    ray = tuple(r[0:1, :] for r in (r0, r1, r2, r3, r4, r5))
+    tmax_r = r6[0:1, :]                                           # [1, RT]
+    occ = _occlusion_sweep(ray, tris_ref, tmax_r, rt,
                            n_tri // tb, tmin, tb=tb)
     occ_ref[:, :] = (occ > 0.0).astype(jnp.int32)
 
@@ -1053,16 +1082,14 @@ def _occluded_kernel(rays_ref, tris_ref, occ_ref, *, n_tri, tmin,
 @functools.partial(jax.named_call, name="pallas_closest")
 def _closest_call(rays, tris, n_tri: int, tmin: float, tmax: float,
                   tb: int = TRI_BLOCK, want_uv: bool = True):
-    n_pad = rays.shape[1]
+    n_pad = rays[0].shape[1]
     grid = (n_pad // RAY_TILE,)
     kernel = functools.partial(_closest_kernel, n_tri=n_tri, tmin=tmin,
                                tmax=tmax, tb=tb, want_uv=want_uv)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+        in_specs=_row_specs(6) + [
             pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -1080,22 +1107,20 @@ def _closest_call(rays, tris, n_tri: int, tmin: float, tmax: float,
             flops=34 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
         interpret=_interpret(),
-    )(rays, tris)
+    )(*rays, tris)
 
 
 @functools.partial(jax.named_call, name="pallas_closest_lean")
 def _closest_call_lean(rays, tris, n_tri: int, tmin: float,
                        tb: int = TRI_BLOCK):
-    n_pad = rays.shape[1]
+    n_pad = rays[0].shape[1]
     grid = (n_pad // RAY_TILE,)
     kernel = functools.partial(_closest_kernel_lean, n_tri=n_tri,
                                tmin=tmin, tb=tb)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+        in_specs=_row_specs(6) + [
             pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -1113,7 +1138,7 @@ def _closest_call_lean(rays, tris, n_tri: int, tmin: float,
             flops=28 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
         interpret=_interpret(),
-    )(rays, tris)
+    )(*rays, tris)
 
 
 def _lean_resolve(tris, t, tri, n_tri: int):
@@ -1221,16 +1246,14 @@ def _lean_resolve_packed(packed, t, row):
 @functools.partial(jax.named_call, name="pallas_occluded")
 def _occluded_call(rays, tris, n_tri: int, tmin: float,
                    tb: int = TRI_BLOCK):
-    n_pad = rays.shape[1]
+    n_pad = rays[0].shape[1]
     grid = (n_pad // RAY_TILE,)
     kernel = functools.partial(_occluded_kernel, n_tri=n_tri, tmin=tmin,
                                tb=tb)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+        in_specs=_row_specs(7) + [
             pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -1241,7 +1264,7 @@ def _occluded_call(rays, tris, n_tri: int, tmin: float,
             flops=34 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
         interpret=_interpret(),
-    )(rays, tris)
+    )(*rays, tris)
 
 
 @functools.partial(jax.named_call, name="pallas_closest_nee_lean")
@@ -1511,6 +1534,52 @@ def _coherence_key(rays, boxes, sboxes=None):
         if sboxes is not None:
             return _candidate_key(rays, sboxes)
         mode = "dir12"         # no supercluster boxes at this call site
+    if mode == "near":
+        # NEAREST-PIERCED-SLAB-major: group rays by which chained slab
+        # their traversal enters first, then by direction. The chain
+        # visits slabs in global kd order with the SAME candidate-list
+        # prior machinery; what this key changes is tile composition —
+        # rays that begin in the same kd region union near-identical
+        # candidate sets there and (usually hit, so) contribute only
+        # their tight prior-t everywhere else. Simulated candidate work
+        # on the 100k-tri scene, 65k incoherent rays (tile-OR'd entries
+        # vs dir12): 0.547x — vs 0.956x for a PERFECT per-ray prior
+        # under dir12 tiles, i.e. tile composition, not prior timing,
+        # is the union factor's lever (sim: count tile-OR'd interval-
+        # test entries per chained slab under each ordering). Falls
+        # back to dir12 when the scene is a single slab.
+        rows = boxes.shape[0] * CLUSTER
+        slab_rows = _clustered_slab_rows(rows)
+        s_count = rows // slab_rows
+        if s_count > 1:
+            sc_per = slab_rows // (CLUSTER * SUPER)
+            sb = sboxes if sboxes is not None else boxes
+            slo = sb[:, 0:3].reshape(s_count, sc_per, 3).min(axis=1)
+            shi = sb[:, 3:6].reshape(s_count, sc_per, 3).max(axis=1)
+            eps = 1e-12
+            inv = 1.0 / jnp.where(jnp.abs(d) > eps, d,
+                                  jnp.where(d >= 0, eps, -eps))
+            tn = jnp.full((o.shape[0], s_count), -3e38, jnp.float32)
+            tf = jnp.full((o.shape[0], s_count), 3e38, jnp.float32)
+            for a in range(3):
+                t0 = (slo[None, :, a] - o[:, a:a + 1]) * inv[a][:, None]
+                t1 = (shi[None, :, a] - o[:, a:a + 1]) * inv[a][:, None]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            ok = (tn <= tf) & (tf > 0.01)
+            keyt = jnp.where(ok, tn, jnp.float32(3e38))
+            slab0 = jnp.where(jnp.any(ok, axis=1),
+                              jnp.argmin(keyt, axis=1),
+                              s_count).astype(jnp.uint32)
+            sbits = int(s_count).bit_length()        # slab0 <= s_count
+            d01 = jnp.clip(0.5 * (d.T + 1.0), 0.0, 1.0)
+            dbits = min(9, 32 - sbits - 12)          # >=12 origin bits
+            dm = morton3d(d01) >> (30 - dbits)
+            om_bits = 32 - sbits - dbits
+            return ((slab0 << (32 - sbits))
+                    | (dm << om_bits)
+                    | (morton3d(p01) >> (30 - om_bits)))
+        mode = "dir12"
     if mode in ("dir6", "dir9", "dir12"):
         d01 = jnp.clip(0.5 * (d.T + 1.0), 0.0, 1.0)
         dbits = {"dir6": 6, "dir9": 9, "dir12": 12}[mode]
@@ -2144,9 +2213,11 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
     dirs = as_v3(dirs)
     n = origins.x.shape[0]
     n_pad = _pad_to(n, RAY_TILE)
-    rays = pack_rays(origins, dirs, None, n_pad)
     single = pack_tris(scene).shape[0] <= TRI_SLAB
     if single:
+        # Single-slab kernels take the wavefront's component rows
+        # directly (no [8, N] pack copy — see ray_rows).
+        rays = ray_rows(origins, dirs, n_pad)
         tris, boxes, sboxes = pack_tris(scene), None, None
         tris, tb_single = _trim_single(scene, tris)
         if (not want_uv and tmax >= T_FAR
@@ -2158,6 +2229,7 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
             return _lean_resolve(tris, out_t[0, :n], idx[0, :n],
                                  tris.shape[0])
     else:
+        rays = pack_rays(origins, dirs, None, n_pad)
         tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes, sboxes)
         rays, perm = _sorted_rays(rays, key)
@@ -2215,11 +2287,11 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
         return in_range & (scene.mat_bsdf[h.mat] != BSDF_REFRACTION)
     n = origins.x.shape[0]
     n_pad = _pad_to(n, RAY_TILE)
-    rays = pack_rays(origins, dirs, tmax, n_pad)
     sub = _occ_subset(scene)
     if sub is not None and sub[0].shape[0] <= TRI_SLAB:
         # Sweep only the precomputed occluder subset — one single-slab
         # pass even when the full scene takes the clustered path.
+        rays = ray_rows(origins, dirs, n_pad, extras=(tmax,))
         tris, tb_sub = _trim_rows(sub[1], sub[0])
         occ = _occluded_call(rays, tris, tris.shape[0], tmin, tb=tb_sub)
         return occ[0, :n] > 0
@@ -2237,12 +2309,13 @@ def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
     dirs = as_v3(dirs)
     n = origins.x.shape[0]
     n_pad = _pad_to(n, RAY_TILE)
-    rays = pack_rays(origins, dirs, tmax, n_pad)
     single = pack_tris(scene).shape[0] <= TRI_SLAB
     if single:
+        rays = ray_rows(origins, dirs, n_pad, extras=(tmax,))
         tris, boxes, sboxes = pack_tris(scene), None, None
         tris, tb_single = _trim_single(scene, tris)
     else:
+        rays = pack_rays(origins, dirs, tmax, n_pad)
         tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes, sboxes)
         rays, perm = _sorted_rays(rays, key)
