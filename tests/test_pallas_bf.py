@@ -99,6 +99,30 @@ def test_multi_slab_matches_single(mixed_scene, rays, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
 
 
+@pytest.mark.parametrize("key", ["oct", "dir6", "near", "cand"])
+def test_sort_key_invariance(mixed_scene, rays, monkeypatch, key):
+    """The per-round coherence key only permutes rays before the clustered
+    sweep: every TPT_SORT_KEY mode must give bitwise-identical hits to the
+    dir12 default. 'near' additionally exercises the chained-slab
+    nearest-entry grouping, including the trailing-partial-slab pad
+    (512 rows over 384-row slabs -> 2 slabs, 16 sboxes padded)."""
+    o, d = rays
+    tmax = jnp.full((o.shape[0],), 500.0)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 8)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 384)
+    ref = pallas_bf.intersect_closest(mixed_scene, o, d)
+    ref_occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    monkeypatch.setenv("TPT_SORT_KEY", key)
+    out = pallas_bf.intersect_closest(mixed_scene, o, d)
+    occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))
+    np.testing.assert_array_equal(np.asarray(ref.mat), np.asarray(out.mat))
+    np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
+
+
 def test_lean_single_matches_full(mixed_scene, rays):
     """want_uv=False routes small scenes through the lean (t, id) kernel
     + one-hot attribute resolve; every consumed field must match the

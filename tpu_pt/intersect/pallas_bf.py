@@ -1550,10 +1550,17 @@ def _coherence_key(rays, boxes, sboxes=None):
         # back to dir12 when the scene is a single slab.
         rows = boxes.shape[0] * CLUSTER
         slab_rows = _clustered_slab_rows(rows)
-        s_count = rows // slab_rows
+        sb = sboxes if sboxes is not None else boxes
+        sc_per = slab_rows // (rows // sb.shape[0])
+        s_count = -(-sb.shape[0] // sc_per)       # ceil: trailing slab
         if s_count > 1:
-            sc_per = slab_rows // (CLUSTER * SUPER)
-            sb = sboxes if sboxes is not None else boxes
+            need = s_count * sc_per
+            if sb.shape[0] != need:
+                # Far-point boxes (the collapse convention above): the
+                # pad slab keys at ~3e37, past every real slab.
+                far = jnp.full((need - sb.shape[0], sb.shape[1]),
+                               3e37, sb.dtype)
+                sb = jnp.concatenate([sb, far], axis=0)
             slo = sb[:, 0:3].reshape(s_count, sc_per, 3).min(axis=1)
             shi = sb[:, 3:6].reshape(s_count, sc_per, 3).max(axis=1)
             eps = 1e-12
