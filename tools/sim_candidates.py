@@ -1,0 +1,339 @@
+#!/usr/bin/env python3
+"""Candidate-work simulator for the clustered big-scene scheduler.
+
+Counts the EXACT work the chained clustered kernels would sweep under a
+given per-round ray ordering: for each chained slab (in kd order, with
+the per-ray prior t from the slabs before it — the production contract,
+pallas_bf._intersect_closest_tiled), build the per-tile supercluster
+work lists with the production ``super_candidates_exact`` and sum the
+candidate counts. One (tile, supercluster) entry costs the kernel a
+fixed RT_C x (CLUSTER*SUPER) triangle sweep, so total entries is
+proportional to sweep time — the quantity the sort key exists to
+minimize (the "union factor": incoherent tiles OR near-disjoint
+per-ray candidate sets).
+
+Runs entirely on CPU (forces jax_platforms=cpu) so it never contends
+with the TPU; the per-slab true hit t that drives the prior is computed
+from the same packed plane+edge form the kernels test.
+
+Modes swept (SIM_KEYS): the production TPT_SORT_KEY values, plus
+  hitslab  ORACLE — group rays by the slab that contains their true
+           closest hit (unknowable before tracing; upper bound for
+           slab-composition keys like 'near'),
+  perfect  dir12 tiles but a zero-work prior (prior = the true global
+           closest t from slab 0 on) — isolates prior timing from tile
+           composition.
+
+Knobs: SIM_SCENE (assets/big_mesh.obj), SIM_RAYS (65536),
+SIM_KEYS (dir12,oct,near,hitslab,perfect). Prints one JSON line per
+mode: entries, tri-tests, and the ratio vs the dir12 baseline.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import tpu_pt
+    from tpu_pt.vec3 import V3
+    from tpu_pt.intersect import pallas_bf as bf
+    from tpu_pt.intersect.lbvh import morton3d
+
+    obj = os.environ.get("SIM_SCENE",
+                         os.path.join(REPO, "assets", "big_mesh.obj"))
+    if not os.path.exists(obj):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "make_assets.py"),
+                        "--big"], check=True)
+    scene = tpu_pt.load_scene(obj)
+    n = int(os.environ.get("SIM_RAYS", 65536))
+    modes = os.environ.get("SIM_KEYS",
+                           "dir12,oct,near,hitslab,perfect").split(",")
+    rt = bf.RAY_TILE_C
+    tmin = 0.01
+
+    # bench_incoherent's worst case: surface-ish origins, sphere dirs.
+    key0 = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key0)
+    tris_flat = bf.pack_tris(scene)
+    lo = jnp.min(tris_flat[:, 0:3], axis=0)
+    hi = jnp.max(tris_flat[:, 0:3], axis=0)
+    p = jax.random.uniform(k1, (n, 3)) * (hi - lo) + lo
+    d = jax.random.normal(k2, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    origins = V3(p[:, 0], p[:, 1], p[:, 2])
+    dirs = V3(d[:, 0], d[:, 1], d[:, 2])
+
+    packed, boxes, sboxes = bf.pack_tris_clustered(scene)
+    rows = packed.shape[0]
+    slab_rows = bf._clustered_slab_rows(rows)
+    starts = list(range(0, rows, slab_rows))
+    scs = bf.CLUSTER * bf.SUPER
+    n_pad = bf._pad_to(n, rt)
+    rays = bf.pack_rays(origins, dirs, None, n_pad)
+
+    # Per-slab true best hit t per ray [n_pad, S], from the packed
+    # plane+edge columns (identical arithmetic family to the kernel;
+    # exactness of t is irrelevant here — it only drives the prior).
+    @jax.jit
+    def chunk_min_t(o, dd, tri):
+        nrm, d0 = tri[:, 0:3], tri[:, 3]
+        wu, cu = tri[:, 4:7], tri[:, 7]
+        wv, cv = tri[:, 8:11], tri[:, 11]
+        valid = tri[:, 12] > 0.5
+        nd = dd @ nrm.T                                   # [m, T]
+        no = o @ nrm.T
+        t = (d0[None, :] - no) / jnp.where(jnp.abs(nd) > 1e-20, nd, 1e-20)
+        px = o[:, :, None] + dd[:, :, None] * t[:, None, :]   # [m, 3, T]
+        u = jnp.einsum("mct,tc->mt", px, wu) + cu[None, :]
+        v = jnp.einsum("mct,tc->mt", px, wv) + cv[None, :]
+        ok = (valid[None, :] & (t > tmin) & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0))
+        return jnp.min(jnp.where(ok, t, jnp.float32(1e16)), axis=1)
+
+    o_np = np.stack([np.asarray(origins.x), np.asarray(origins.y),
+                     np.asarray(origins.z)], axis=1)
+    d_np = np.stack([np.asarray(dirs.x), np.asarray(dirs.y),
+                     np.asarray(dirs.z)], axis=1)
+    chunk = 8192
+    cache = "/tmp/sim_best_%s_%d_%d.npy" % (
+        os.path.basename(obj), n, rows)
+    if os.path.exists(cache):
+        best = np.load(cache)
+    else:
+        best = np.full((n_pad, len(starts)), 1e16, np.float32)
+        t0 = time.time()
+        for si, s in enumerate(starts):
+            tri = packed[s:s + slab_rows]
+            for c in range(0, n, chunk):
+                m = min(chunk, n - c)
+                best[c:c + m, si] = np.asarray(chunk_min_t(
+                    jnp.asarray(o_np[c:c + m]), jnp.asarray(d_np[c:c + m]),
+                    tri))
+        sys.stderr.write("true-t pass: %.1fs\n" % (time.time() - t0))
+        np.save(cache, best)
+
+    # Per-ray slab entry intervals [n, S] from the slab AABBs (the same
+    # aggregation the production 'near' key performs on sboxes).
+    s_count = len(starts)
+    sc_per = slab_rows // scs
+    need = s_count * sc_per
+    sb_all = np.asarray(sboxes)
+    if sb_all.shape[0] != need:
+        pad = np.full((need - sb_all.shape[0], sb_all.shape[1]), 3e37,
+                      sb_all.dtype)
+        sb_all = np.concatenate([sb_all, pad], axis=0)
+    slab_lo = sb_all[:, 0:3].reshape(s_count, sc_per, 3).min(axis=1)
+    slab_hi = sb_all[:, 3:6].reshape(s_count, sc_per, 3).max(axis=1)
+    inv = 1.0 / np.where(np.abs(d_np) > 1e-12, d_np,
+                         np.where(d_np >= 0, 1e-12, -1e-12))
+    tn_s = np.full((n, s_count), -3e38, np.float32)
+    tf_s = np.full((n, s_count), 3e38, np.float32)
+    for a in range(3):
+        t0a = (slab_lo[None, :, a] - o_np[:, a:a + 1]) * inv[:, a:a + 1]
+        t1a = (slab_hi[None, :, a] - o_np[:, a:a + 1]) * inv[:, a:a + 1]
+        tn_s = np.maximum(tn_s, np.minimum(t0a, t1a))
+        tf_s = np.minimum(tf_s, np.maximum(t0a, t1a))
+    ok_s = (tn_s <= tf_s) & (tf_s > tmin)
+    keyt_s = np.where(ok_s, tn_s, np.float32(3e38))
+
+    def compose(hi_bits, hi_width, mid=None, mid_width=0):
+        """hi | [mid] | dir-morton | origin-morton, padded keys last."""
+        d01 = jnp.clip(0.5 * (jnp.asarray(d_np) + 1.0), 0.0, 1.0)
+        dbits = min(9, 32 - hi_width - mid_width - 12)
+        dm = np.asarray(morton3d(d01)) >> (30 - dbits)
+        om_bits = 32 - hi_width - mid_width - dbits
+        p01 = jnp.clip((jnp.asarray(o_np) - np.asarray(lo)) /
+                       jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+        om = np.asarray(morton3d(p01)) >> (30 - om_bits)
+        k = hi_bits.astype(np.uint64) << (32 - hi_width)
+        if mid is not None:
+            k |= mid.astype(np.uint64) << (32 - hi_width - mid_width)
+        k = (k | (dm.astype(np.uint64) << om_bits) | om).astype(np.uint32)
+        kj = jnp.asarray(k)
+        return jnp.pad(kj, (0, n_pad - n),
+                       constant_values=np.uint32(0xFFFFFFFF))
+
+    sbits = int(s_count).bit_length()
+    diag = float(np.linalg.norm(np.asarray(hi - lo)))
+
+    def experimental_key(mode):
+        slab0 = np.where(ok_s.any(axis=1), keyt_s.argmin(axis=1),
+                         s_count).astype(np.uint32)
+        if mode == "hitslab":
+            hit_any = best[:n].min(axis=1) < 1e15
+            hs = np.where(hit_any, best[:n].argmin(axis=1),
+                          s_count).astype(np.uint32)
+            return compose(hs, sbits)
+        if mode.startswith("near_d"):
+            # near with an explicit direction-bit budget (production
+            # caps at 9 to keep >=12 origin bits).
+            db = int(mode[6:])
+            d01 = jnp.clip(0.5 * (jnp.asarray(d_np) + 1.0), 0.0, 1.0)
+            dm = np.asarray(morton3d(d01)) >> (30 - db)
+            om_bits = 32 - sbits - db
+            p01 = jnp.clip((jnp.asarray(o_np) - np.asarray(lo)) /
+                           jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+            om = np.asarray(morton3d(p01)) >> (30 - om_bits)
+            kk = ((slab0.astype(np.uint64) << (32 - sbits))
+                  | (dm.astype(np.uint64) << om_bits)
+                  | om.astype(np.uint64)).astype(np.uint32)
+            return jnp.pad(jnp.asarray(kk), (0, n_pad - n),
+                           constant_values=np.uint32(0xFFFFFFFF))
+        if mode == "near_sid":
+            # slab0, then the first pierced supercluster WITHIN it,
+            # then direction morton.
+            srt = np.asarray(rays[:, :n])
+            o = srt[0:3, :].T
+            dd = srt[3:6, :].T
+            iv = 1.0 / np.where(np.abs(dd) > 1e-12, dd,
+                                np.where(dd >= 0, 1e-12, -1e-12))
+            sbn = np.asarray(sboxes)
+            tn = np.full((n, sbn.shape[0]), -3e38, np.float32)
+            tf = np.full((n, sbn.shape[0]), 3e38, np.float32)
+            for a in range(3):
+                t0a = (sbn[None, :, a] - o[:, a:a + 1]) * iv[:, a:a + 1]
+                t1a = (sbn[None, :, a + 3] - o[:, a:a + 1]) * iv[:, a:a + 1]
+                tn = np.maximum(tn, np.minimum(t0a, t1a))
+                tf = np.minimum(tf, np.maximum(t0a, t1a))
+            okc = (tn <= tf) & (tf > tmin)
+            keytc = np.where(okc, tn, np.float32(3e38))
+            # first pierced supercluster inside the ray's first slab
+            g = keytc.reshape(n, s_count, sc_per)
+            sel = np.take_along_axis(
+                g, (slab0[:, None, None] % s_count).astype(np.int64),
+                axis=1)[:, 0, :]                      # [n, sc_per]
+            sid_local = np.where((sel < 3e37).any(axis=1),
+                                 sel.argmin(axis=1), sc_per)
+            sid_bits = int(sc_per).bit_length()
+            return compose(slab0, sbits, sid_local.astype(np.uint32),
+                           sid_bits)
+        if mode == "near_tn":
+            tn0 = np.take_along_axis(keyt_s, slab0[:, None]
+                                     % s_count, axis=1)[:, 0]
+            q = np.clip(np.maximum(tn0, 0.0) / diag * 64, 0,
+                        63).astype(np.uint32)
+            return compose(slab0, sbits, q, 6)
+        if mode == "sig2":
+            k2 = np.where(ok_s, keyt_s, np.float32(3e38)).copy()
+            np.put_along_axis(k2, (slab0[:, None] % s_count),
+                              np.float32(3e38), axis=1)
+            slab1 = np.where((k2 < 3e37).any(axis=1), k2.argmin(axis=1),
+                             s_count).astype(np.uint32)
+            return compose(slab0, sbits, slab1, sbits)
+        if mode == "near_o":
+            # slab0 then origin-major (dir demoted to the low bits).
+            d01 = jnp.clip(0.5 * (jnp.asarray(d_np) + 1.0), 0.0, 1.0)
+            dm = np.asarray(morton3d(d01))
+            p01 = jnp.clip((jnp.asarray(o_np) - np.asarray(lo)) /
+                           jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+            om = np.asarray(morton3d(p01)) >> (30 - 16)
+            kk = ((slab0.astype(np.uint64) << (32 - sbits))
+                  | (om.astype(np.uint64) << (32 - sbits - 16))
+                  | (dm >> (30 - (32 - sbits - 16))).astype(np.uint64))
+            kj = jnp.asarray(kk.astype(np.uint32))
+            return jnp.pad(kj, (0, n_pad - n),
+                           constant_values=np.uint32(0xFFFFFFFF))
+        raise ValueError(mode)
+
+    def per_ray_sets(sr_np, sb, prior):
+        """Per-ray exact candidate counts [n_pad] for one slab (numpy
+        mirror of super_candidates_exact's ok matrix)."""
+        o = sr_np[0:3, :].T
+        dd = sr_np[3:6, :].T
+        iv = 1.0 / np.where(np.abs(dd) > 1e-12, dd,
+                            np.where(dd >= 0, 1e-12, -1e-12))
+        tn = np.full((o.shape[0], sb.shape[0]), -3e38, np.float32)
+        tf = np.full((o.shape[0], sb.shape[0]), 3e38, np.float32)
+        sbn = np.asarray(sb)
+        for a in range(3):
+            t0a = (sbn[None, :, a] - o[:, a:a + 1]) * iv[:, a:a + 1]
+            t1a = (sbn[None, :, a + 3] - o[:, a:a + 1]) * iv[:, a:a + 1]
+            tn = np.maximum(tn, np.minimum(t0a, t1a))
+            tf = np.minimum(tf, np.maximum(t0a, t1a))
+        ok = (tn <= tf) & (tf > tmin) & (tn < prior[:, None])
+        return ok.sum(axis=1)
+
+    def lower_bound():
+        """Under the 'near' ordering: sum over (tile, slab) of the max
+        per-ray candidate count — no ordering with these tiles' ray
+        MEMBERSHIP can OR below its largest member. Also the global
+        floor sum(|C_r|)/rt (perfect-overlap tiles)."""
+        os.environ["TPT_SORT_KEY"] = "near"
+        key = bf._coherence_key(rays, boxes, sboxes)
+        order = jnp.argsort(key)
+        sr_np = np.asarray(rays[:, order])
+        bt = best[np.asarray(order)]
+        prior = np.full((n_pad,), 1e16, np.float32)
+        tile_max = 0
+        ray_sum = 0
+        for si, s in enumerate(starts):
+            sb = sboxes[s // scs: -(-(s + min(slab_rows, rows - s))
+                                    // scs)]
+            cnt = per_ray_sets(sr_np, sb, prior)
+            tile_max += int(cnt.reshape(-1, rt).max(axis=1).sum())
+            ray_sum += int(cnt.sum())
+            prior = np.minimum(prior, bt[:, si])
+        print(json.dumps({
+            "mode": "lbound(near tiles)", "entries": tile_max,
+            "global_floor_entries": round(ray_sum / rt, 1),
+            "rays": n, "slabs": len(starts), "rt": rt}), flush=True)
+
+    def simulate(mode):
+        if mode == "lbound":
+            lower_bound()
+            return None
+        if (mode in ("hitslab", "near_tn", "sig2", "near_o", "near_sid")
+                or mode.startswith("near_d")):
+            key = experimental_key(mode)
+        elif mode == "perfect":
+            os.environ["TPT_SORT_KEY"] = "dir12"
+            key = bf._coherence_key(rays, boxes, sboxes)
+        else:
+            os.environ["TPT_SORT_KEY"] = mode
+            key = bf._coherence_key(rays, boxes, sboxes)
+        order = jnp.argsort(key)
+        sr = rays[:, order]
+        bt = best[np.asarray(order)]                      # [n_pad, S]
+        prior = np.full((n_pad,), 1e16, np.float32)
+        if mode == "perfect":
+            prior = bt.min(axis=1)                        # oracle prior
+        entries = 0
+        for si, s in enumerate(starts):
+            sb = sboxes[s // scs: -(-(s + min(slab_rows, rows - s))
+                                    // scs)]
+            tab = np.asarray(bf.super_candidates_exact(
+                sr, sb, rt, tmin, jnp.asarray(prior)))
+            r = bf._pad_to(1 + sb.shape[0], 8)
+            entries += int(tab.reshape(-1, r)[:, 0].sum())
+            if mode != "perfect":
+                prior = np.minimum(prior, bt[:, si])
+        return entries
+
+    base = None
+    for mode in modes:
+        e = simulate(mode)
+        if e is None:
+            continue
+        if base is None:
+            base = e
+        print(json.dumps({
+            "mode": mode, "entries": e,
+            "tri_tests": e * rt * scs,
+            "vs_first": round(e / base, 4),
+            "rays": n, "slabs": len(starts), "rt": rt,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1580,7 +1580,10 @@ def _coherence_key(rays, boxes, sboxes=None):
                               s_count).astype(jnp.uint32)
             sbits = int(s_count).bit_length()        # slab0 <= s_count
             d01 = jnp.clip(0.5 * (d.T + 1.0), 0.0, 1.0)
-            dbits = min(9, 32 - sbits - 12)          # >=12 origin bits
+            # 12 direction bits (sim at 65k rays: dbits 9 -> 12 cuts
+            # candidate entries 0.62x -> 0.53x of dir12; 15 gains ~1%
+            # more); s_count <= 64 leaves >= 13 origin bits.
+            dbits = min(12, 32 - sbits - 12)
             dm = morton3d(d01) >> (30 - dbits)
             om_bits = 32 - sbits - dbits
             return ((slab0 << (32 - sbits))
