@@ -299,6 +299,9 @@ def main():
         elif mode == "perfect":
             os.environ["TPT_SORT_KEY"] = "dir12"
             key = bf._coherence_key(rays, boxes, sboxes)
+        elif mode == "near_perfect":
+            os.environ["TPT_SORT_KEY"] = "near"
+            key = bf._coherence_key(rays, boxes, sboxes)
         else:
             os.environ["TPT_SORT_KEY"] = mode
             key = bf._coherence_key(rays, boxes, sboxes)
@@ -306,7 +309,7 @@ def main():
         sr = rays[:, order]
         bt = best[np.asarray(order)]                      # [n_pad, S]
         prior = np.full((n_pad,), 1e16, np.float32)
-        if mode == "perfect":
+        if mode in ("perfect", "near_perfect"):
             prior = bt.min(axis=1)                        # oracle prior
         entries = 0
         for si, s in enumerate(starts):
@@ -316,7 +319,7 @@ def main():
                 sr, sb, rt, tmin, jnp.asarray(prior)))
             r = bf._pad_to(1 + sb.shape[0], 8)
             entries += int(tab.reshape(-1, r)[:, 0].sum())
-            if mode != "perfect":
+            if mode not in ("perfect", "near_perfect"):
                 prior = np.minimum(prior, bt[:, si])
         return entries
 
