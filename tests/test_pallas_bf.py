@@ -108,6 +108,7 @@ def test_sort_key_invariance(mixed_scene, rays, monkeypatch, key):
     (512 rows over 384-row slabs -> 2 slabs, 16 sboxes padded)."""
     o, d = rays
     tmax = jnp.full((o.shape[0],), 500.0)
+    monkeypatch.delenv("TPT_SORT_KEY", raising=False)
     monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
     monkeypatch.setattr(pallas_bf, "CLUSTER", 8)
     monkeypatch.setattr(pallas_bf, "SUPER", 2)

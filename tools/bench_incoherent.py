@@ -38,9 +38,17 @@ def main():
     # sphere directions — no tile shares a direction cone.
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    tris = bf.pack_tris(scene)
-    lo = jnp.min(tris[:, 0:3], axis=0)
-    hi = jnp.max(tris[:, 0:3], axis=0)
+    # Scene AABB from the triangle VERTICES (pack_tris columns 0:3 are
+    # the plane normals — using those confined all origins to a ~unit
+    # cube at the corner, a far more origin-coherent workload than the
+    # worst case this bench claims to measure).
+    valid = scene.tri_valid > 0
+    corners = jnp.concatenate(
+        [scene.tri_v0, scene.tri_v0 + scene.tri_e1,
+         scene.tri_v0 + scene.tri_e2], axis=0)
+    vmask = jnp.concatenate([valid, valid, valid])[:, None]
+    lo = jnp.min(jnp.where(vmask, corners, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(vmask, corners, -jnp.inf), axis=0)
     p = jax.random.uniform(k1, (n, 3)) * (hi - lo) + lo
     d = jax.random.normal(k2, (n, 3))
     d = d / jnp.linalg.norm(d, axis=1, keepdims=True)

@@ -62,12 +62,18 @@ def main():
     rt = bf.RAY_TILE_C
     tmin = 0.01
 
-    # bench_incoherent's worst case: surface-ish origins, sphere dirs.
+    # bench_incoherent's worst case: origins spread over the scene
+    # AABB (from the triangle VERTICES — pack_tris cols 0:3 are plane
+    # normals), uniform sphere dirs.
     key0 = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key0)
-    tris_flat = bf.pack_tris(scene)
-    lo = jnp.min(tris_flat[:, 0:3], axis=0)
-    hi = jnp.max(tris_flat[:, 0:3], axis=0)
+    valid = scene.tri_valid > 0
+    corners = jnp.concatenate(
+        [scene.tri_v0, scene.tri_v0 + scene.tri_e1,
+         scene.tri_v0 + scene.tri_e2], axis=0)
+    vmask = jnp.concatenate([valid, valid, valid])[:, None]
+    lo = jnp.min(jnp.where(vmask, corners, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(vmask, corners, -jnp.inf), axis=0)
     p = jax.random.uniform(k1, (n, 3)) * (hi - lo) + lo
     d = jax.random.normal(k2, (n, 3))
     d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
@@ -106,8 +112,8 @@ def main():
     d_np = np.stack([np.asarray(dirs.x), np.asarray(dirs.y),
                      np.asarray(dirs.z)], axis=1)
     chunk = 8192
-    cache = "/tmp/sim_best_%s_%d_%d.npy" % (
-        os.path.basename(obj), n, rows)
+    cache = "/tmp/sim_best_v2_%s_%d_%d_%d.npy" % (
+        os.path.basename(obj), n, rows, slab_rows)
     if os.path.exists(cache):
         best = np.load(cache)
     else:
@@ -150,7 +156,7 @@ def main():
     def compose(hi_bits, hi_width, mid=None, mid_width=0):
         """hi | [mid] | dir-morton | origin-morton, padded keys last."""
         d01 = jnp.clip(0.5 * (jnp.asarray(d_np) + 1.0), 0.0, 1.0)
-        dbits = min(9, 32 - hi_width - mid_width - 12)
+        dbits = min(12, 32 - hi_width - mid_width - 12)  # match production
         dm = np.asarray(morton3d(d01)) >> (30 - dbits)
         om_bits = 32 - hi_width - mid_width - dbits
         p01 = jnp.clip((jnp.asarray(o_np) - np.asarray(lo)) /

@@ -1524,8 +1524,15 @@ def _coherence_key(rays, boxes, sboxes=None):
     ``TPT_SORT_KEY`` (oct | dir6 | dir9 | dir12) for tuning."""
     from .lbvh import morton3d
 
-    lo = jnp.min(boxes[:, 0:3], axis=0)
-    hi = jnp.max(boxes[:, 3:6], axis=0)
+    # Scene bounds over REAL cluster boxes only: collapsed all-padding
+    # clusters sit at the 3e37 far point (pack_tris_clustered), and
+    # including them inflates hi to 3e37 — normalizing by that flushes
+    # every origin morton to 0, silently deleting the origin bits from
+    # every key mode.
+    real = boxes[:, 0] < 1e30
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(real[:, None], boxes[:, 0:3], big), axis=0)
+    hi = jnp.max(jnp.where(real[:, None], boxes[:, 3:6], -big), axis=0)
     o = rays[0:3, :].T                                       # [N, 3]
     d = rays[3:6, :]
     p01 = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
@@ -1536,18 +1543,14 @@ def _coherence_key(rays, boxes, sboxes=None):
         mode = "dir12"         # no supercluster boxes at this call site
     if mode == "near":
         # NEAREST-PIERCED-SLAB-major: group rays by which chained slab
-        # their traversal enters first, then by direction. The chain
-        # visits slabs in global kd order with the SAME candidate-list
-        # prior machinery; what this key changes is tile composition —
-        # rays that begin in the same kd region union near-identical
-        # candidate sets there and (usually hit, so) contribute only
-        # their tight prior-t everywhere else. Simulated candidate work
-        # on the 100k-tri scene, 65k incoherent rays (tile-OR'd entries
-        # vs dir12): 0.547x — vs 0.956x for a PERFECT per-ray prior
-        # under dir12 tiles, i.e. tile composition, not prior timing,
-        # is the union factor's lever (sim: count tile-OR'd interval-
-        # test entries per chained slab under each ordering). Falls
-        # back to dir12 when the scene is a single slab.
+        # their traversal enters first, then by direction. Kept as an
+        # ablation mode: tools/sim_candidates.py initially credited it
+        # with 0.53x of dir12's candidate work, but that run sampled
+        # origins from the packed-normals AABB (~unit cube) — on the
+        # corrected scene-spread workload it counts 0.98x. For
+        # surface-origin rays the first pierced slab is just the
+        # origin's slab, which dir12's origin-morton bits already
+        # encode. Falls back to dir12 when the scene is a single slab.
         rows = boxes.shape[0] * CLUSTER
         slab_rows = _clustered_slab_rows(rows)
         sb = sboxes if sboxes is not None else boxes
@@ -1556,13 +1559,20 @@ def _coherence_key(rays, boxes, sboxes=None):
         if s_count > 1:
             need = s_count * sc_per
             if sb.shape[0] != need:
-                # Far-point boxes (the collapse convention above): the
-                # pad slab keys at ~3e37, past every real slab.
                 far = jnp.full((need - sb.shape[0], sb.shape[1]),
                                3e37, sb.dtype)
                 sb = jnp.concatenate([sb, far], axis=0)
-            slo = sb[:, 0:3].reshape(s_count, sc_per, 3).min(axis=1)
-            shi = sb[:, 3:6].reshape(s_count, sc_per, 3).max(axis=1)
+            # Aggregate each slab's AABB over REAL boxes only: far-point
+            # pads and collapsed empties (3e37) inside a partial slab
+            # would otherwise inflate its max corner to 3e37, making the
+            # slab spuriously pierced-first for ~1/3 of rays. An
+            # all-padding slab aggregates inverted (+big, -big) and is
+            # never pierced.
+            realr = (sb[:, 0] < 1e30)[:, None]
+            slo = jnp.where(realr, sb[:, 0:3], big).reshape(
+                s_count, sc_per, 3).min(axis=1)
+            shi = jnp.where(realr, sb[:, 3:6], -big).reshape(
+                s_count, sc_per, 3).max(axis=1)
             eps = 1e-12
             inv = 1.0 / jnp.where(jnp.abs(d) > eps, d,
                                   jnp.where(d >= 0, eps, -eps))
@@ -1580,9 +1590,8 @@ def _coherence_key(rays, boxes, sboxes=None):
                               s_count).astype(jnp.uint32)
             sbits = int(s_count).bit_length()        # slab0 <= s_count
             d01 = jnp.clip(0.5 * (d.T + 1.0), 0.0, 1.0)
-            # 12 direction bits (sim at 65k rays: dbits 9 -> 12 cuts
-            # candidate entries 0.62x -> 0.53x of dir12; 15 gains ~1%
-            # more); s_count <= 64 leaves >= 13 origin bits.
+            # 12 direction bits, matching dir12; s_count <= 64 leaves
+            # >= 13 origin bits.
             dbits = min(12, 32 - sbits - 12)
             dm = morton3d(d01) >> (30 - dbits)
             om_bits = 32 - sbits - dbits
