@@ -105,29 +105,34 @@ def main():
         v = jnp.einsum("mct,tc->mt", px, wv) + cv[None, :]
         ok = (valid[None, :] & (t > tmin) & (u >= 0.0) & (v >= 0.0)
               & (u + v <= 1.0))
-        return jnp.min(jnp.where(ok, t, jnp.float32(1e16)), axis=1)
+        tt = jnp.where(ok, t, jnp.float32(1e16))
+        return jnp.min(tt, axis=1), jnp.argmin(tt, axis=1)
 
     o_np = np.stack([np.asarray(origins.x), np.asarray(origins.y),
                      np.asarray(origins.z)], axis=1)
     d_np = np.stack([np.asarray(dirs.x), np.asarray(dirs.y),
                      np.asarray(dirs.z)], axis=1)
     chunk = 8192
-    cache = "/tmp/sim_best_v2_%s_%d_%d_%d.npy" % (
+    cache = "/tmp/sim_best_v3_%s_%d_%d_%d.npz" % (
         os.path.basename(obj), n, rows, slab_rows)
     if os.path.exists(cache):
-        best = np.load(cache)
+        z = np.load(cache)
+        best, best_row = z["t"], z["row"]
     else:
         best = np.full((n_pad, len(starts)), 1e16, np.float32)
+        best_row = np.zeros((n_pad, len(starts)), np.int32)
         t0 = time.time()
         for si, s in enumerate(starts):
             tri = packed[s:s + slab_rows]
             for c in range(0, n, chunk):
                 m = min(chunk, n - c)
-                best[c:c + m, si] = np.asarray(chunk_min_t(
+                bt_c, br_c = chunk_min_t(
                     jnp.asarray(o_np[c:c + m]), jnp.asarray(d_np[c:c + m]),
-                    tri))
+                    tri)
+                best[c:c + m, si] = np.asarray(bt_c)
+                best_row[c:c + m, si] = np.asarray(br_c) + s
         sys.stderr.write("true-t pass: %.1fs\n" % (time.time() - t0))
-        np.save(cache, best)
+        np.savez(cache, t=best, row=best_row)
 
     # Per-ray slab entry intervals [n, S] from the slab AABBs (the same
     # aggregation the production 'near' key performs on sboxes).
@@ -172,10 +177,65 @@ def main():
 
     sbits = int(s_count).bit_length()
     diag = float(np.linalg.norm(np.asarray(hi - lo)))
+    pk_np = np.asarray(packed)
+    g_t = best.min(axis=1)                            # [n_pad]
+    g_row = np.take_along_axis(best_row, best.argmin(axis=1)[:, None],
+                               axis=1)[:, 0]          # [n_pad]
+
+    def tri_test_rows(o, dd, rows_idx):
+        """Exact packed-form test of ray i vs triangle rows_idx[i]."""
+        tr = pk_np[rows_idx]
+        nd = (dd * tr[:, 0:3]).sum(1)
+        t = ((tr[:, 3] - (o * tr[:, 0:3]).sum(1))
+             / np.where(np.abs(nd) > 1e-20, nd, 1e-20))
+        pxyz = o + dd * t[:, None]
+        u = (pxyz * tr[:, 4:7]).sum(1) + tr[:, 7]
+        v = (pxyz * tr[:, 8:11]).sum(1) + tr[:, 11]
+        ok = ((tr[:, 12] > 0.5) & (t > tmin) & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0))
+        return np.where(ok, t, 1e16).astype(np.float32)
+
+    def seed_prior(order):
+        """Verified neighbor-hit seed: each ray exactly tests the hit
+        triangle of the ray BEFORE it in sorted order (the sim's proxy
+        for a converged (cell, cone) -> last-hit hash); a hit is a
+        sound upper bound, a miss seeds nothing. Correctness-free by
+        construction — the candidate tests only ever see true bounds."""
+        ordn = np.asarray(order)
+        pred = np.roll(g_row[ordn], 1)
+        valid = np.roll(g_t[ordn], 1) < 1e15
+        valid[0] = False
+        o_s = np.stack([np.asarray(rays[a, :])[ordn] for a in range(3)],
+                       axis=1)
+        d_s = np.stack([np.asarray(rays[a, :])[ordn] for a in (3, 4, 5)],
+                       axis=1)
+        t_seed = tri_test_rows(o_s, d_s, pred)
+        return np.where(valid, t_seed, 1e16).astype(np.float32)
 
     def experimental_key(mode):
         slab0 = np.where(ok_s.any(axis=1), keyt_s.argmin(axis=1),
                          s_count).astype(np.uint32)
+        if mode.startswith("predslab"):
+            # History-table landing-slab prediction: majority TRUE hit
+            # slab per (first-pierced slab, 9-bit dir morton) cell —
+            # the sim's converged stand-in for a per-round temporal
+            # table. Ordering-only; wrong predictions cost nothing.
+            NB = 512
+            d01 = jnp.clip(0.5 * (jnp.asarray(d_np) + 1.0), 0.0, 1.0)
+            dbin = (np.asarray(morton3d(d01)) >> 21).astype(np.int64)
+            hit_s = best[:n].argmin(axis=1)
+            has = best[:n].min(axis=1) < 1e15
+            hs = np.where(has, hit_s, s_count)
+            cell = slab0.astype(np.int64) * NB + dbin
+            hist = np.zeros(((s_count + 1) * NB + NB) * 0 +
+                            (int(cell.max()) + 1) * (s_count + 1),
+                            np.int32).reshape(-1, s_count + 1)
+            np.add.at(hist, (cell, hs), 1)
+            filled = hist.sum(axis=1) > 0
+            table = np.where(filled, hist.argmax(axis=1), 0)
+            pred = np.where(filled[cell], table[cell],
+                            slab0).astype(np.uint32)
+            return compose(pred, sbits)
         if mode == "hitslab":
             hit_any = best[:n].min(axis=1) < 1e15
             hs = np.where(hit_any, best[:n].argmin(axis=1),
@@ -299,9 +359,14 @@ def main():
         if mode == "lbound":
             lower_bound()
             return None
+        seed = mode in ("seedprior", "predslab_seed")
         if (mode in ("hitslab", "near_tn", "sig2", "near_o", "near_sid")
-                or mode.startswith("near_d")):
+                or mode.startswith("near_d")
+                or mode.startswith("predslab")):
             key = experimental_key(mode)
+        elif mode == "seedprior":
+            os.environ["TPT_SORT_KEY"] = "dir12"
+            key = bf._coherence_key(rays, boxes, sboxes)
         elif mode == "perfect":
             os.environ["TPT_SORT_KEY"] = "dir12"
             key = bf._coherence_key(rays, boxes, sboxes)
@@ -317,6 +382,8 @@ def main():
         prior = np.full((n_pad,), 1e16, np.float32)
         if mode in ("perfect", "near_perfect"):
             prior = bt.min(axis=1)                        # oracle prior
+        elif seed:
+            prior = seed_prior(order)
         entries = 0
         for si, s in enumerate(starts):
             sb = sboxes[s // scs: -(-(s + min(slab_rows, rows - s))
