@@ -214,6 +214,29 @@ def test_fused_closest_nee_matches_separate(mixed_scene, rays):
     assert agree.mean() > 0.99, f"occlusion agreement {agree.mean()}"
 
 
+def test_pred_scheduling_bitwise_invariant(mixed_scene, monkeypatch):
+    """Landing-slab-prediction ordering (the pixelq pred carry) only
+    permutes rays before the clustered sweep: the rendered image must be
+    bitwise identical with TPT_PRED=0. Shrunk slabs force the clustered
+    lean path (where prediction activates) on the mixed Cornell scene."""
+    from tpu_pt.render import render_wavefront
+    monkeypatch.delenv("TPT_SORT_KEY", raising=False)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 128)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 8)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
+    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+    cfg = tpu_pt.RenderConfig(width=16, height=16, spp=4, max_depth=4,
+                              use_direct_lighting=True,
+                              use_importance_sampling=True,
+                              intersector="pallas", scheduler="pixelq")
+    monkeypatch.setenv("TPT_PRED", "0")
+    ra, _ = render_wavefront(mixed_scene, cam, cfg, 0, 16 * 16, 0)
+    monkeypatch.setenv("TPT_PRED", "1")
+    rb, _ = render_wavefront(mixed_scene, cam, cfg, 0, 16 * 16, 0)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
 def test_render_with_pallas_matches_bruteforce(cornell_scene):
     from tpu_pt.render import render_wavefront
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())

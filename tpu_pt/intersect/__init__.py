@@ -77,14 +77,31 @@ def get_intersectors(scene: SceneArrays, cfg: RenderConfig,
     backend = _resolve(scene, cfg)
 
     if backend == "pallas":
+        import os
         from . import pallas_bf
         closest = partial(pallas_bf.intersect_closest, scene,
                           tmin=cfg.t_min, tmax=cfg.t_max,
                           want_uv=want_uv)
+
+        def closest_fn(o, d, pred=None, want_slab=False):
+            return closest(o, d, pred=pred, want_slab=want_slab)
+
+        # Landing-slab prediction pays only where the clustered lean
+        # path runs (multi-slab scenes, t/id carry): that path both
+        # consumes the prediction (sort key) and produces the next one
+        # (winner slab from the packed row id, no gather). TPT_PRED=0
+        # to ablate.
+        closest_fn.supports_pred = (
+            not want_uv
+            and pallas_bf._pad_to(scene.tri_v0.shape[0],
+                                  pallas_bf.TRI_BLOCK) > pallas_bf.TRI_SLAB
+            and os.environ.get("TPT_LEAN_BIG", "1") == "1"
+            and os.environ.get("TPT_BINNED", "0") not in ("1", "closest")
+            and os.environ.get("TPT_PRED", "1") != "0")
         occluded = partial(pallas_bf.intersect_occluded, scene,
                            tmin=cfg.t_min,
                            quirk_first_hit=cfg.quirks.occlusion_first_hit_only)
-        return closest, occluded
+        return closest_fn, occluded
 
     if backend == "bvh":
         from . import lbvh

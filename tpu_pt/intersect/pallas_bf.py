@@ -1497,7 +1497,7 @@ def _candidate_key(rays, sboxes, tmin=0.01):
     return (pair << shift) | (morton3d(p01) >> jnp.uint32(30 - shift))
 
 
-def _coherence_key(rays, boxes, sboxes=None):
+def _coherence_key(rays, boxes, sboxes=None, pred=None):
     """Sort key making ray tiles spatially coherent: direction octant in
     the high bits, Morton code of the scene-normalized origin below.
 
@@ -1536,6 +1536,30 @@ def _coherence_key(rays, boxes, sboxes=None):
     o = rays[0:3, :].T                                       # [N, 3]
     d = rays[3:6, :]
     p01 = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    if pred is not None:
+        # PREDICTED-LANDING-SLAB major (then dir12's direction+origin
+        # bits): the scheduler predicts which chained slab each ray's
+        # closest hit lies in (bounce rays: the parent ray's landing
+        # slab; camera re-samples: the pixel's previous camera landing
+        # slab) and groups tiles by it. Ordering-only — a wrong
+        # prediction costs candidate-list tightness, never correctness.
+        # Frame-workload sim (tools/sim_frame.py, 128^2 x 3 cosine
+        # generations on the 100k-tri scene): 0.75x of dir12's
+        # candidate entries, vs 0.66x for the landing-slab ORACLE.
+        # Unknown predictions (sentinel >= s_count) share the top
+        # bucket and fall back to pure direction+origin order there.
+        rows = boxes.shape[0] * CLUSTER
+        slab_rows = _clustered_slab_rows(rows)
+        s_count = -(-rows // slab_rows)
+        if s_count > 1:
+            sbits = int(s_count).bit_length()
+            d01 = jnp.clip(0.5 * (d.T + 1.0), 0.0, 1.0)
+            dbits = min(12, 32 - sbits - 12)
+            dm = morton3d(d01) >> (30 - dbits)
+            om_bits = 32 - sbits - dbits
+            ps = jnp.minimum(pred.astype(jnp.uint32), jnp.uint32(s_count))
+            return ((ps << (32 - sbits)) | (dm << om_bits)
+                    | (morton3d(p01) >> (30 - om_bits)))
     mode = os.environ.get("TPT_SORT_KEY", "dir12")
     if mode == "cand":
         if sboxes is not None:
@@ -2205,7 +2229,8 @@ def intersect_closest_binned(scene: SceneArrays, origins: V3, dirs: V3,
 
 def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
                       tmin: float = 0.01, tmax: float = T_FAR,
-                      want_uv: bool = True) -> Hit:
+                      want_uv: bool = True, pred=None,
+                      want_slab: bool = False):
     """Closest-hit over a flat wavefront; drop-in for the jnp backend.
 
     Small scenes run the dense single-slab sweep; big scenes the
@@ -2219,19 +2244,38 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
     kernel; ``Hit.u``/``Hit.v`` read as zeros."""
     if (pack_tris(scene).shape[0] > TRI_SLAB
             and os.environ.get("TPT_BINNED", "0") in ("1", "closest")):
-        return intersect_closest_binned(scene, origins, dirs, tmin=tmin,
-                                        tmax=tmax, want_uv=want_uv)
+        hit = intersect_closest_binned(scene, origins, dirs, tmin=tmin,
+                                       tmax=tmax, want_uv=want_uv)
+        if want_slab:
+            return hit, jnp.full_like(hit.tri, SLAB_UNKNOWN)
+        return hit
     return _intersect_closest_tiled(scene, origins, dirs, tmin, tmax,
-                                    want_uv)
+                                    want_uv, pred=pred,
+                                    want_slab=want_slab)
+
+
+# Landing-slab sentinel for the prediction-ordered scheduler: "no
+# prediction" in, "slab not recoverable" out (also any miss). Clipped
+# to s_count in the sort key, so all unknowns share one bucket.
+SLAB_UNKNOWN = 255
 
 
 def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
                              tmin: float = 0.01, tmax: float = T_FAR,
-                             want_uv: bool = True) -> Hit:
+                             want_uv: bool = True, pred=None,
+                             want_slab: bool = False):
     origins = as_v3(origins)
     dirs = as_v3(dirs)
     n = origins.x.shape[0]
     n_pad = _pad_to(n, RAY_TILE)
+
+    def with_slab(hit, slab=None):
+        if not want_slab:
+            return hit
+        if slab is None:
+            slab = jnp.full((n,), SLAB_UNKNOWN, jnp.int32)
+        return hit, slab
+
     single = pack_tris(scene).shape[0] <= TRI_SLAB
     if single:
         # Single-slab kernels take the wavefront's component rows
@@ -2245,12 +2289,16 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
             # attribute resolve (see _lean_sweep).
             out_t, idx = _closest_call_lean(rays, tris, tris.shape[0],
                                             tmin, tb=tb_single)
-            return _lean_resolve(tris, out_t[0, :n], idx[0, :n],
-                                 tris.shape[0])
+            return with_slab(_lean_resolve(tris, out_t[0, :n], idx[0, :n],
+                                           tris.shape[0]),
+                             jnp.zeros((n,), jnp.int32))
     else:
         rays = pack_rays(origins, dirs, None, n_pad)
         tris, boxes, sboxes = pack_tris_clustered(scene)
-        key = _coherence_key(rays, boxes, sboxes)
+        if pred is not None:
+            pred = jnp.pad(pred.astype(jnp.int32), (0, n_pad - n),
+                           constant_values=SLAB_UNKNOWN)
+        key = _coherence_key(rays, boxes, sboxes, pred=pred)
         rays, perm = _sorted_rays(rays, key)
     # Big-scene OBJ path: lean (t, id) carry in the clustered kernels,
     # attributes recovered once per call by the two-level one-hot
@@ -2284,12 +2332,23 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
     if not single:
         if lean:
             t_row, i_row = _unsort(perm, (best_out[0], best_idx[0]))
-            return _lean_resolve_packed(tris, t_row[:n], i_row[:n])
+            slab_arr = None
+            if want_slab:
+                # The lean carry's id IS the global packed row; its
+                # chained-slab index is a shift, no gather needed.
+                srows = _clustered_slab_rows(tris.shape[0])
+                slab_arr = jnp.where(
+                    t_row[:n] < T_FAR,
+                    (i_row[:n] // srows).astype(jnp.int32),
+                    jnp.int32(SLAB_UNKNOWN))
+            return with_slab(
+                _lean_resolve_packed(tris, t_row[:n], i_row[:n]), slab_arr)
         rows = _unsort(perm, tuple(best_out[k] for k in range(8))
                        + (best_idx[0],))
         best_out = jnp.stack(rows[:8], axis=0)
         best_idx = rows[8][None, :]
-    return _hit_from_out(best_out, best_idx, n)
+    return with_slab(_hit_from_out(best_out, best_idx, n),
+                     jnp.zeros((n,), jnp.int32) if single else None)
 
 
 def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,

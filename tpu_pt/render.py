@@ -260,7 +260,7 @@ def _nee(scene: SceneArrays, cfg: RenderConfig, occluded_fn, shade, hit_mask,
 
 def _bounce(scene: SceneArrays, cfg: RenderConfig, closest_fn, occluded_fn,
             pixel_ids, sample_idx, frame_idx, origin: V3, direction: V3,
-            atten: V3, depth, fused_fn=None):
+            atten: V3, depth, fused_fn=None, pred=None):
     """One trace + shade round for the whole wavefront.
 
     ``sample_idx`` and ``depth`` may be scalars (scan scheduler) or per-lane
@@ -277,9 +277,16 @@ def _bounce(scene: SceneArrays, cfg: RenderConfig, closest_fn, occluded_fn,
     z1, z2, z3, _ = rng.uniform4(pixel_ids, sample_idx, frame_idx, sa)
     lz1, lz2, z_rr, _ = rng.uniform4(pixel_ids, sample_idx, frame_idx, sb)
 
+    hit_slab = None
     if fused_fn is not None and cfg.use_direct_lighting:
         hit, occ_pre = fused_fn(origin, direction, lz1, lz2)
         occluded_fn = lambda p, d, tm: occ_pre     # noqa: E731
+    elif pred is not None:
+        # Prediction-ordered scheduling (clustered lean path): feed the
+        # predicted landing slab into the ray sort key, read back the
+        # winner's slab for the next prediction.
+        hit, hit_slab = closest_fn(origin, direction, pred=pred,
+                                   want_slab=True)
     else:
         hit = closest_fn(origin, direction)
     hit_mask = hit.hit
@@ -325,7 +332,8 @@ def _bounce(scene: SceneArrays, cfg: RenderConfig, closest_fn, occluded_fn,
     atten_cont = v3.safe_divide(atten_new, p_rr)
     return dict(contrib=contrib, atten_new=atten_new, atten_cont=atten_cont,
                 new_origin=shade["new_origin"], new_dir=shade["new_dir"],
-                done=done, reason=reason, shadow_mask=shadow_mask)
+                done=done, reason=reason, shadow_mask=shadow_mask,
+                hit_slab=hit_slab)
 
 
 def _render_scan(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
@@ -616,6 +624,16 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     j0, sample0 = item_pixel(g0)
     origin0, dir0 = item_rays(j0, sample0)
 
+    # Landing-slab prediction (clustered lean scenes only): each lane
+    # carries the predicted chained slab of its CURRENT ray's closest
+    # hit — bounce rays inherit the parent's landing slab, camera
+    # re-samples of the same pixel the pixel's last camera landing slab
+    # — and the intersector sorts tiles by it (see _coherence_key).
+    # Ordering-only: images are bitwise identical with TPT_PRED=0.
+    use_pred = (fused_fn is None
+                and getattr(closest_fn, "supports_pred", False))
+    SLAB_NONE = jnp.int32(255)
+
     state0 = dict(
         g=g0, sample=sample0,
         origin=origin0, direction=dir0,
@@ -633,6 +651,9 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
         hist=jnp.zeros((NUM_DONE_REASONS,), jnp.float32),
         iters=jnp.zeros((), jnp.float32),
     )
+    if use_pred:
+        state0["pred"] = jnp.full((n_lanes,), SLAB_NONE)
+        state0["cam_slab"] = jnp.full((n_lanes,), SLAB_NONE)
 
     def cond(s):
         return jnp.any(s["active"])
@@ -645,7 +666,8 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
         step = _bounce(scene, cfg, closest_fn, occluded_fn, pix,
                        sample + offset, frame_idx, s["origin"],
                        s["direction"], s["atten"], s["depth"],
-                       fused_fn=fused_fn)
+                       fused_fn=fused_fn,
+                       pred=s["pred"] if use_pred else None)
         active_f = jnp.where(active, 1.0, 0.0)
         pending = s["pending"] + step["contrib"] * active_f
 
@@ -709,7 +731,7 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
                            pending)
         active_next = cont | respawn
 
-        return dict(
+        out_s = dict(
             g=g_next, sample=sample_next, origin=origin, direction=direction,
             atten=atten, depth=depth, pending=pending, cnt=cnt,
             slot_g=slot_g, slot_rgb=slot_rgb, uf_g=uf_g,
@@ -719,6 +741,21 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
                 jnp.where(active & step["shadow_mask"], 1.0, 0.0)),
             hist=hist, iters=s["iters"] + 1.0,
         )
+        if use_pred:
+            hs = step["hit_slab"]
+            # Remember the pixel's camera-ray landing slab while the
+            # lane holds this pixel; it predicts the next sample's
+            # camera ray. (New-pixel claims start unknown — the real
+            # predictor there would be cross-lane history, which costs
+            # a gather; camera rays are ~8% of candidate entries.)
+            cam_slab = jnp.where(active & (s["depth"] == 0) & (hs < 255),
+                                 hs, s["cam_slab"])
+            out_s["cam_slab"] = cam_slab
+            out_s["pred"] = jnp.where(
+                cont, hs,
+                jnp.where(more_samples, cam_slab,
+                          jnp.where(has_new, SLAB_NONE, s["pred"])))
+        return out_s
 
     out = jax.lax.while_loop(cond, body, state0)
 
