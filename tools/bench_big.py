@@ -73,6 +73,8 @@ def main():
         "ms_per_frame": round(dt / frames * 1e3, 2),
         "rays_per_frame": int(rays_per_frame),
         "compile_s": round(compile_s, 1),
+        "pred": os.environ.get("TPT_PRED", "1"),
+        "sort_key": os.environ.get("TPT_SORT_KEY", "dir12"),
     }))
 
 

@@ -142,25 +142,41 @@ def main():
     t0 = time.time()
     rng_np = np.random.default_rng(7)
 
-    # Previous sample (history source) and current sample camera rays.
-    o_prev, d_prev = cam_batch(0)
-    _, _, hs_prev, _ = trace(o_prev, d_prev)            # per-pixel history
-    o0, d0_ = cam_batch(1)
+    cache = "/tmp/sim_frame_v1_%s_%d_%d_%d.npz" % (
+        os.path.basename(obj), res, gens, slab_rows)
+    if os.path.exists(cache):
+        z = np.load(cache)
+        gen_o = [z["o%d" % g] for g in range(gens)]
+        gen_d = [z["d%d" % g] for g in range(gens)]
+        gen_pred = [z["p%d" % g] for g in range(gens)]
+        gen_best = [z["b%d" % g] for g in range(gens)]
+        gen_gt = [z["t%d" % g] for g in range(gens)]
+        gen_hs = [z["h%d" % g] for g in range(gens)]
+    else:
+        # Previous sample (history source) and current sample camera rays.
+        o_prev, d_prev = cam_batch(0)
+        _, _, hs_prev, _ = trace(o_prev, d_prev)        # per-pixel history
+        o0, d0_ = cam_batch(1)
 
-    gen_o, gen_d, gen_pred = [o0], [d0_], [hs_prev]
-    gen_best, gen_gt, gen_hs = [], [], []
-    for g in range(gens):
-        best, g_t, g_hs, g_row = trace(gen_o[g], gen_d[g])
-        gen_best.append(best)
-        gen_gt.append(g_t)
-        gen_hs.append(g_hs)
-        if g + 1 < gens:
-            o_b, d_b, hit = cosine_bounce(gen_o[g], gen_d[g], g_t,
-                                          g_row, rng_np)
-            gen_o.append(o_b)
-            gen_d.append(d_b)
-            gen_pred.append(g_hs[hit])       # parent's landing slab
-    sys.stderr.write("trace passes: %.1fs\n" % (time.time() - t0))
+        gen_o, gen_d, gen_pred = [o0], [d0_], [hs_prev]
+        gen_best, gen_gt, gen_hs = [], [], []
+        for g in range(gens):
+            best, g_t, g_hs, g_row = trace(gen_o[g], gen_d[g])
+            gen_best.append(best)
+            gen_gt.append(g_t)
+            gen_hs.append(g_hs)
+            if g + 1 < gens:
+                o_b, d_b, hit = cosine_bounce(gen_o[g], gen_d[g], g_t,
+                                              g_row, rng_np)
+                gen_o.append(o_b)
+                gen_d.append(d_b)
+                gen_pred.append(g_hs[hit])   # parent's landing slab
+        sys.stderr.write("trace passes: %.1fs\n" % (time.time() - t0))
+        np.savez(cache, **{"%s%d" % (k, g): v
+                           for k, arrs in (("o", gen_o), ("d", gen_d),
+                                           ("p", gen_pred), ("b", gen_best),
+                                           ("t", gen_gt), ("h", gen_hs))
+                           for g, v in enumerate(arrs)})
 
     o_all = np.concatenate(gen_o)
     d_all = np.concatenate(gen_d)
