@@ -16,6 +16,7 @@ asserts the images match bitwise:
   4. slot margin 2                          vs  slot margin 6
   5. fused closest+NEE                      vs  two-kernel path
   6. sharded (1,1) mesh step                vs  plain render_frame
+  7. prediction-ordered scheduling          vs  dir12 ordering
 
 Each variant toggles via env, so every render runs in a fresh
 subprocess. Exit code 0 = all equivalences hold. Runtime ~4 min on a
@@ -106,6 +107,8 @@ def main():
           bbase, render(p("blean0"), big, {"TPT_LEAN_BIG": "0"}))
     check("guard none == guard super (big scene)",
           bbase, render(p("bguard"), big, {"TPT_GUARD": "super"}))
+    check("prediction ordering == dir12 (big scene)",
+          bbase, render(p("bpred0"), big, {"TPT_PRED": "0"}))
 
     print("all equivalences hold" if not fails
           else f"{fails} equivalence(s) BROKEN")
