@@ -59,21 +59,18 @@ def main():
     n = int(os.environ.get("SIM_RAYS", 65536))
     modes = os.environ.get("SIM_KEYS",
                            "dir12,oct,near,hitslab,perfect").split(",")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import simlib
     rt = bf.RAY_TILE_C
-    tmin = 0.01
+    tmin = simlib.TMIN
 
     # bench_incoherent's worst case: origins spread over the scene
     # AABB (from the triangle VERTICES — pack_tris cols 0:3 are plane
     # normals), uniform sphere dirs.
     key0 = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key0)
-    valid = scene.tri_valid > 0
-    corners = jnp.concatenate(
-        [scene.tri_v0, scene.tri_v0 + scene.tri_e1,
-         scene.tri_v0 + scene.tri_e2], axis=0)
-    vmask = jnp.concatenate([valid, valid, valid])[:, None]
-    lo = jnp.min(jnp.where(vmask, corners, jnp.inf), axis=0)
-    hi = jnp.max(jnp.where(vmask, corners, -jnp.inf), axis=0)
+    lo, hi = simlib.scene_bounds(scene)
+    lo, hi = jnp.asarray(lo), jnp.asarray(hi)
     p = jax.random.uniform(k1, (n, 3)) * (hi - lo) + lo
     d = jax.random.normal(k2, (n, 3))
     d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
@@ -88,49 +85,24 @@ def main():
     n_pad = bf._pad_to(n, rt)
     rays = bf.pack_rays(origins, dirs, None, n_pad)
 
-    # Per-slab true best hit t per ray [n_pad, S], from the packed
-    # plane+edge columns (identical arithmetic family to the kernel;
-    # exactness of t is irrelevant here — it only drives the prior).
-    @jax.jit
-    def chunk_min_t(o, dd, tri):
-        nrm, d0 = tri[:, 0:3], tri[:, 3]
-        wu, cu = tri[:, 4:7], tri[:, 7]
-        wv, cv = tri[:, 8:11], tri[:, 11]
-        valid = tri[:, 12] > 0.5
-        nd = dd @ nrm.T                                   # [m, T]
-        no = o @ nrm.T
-        t = (d0[None, :] - no) / jnp.where(jnp.abs(nd) > 1e-20, nd, 1e-20)
-        px = o[:, :, None] + dd[:, :, None] * t[:, None, :]   # [m, 3, T]
-        u = jnp.einsum("mct,tc->mt", px, wu) + cu[None, :]
-        v = jnp.einsum("mct,tc->mt", px, wv) + cv[None, :]
-        ok = (valid[None, :] & (t > tmin) & (u >= 0.0) & (v >= 0.0)
-              & (u + v <= 1.0))
-        tt = jnp.where(ok, t, jnp.float32(1e16))
-        return jnp.min(tt, axis=1), jnp.argmin(tt, axis=1)
-
     o_np = np.stack([np.asarray(origins.x), np.asarray(origins.y),
                      np.asarray(origins.z)], axis=1)
     d_np = np.stack([np.asarray(dirs.x), np.asarray(dirs.y),
                      np.asarray(dirs.z)], axis=1)
-    chunk = 8192
     cache = "/tmp/sim_best_v3_%s_%d_%d_%d.npz" % (
         os.path.basename(obj), n, rows, slab_rows)
     if os.path.exists(cache):
         z = np.load(cache)
         best, best_row = z["t"], z["row"]
     else:
-        best = np.full((n_pad, len(starts)), 1e16, np.float32)
-        best_row = np.zeros((n_pad, len(starts)), np.int32)
         t0 = time.time()
-        for si, s in enumerate(starts):
-            tri = packed[s:s + slab_rows]
-            for c in range(0, n, chunk):
-                m = min(chunk, n - c)
-                bt_c, br_c = chunk_min_t(
-                    jnp.asarray(o_np[c:c + m]), jnp.asarray(d_np[c:c + m]),
-                    tri)
-                best[c:c + m, si] = np.asarray(bt_c)
-                best_row[c:c + m, si] = np.asarray(br_c) + s
+        b, br = simlib.trace_slabs(packed, starts, slab_rows, o_np, d_np)
+        # Pad rows (rays) to n_pad; padded lanes never hit.
+        best = np.concatenate(
+            [b, np.full((n_pad - n, len(starts)), 1e16, np.float32)])
+        best_row = np.concatenate(
+            [br.astype(np.int32),
+             np.zeros((n_pad - n, len(starts)), np.int32)])
         sys.stderr.write("true-t pass: %.1fs\n" % (time.time() - t0))
         np.savez(cache, t=best, row=best_row)
 
@@ -227,9 +199,8 @@ def main():
             has = best[:n].min(axis=1) < 1e15
             hs = np.where(has, hit_s, s_count)
             cell = slab0.astype(np.int64) * NB + dbin
-            hist = np.zeros(((s_count + 1) * NB + NB) * 0 +
-                            (int(cell.max()) + 1) * (s_count + 1),
-                            np.int32).reshape(-1, s_count + 1)
+            hist = np.zeros((int(cell.max()) + 1, s_count + 1),
+                            np.int32)
             np.add.at(hist, (cell, hs), 1)
             filled = hist.sum(axis=1) > 0
             table = np.where(filled, hist.argmax(axis=1), 0)

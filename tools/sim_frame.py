@@ -59,8 +59,10 @@ def main():
     gens = int(os.environ.get("SIM_GENS", 3))
     modes = os.environ.get(
         "SIM_KEYS", "dir12,gen_dir12,predhist,hitslab,perfect").split(",")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import simlib
     rt = bf.RAY_TILE_C
-    tmin = 0.01
+    tmin = simlib.TMIN
     n_pix = res * res
 
     packed, boxes, sboxes = bf.pack_tris_clustered(scene)
@@ -71,37 +73,11 @@ def main():
     s_count = len(starts)
     scs = bf.CLUSTER * bf.SUPER
 
-    @jax.jit
-    def chunk_hit(o, dd, tri):
-        nrm, d0 = tri[:, 0:3], tri[:, 3]
-        wu, cu = tri[:, 4:7], tri[:, 7]
-        wv, cv = tri[:, 8:11], tri[:, 11]
-        valid = tri[:, 12] > 0.5
-        nd = dd @ nrm.T
-        no = o @ nrm.T
-        t = (d0[None, :] - no) / jnp.where(jnp.abs(nd) > 1e-20, nd, 1e-20)
-        px = o[:, :, None] + dd[:, :, None] * t[:, None, :]
-        u = jnp.einsum("mct,tc->mt", px, wu) + cu[None, :]
-        v = jnp.einsum("mct,tc->mt", px, wv) + cv[None, :]
-        ok = (valid[None, :] & (t > tmin) & (u >= 0.0) & (v >= 0.0)
-              & (u + v <= 1.0))
-        tt = jnp.where(ok, t, jnp.float32(1e16))
-        return jnp.min(tt, axis=1), jnp.argmin(tt, axis=1)
-
     def trace(o_np, d_np):
         """True hits of rays vs the whole scene: per-slab [N, S] min-t
         (drives priors) + global (t, packed row)."""
-        m_n = o_np.shape[0]
-        best = np.full((m_n, s_count), 1e16, np.float32)
-        brow = np.zeros((m_n, s_count), np.int64)
-        for si, s in enumerate(starts):
-            tri = packed[s:s + slab_rows]
-            for c in range(0, m_n, 8192):
-                m = min(8192, m_n - c)
-                bt, br = chunk_hit(jnp.asarray(o_np[c:c + m]),
-                                   jnp.asarray(d_np[c:c + m]), tri)
-                best[c:c + m, si] = np.asarray(bt)
-                brow[c:c + m, si] = np.asarray(br) + s
+        best, brow = simlib.trace_slabs(packed, starts, slab_rows,
+                                        o_np, d_np)
         g_t = best.min(axis=1)
         g_s = best.argmin(axis=1)
         g_row = np.take_along_axis(brow, g_s[:, None], axis=1)[:, 0]
@@ -200,12 +176,7 @@ def main():
         d01 = jnp.clip(0.5 * (jnp.asarray(d_all) + 1.0), 0.0, 1.0)
         dbits = min(12, 32 - hi_width - 12)
         dm = np.asarray(morton3d(d01)) >> (30 - dbits)
-        valid = np.asarray(scene.tri_valid) > 0
-        v0 = np.asarray(scene.tri_v0)[valid]
-        e1 = np.asarray(scene.tri_e1)[valid]
-        e2 = np.asarray(scene.tri_e2)[valid]
-        pts = np.concatenate([v0, v0 + e1, v0 + e2])
-        lo, hi = pts.min(0), pts.max(0)
+        lo, hi = simlib.scene_bounds(scene)
         om_bits = 32 - hi_width - dbits
         p01 = jnp.clip((jnp.asarray(o_all) - lo) /
                        np.maximum(hi - lo, 1e-12), 0.0, 1.0)
@@ -254,12 +225,16 @@ def main():
             key = bf._coherence_key(rays, boxes, sboxes)
             split = True
         elif mode == "gen_dir12":
+            # 32-bit compose: generation in the TOP bits, dir12 key
+            # shifted down to make room (uint64 keys silently truncate
+            # to uint32 under jnp's default x64-disabled config).
             os.environ["TPT_SORT_KEY"] = "dir12"
             k0 = np.asarray(bf._coherence_key(rays, boxes, sboxes))
+            gb = max(1, int(gens).bit_length())
             gid_pad = np.concatenate(
-                [gen_id, np.full(n_pad - n, 255, np.uint32)])
-            key = jnp.asarray((gid_pad.astype(np.uint64) << 32
-                               | k0.astype(np.uint64)))
+                [gen_id, np.full(n_pad - n, (1 << gb) - 1, np.uint32)])
+            key = jnp.asarray(((gid_pad.astype(np.uint32) << (32 - gb))
+                               | (k0 >> np.uint32(gb))))
         elif mode == "predhist":
             key = compose(pred_all, sbits)
         elif mode == "hitslab":

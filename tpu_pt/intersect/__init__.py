@@ -12,6 +12,12 @@ from __future__ import annotations
 
 from functools import partial
 
+# Landing-slab sentinel shared by the prediction-ordered scheduler
+# (render.py pred carry) and the pallas intersector ("no prediction"
+# in, "slab not recoverable / miss" out). Far above any chained-slab
+# count, int32-safe.
+SLAB_UNKNOWN = 1 << 30
+
 import jax
 
 from ..config import RenderConfig

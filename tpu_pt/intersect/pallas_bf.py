@@ -1536,7 +1536,11 @@ def _coherence_key(rays, boxes, sboxes=None, pred=None):
     o = rays[0:3, :].T                                       # [N, 3]
     d = rays[3:6, :]
     p01 = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
-    if pred is not None:
+    if pred is not None and os.environ.get("TPT_SORT_KEY",
+                                           "dir12") == "dir12":
+        # An EXPLICIT TPT_SORT_KEY ablation wins over prediction
+        # ordering (otherwise a sort-key sweep with TPT_PRED left at
+        # its default would silently measure the pred key instead).
         # PREDICTED-LANDING-SLAB major (then dir12's direction+origin
         # bits): the scheduler predicts which chained slab each ray's
         # closest hit lies in (bounce rays: the parent ray's landing
@@ -2256,8 +2260,10 @@ def intersect_closest(scene: SceneArrays, origins: V3, dirs: V3,
 
 # Landing-slab sentinel for the prediction-ordered scheduler: "no
 # prediction" in, "slab not recoverable" out (also any miss). Clipped
-# to s_count in the sort key, so all unknowns share one bucket.
-SLAB_UNKNOWN = 255
+# to s_count in the sort key, so all unknowns share one bucket. Far
+# above any possible chained-slab count (rows / quantum), so it can
+# never collide with a real slab index.
+from . import SLAB_UNKNOWN  # noqa: E402  (single source of truth)
 
 
 def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,

@@ -632,7 +632,8 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     # Ordering-only: images are bitwise identical with TPT_PRED=0.
     use_pred = (fused_fn is None
                 and getattr(closest_fn, "supports_pred", False))
-    SLAB_NONE = jnp.int32(255)
+    from .intersect import SLAB_UNKNOWN
+    SLAB_NONE = jnp.int32(SLAB_UNKNOWN)
 
     state0 = dict(
         g=g0, sample=sample0,
@@ -748,8 +749,9 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
             # camera ray. (New-pixel claims start unknown — the real
             # predictor there would be cross-lane history, which costs
             # a gather; camera rays are ~8% of candidate entries.)
-            cam_slab = jnp.where(active & (s["depth"] == 0) & (hs < 255),
-                                 hs, s["cam_slab"])
+            cam_slab = jnp.where(
+                active & (s["depth"] == 0) & (hs != SLAB_NONE),
+                hs, s["cam_slab"])
             out_s["cam_slab"] = cam_slab
             out_s["pred"] = jnp.where(
                 cont, hs,
