@@ -237,6 +237,68 @@ def test_pred_scheduling_bitwise_invariant(mixed_scene, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
 
 
+def test_rotated_chain_exact_with_wrong_predictions(mixed_scene, rays,
+                                                    monkeypatch):
+    """The rotated chain (TPT_SEED) is work-scheduling only: ADVERSARIAL
+    predictions (every slab id wrong, unknown, or out of range) must
+    still produce the same hits as TPT_SEED=0 — every tile visits all S
+    slabs in SOME order, so a bad prediction costs work, never
+    correctness."""
+    o, d = rays
+    monkeypatch.delenv("TPT_SORT_KEY", raising=False)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 128)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 8)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
+    from tpu_pt.intersect import SLAB_UNKNOWN
+    n = o.shape[0]
+    preds = {
+        "cycled": jnp.arange(n, dtype=jnp.int32) % 7,   # mostly wrong
+        "unknown": jnp.full((n,), SLAB_UNKNOWN, jnp.int32),
+        "clamped": jnp.full((n,), 10 ** 6, jnp.int32),  # out of range
+    }
+    monkeypatch.setenv("TPT_SEED", "0")
+    ref = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False,
+                                      pred=preds["cycled"])
+    monkeypatch.setenv("TPT_SEED", "1")
+    for name, p in preds.items():
+        out, slab = pallas_bf.intersect_closest(
+            mixed_scene, o, d, want_uv=False, pred=p, want_slab=True)
+        np.testing.assert_array_equal(np.asarray(ref.tri),
+                                      np.asarray(out.tri), err_msg=name)
+        np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t),
+                                      err_msg=name)
+        np.testing.assert_array_equal(np.asarray(ref.mat),
+                                      np.asarray(out.mat), err_msg=name)
+        # Landing slabs of real hits stay derivable from the global id.
+        srows = pallas_bf._clustered_slab_rows(
+            pallas_bf.pack_tris_clustered(mixed_scene)[0].shape[0])
+        hitm = np.asarray(out.hit)
+        assert (np.asarray(slab)[hitm] < 10 ** 6 // srows + 2).all()
+
+
+def test_rotated_chain_render_bitwise_invariant(mixed_scene, monkeypatch):
+    """Whole-frame pixelq render: TPT_SEED (rotated chain) on/off must be
+    bitwise identical (the real renderer feeds real history
+    predictions)."""
+    from tpu_pt.render import render_wavefront
+    monkeypatch.delenv("TPT_SORT_KEY", raising=False)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 128)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 8)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
+    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+    cfg = tpu_pt.RenderConfig(width=16, height=16, spp=4, max_depth=4,
+                              use_direct_lighting=True,
+                              use_importance_sampling=True,
+                              intersector="pallas", scheduler="pixelq")
+    monkeypatch.setenv("TPT_SEED", "0")
+    ra, _ = render_wavefront(mixed_scene, cam, cfg, 0, 16 * 16, 0)
+    monkeypatch.setenv("TPT_SEED", "1")
+    rb, _ = render_wavefront(mixed_scene, cam, cfg, 0, 16 * 16, 0)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
 def test_render_with_pallas_matches_bruteforce(cornell_scene):
     from tpu_pt.render import render_wavefront
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())

@@ -166,6 +166,8 @@ def main():
         os.path.dirname(__file__), "..", "assets"))
     ap.add_argument("--big", action="store_true",
                     help="also write big_mesh.obj (~100k tris)")
+    ap.add_argument("--huge", action="store_true",
+                    help="also write huge_mesh.obj (~1M tris)")
     args = ap.parse_args()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
@@ -201,6 +203,13 @@ def main():
         sv, st = displaced_sphere(278, 220, 280, 160, 224, 224)
         w.add_tris("GreyDiffuse", sv, st)
         w.write(os.path.join(out, "big_mesh.obj"), "cornell.mtl")
+
+    if args.huge:
+        w = ObjWriter()
+        cornell_shell(w)
+        sv, st = displaced_sphere(278, 220, 280, 160, 708, 708)
+        w.add_tris("GreyDiffuse", sv, st)
+        w.write(os.path.join(out, "huge_mesh.obj"), "cornell.mtl")
 
     print(f"assets written to {out}")
 

@@ -17,6 +17,7 @@ asserts the images match bitwise:
   5. fused closest+NEE                      vs  two-kernel path
   6. sharded (1,1) mesh step                vs  plain render_frame
   7. prediction-ordered scheduling          vs  dir12 ordering
+  8. rotated chain (per-tile slab order)    vs  fixed chain order
 
 Each variant toggles via env, so every render runs in a fresh
 subprocess. Exit code 0 = all equivalences hold. Runtime ~4 min on a
@@ -109,6 +110,8 @@ def main():
           bbase, render(p("bguard"), big, {"TPT_GUARD": "super"}))
     check("prediction ordering == dir12 (big scene)",
           bbase, render(p("bpred0"), big, {"TPT_PRED": "0"}))
+    check("rotated chain == fixed chain order (big scene)",
+          bbase, render(p("bseed1"), big, {"TPT_SEED": "1"}))
 
     print("all equivalences hold" if not fails
           else f"{fails} equivalence(s) BROKEN")

@@ -416,6 +416,49 @@ def super_candidates(rays: jnp.ndarray, sboxes: jnp.ndarray, rt: int,
     return tab.reshape(-1, 1)
 
 
+def rotated_candidates(rays: jnp.ndarray, sboxes_all: jnp.ndarray,
+                       sid: jnp.ndarray, rt: int, tmin: float,
+                       sc: int, tmax) -> jnp.ndarray:
+    """Per-tile work lists for the rotated chained launches: tile i's
+    candidates are tested against ITS OWN j-th-visit slab's superclusters
+    (``sboxes_all`` reshaped [S, sc, 8], gathered by ``sid``), exact
+    per-ray tests OR-reduced per tile like ``super_candidates_exact``.
+    Ids in the table are LOCAL to the slab (0..sc-1), matching the
+    rotated kernel's per-slab box blocks. ``tmax`` is a scalar (first
+    launch) or the per-ray prior t [n_pad] (later launches)."""
+    n_pad = rays.shape[1]
+    n_tiles = n_pad // rt
+    big = jnp.float32(3e38)
+    sb = sboxes_all.reshape(-1, sc, 8)[sid]                   # [T, sc, 8]
+    o = rays[0:3, :].reshape(3, n_tiles, rt)
+    d = rays[3:6, :].reshape(3, n_tiles, rt)
+    eps = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) > eps, d,
+                          jnp.where(d >= 0, eps, -eps))
+    tn = jnp.full((n_tiles, rt, sc), -big)
+    tf = jnp.full((n_tiles, rt, sc), big)
+    for a in range(3):
+        t0 = (sb[:, None, :, a] - o[a][:, :, None]) * inv[a][:, :, None]
+        t1 = (sb[:, None, :, a + 3] - o[a][:, :, None]) * inv[a][:, :, None]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    if jnp.ndim(tmax) == 0:
+        tmax_r = jnp.full((n_tiles, rt, 1), tmax)
+    else:
+        tmax_r = jnp.reshape(tmax, (n_tiles, rt, 1))
+    ok = (tn <= tf) & (tf > tmin) & (tn < tmax_r)
+    any_ = jnp.any(ok, axis=1)                                # [T, sc]
+    tkey = jnp.min(jnp.where(ok, tn, jnp.float32(T_FAR)), axis=1)
+    key = jnp.where(any_, tkey, jnp.float32(T_FAR))
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    cnt = jnp.sum(any_, axis=1, dtype=jnp.int32)[:, None]
+    tab = jnp.concatenate([cnt, order], axis=1)
+    rows = _pad_to(1 + sc, 8)
+    if rows != 1 + sc:
+        tab = jnp.pad(tab, ((0, 0), (0, rows - 1 - sc)))
+    return tab.reshape(-1, 1)
+
+
 def pack_rays(origins: V3, dirs: V3, row6: jnp.ndarray | None,
               n_pad: int, row7: jnp.ndarray | None = None) -> jnp.ndarray:
     """V3 rays -> [8, n_pad] kernel layout.
@@ -966,6 +1009,60 @@ def _closest_kernel_chained_lean(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                 pidx_ref[0:1, lo:hi].astype(jnp.float32))
         best_t, best_i = _closest_sweep(
             ray, tris_ref, hi - lo, n_tri // CLUSTER, tmin, tmax,
+            tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+            cand_ref=cand_ref, corder_ref=corder_ref, guard=guard,
+            lean=True, lean_base=base, init=init, cand_base=si * ns1)
+        out_ref[0:1, lo:hi] = best_t
+        i_ref[0:1, lo:hi] = jnp.where(best_t < T_FAR,
+                                      best_i.astype(jnp.int32), 0)
+
+
+def _closest_kernel_rotated_lean(sid_ref, rays_ref, tris_ref, boxes_ref,
+                                 sboxes_ref, cand_ref, corder_ref,
+                                 out_ref, i_ref, *, slab_rows, tmin, tmax,
+                                 ns1, guard="none"):
+    """Rotated chained launch (first step, no prior): each ray tile
+    sweeps its OWN j-th-visit chained slab — scalar-prefetched per-tile
+    slab ids drive the triangle/box block index maps, so the tile
+    predicted to land in slab k sweeps k FIRST and the rest of its chain
+    culls against a near-oracle per-ray prior (t, global id)."""
+    rt = rays_ref.shape[1]
+    base = sid_ref[pl.program_id(0)] * slab_rows
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        # Load the subtile's ray rows straight from the ref: slicing an
+        # already-loaded [1, RT] register at a lane offset leaves a
+        # layout Mosaic cannot re-broadcast ("Invalid input layout").
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        best_t, best_i = _closest_sweep(
+            ray, tris_ref, hi - lo, slab_rows // CLUSTER, tmin, tmax,
+            tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+            cand_ref=cand_ref, corder_ref=corder_ref, guard=guard,
+            lean=True, lean_base=base, cand_base=si * ns1)
+        out_ref[0:1, lo:hi] = best_t
+        i_ref[0:1, lo:hi] = jnp.where(best_t < T_FAR,
+                                      best_i.astype(jnp.int32), 0)
+
+
+def _closest_kernel_rotated_chained_lean(sid_ref, rays_ref, tris_ref,
+                                         boxes_ref, sboxes_ref, cand_ref,
+                                         corder_ref, pout_ref, pidx_ref,
+                                         out_ref, i_ref, *, slab_rows,
+                                         tmin, tmax, ns1, guard="none"):
+    """Rotated chained launch, later steps: like
+    ``_closest_kernel_chained_lean`` but the slab swept is the tile's
+    own j-th-visit slab (scalar-prefetched block indices + dynamic
+    global-id base)."""
+    rt = rays_ref.shape[1]
+    base = sid_ref[pl.program_id(0)] * slab_rows
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        # Load the subtile's ray rows straight from the ref: slicing an
+        # already-loaded [1, RT] register at a lane offset leaves a
+        # layout Mosaic cannot re-broadcast ("Invalid input layout").
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        init = (pout_ref[0:1, lo:hi],
+                pidx_ref[0:1, lo:hi].astype(jnp.float32))
+        best_t, best_i = _closest_sweep(
+            ray, tris_ref, hi - lo, slab_rows // CLUSTER, tmin, tmax,
             tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
             cand_ref=cand_ref, corder_ref=corder_ref, guard=guard,
             lean=True, lean_base=base, init=init, cand_base=si * ns1)
@@ -1639,12 +1736,15 @@ def _coherence_key(rays, boxes, sboxes=None, pred=None):
 
 
 def _sorted_rays(rays, key):
-    """Sort ray columns by key; returns (sorted rays, permutation)."""
+    """Sort ray columns by key; returns (sorted rays, permutation,
+    sorted key). The sorted key rides along for free and carries the
+    per-ray predicted slab in its top bits under prediction ordering
+    (consumed by the rotated chain, ``_closest_call_rotated``)."""
     n = rays.shape[1]
     iota = jnp.arange(n, dtype=jnp.int32)
     out = jax.lax.sort((key, iota) + tuple(rays[k] for k in range(8)),
                        num_keys=1)
-    return jnp.stack(out[2:], axis=0), out[1]
+    return jnp.stack(out[2:], axis=0), out[1], out[0]
 
 
 def _unsort(perm, rows):
@@ -1747,6 +1847,82 @@ def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(rays, tris, boxes, sboxes, cand, corder, *extra_in)
+
+
+@functools.partial(jax.named_call, name="pallas_closest_rot")
+def _closest_call_rotated(tile_slab, rays, tris_pad, boxes_pad,
+                          sboxes_pad, cand, corder_pad, slab_rows: int,
+                          tmin: float, prior=None):
+    """One rotated chained launch: every ray tile sweeps its OWN
+    j-th-visit chained slab, selected per grid program via
+    scalar-prefetch block index maps. Inputs are padded to S whole
+    slabs. Consecutive tiles share predictions under pred-major
+    ordering, so the dynamic triangle block re-fetches only at group
+    boundaries (plus once at the rotation wrap)."""
+    n_pad = rays.shape[1]
+    grid = (n_pad // RAY_TILE_C,)
+    bc = slab_rows // CLUSTER
+    sc = slab_rows // (CLUSTER * SUPER)
+    ns1 = _pad_to(1 + sc, 8)
+    sub_per = RAY_TILE_C // min(SUBTILE_C, RAY_TILE_C)
+    if prior is None:
+        kernel = functools.partial(_closest_kernel_rotated_lean,
+                                   slab_rows=slab_rows, tmin=tmin,
+                                   tmax=T_FAR, ns1=ns1,
+                                   guard=_guard_mode())
+        extra_in, extra_specs = (), ()
+    else:
+        kernel = functools.partial(_closest_kernel_rotated_chained_lean,
+                                   slab_rows=slab_rows, tmin=tmin,
+                                   tmax=T_FAR, ns1=ns1,
+                                   guard=_guard_mode())
+        extra_in = prior
+        extra_specs = (
+            pl.BlockSpec((1, RAY_TILE_C), lambda i, sid: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE_C), lambda i, sid: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RAY_TILE_C), lambda i, sid: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab_rows, 16), lambda i, sid: (sid[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, 8), lambda i, sid: (sid[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sc, 8), lambda i, sid: (sid[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub_per * ns1, 1), lambda i, sid: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * bc, 1), lambda i, sid: (sid[i], 0),
+                         memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_TILE_C), lambda i, sid: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE_C), lambda i, sid: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_pad * slab_rows, bytes_accessed=n_pad * 48,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(tile_slab, rays, tris_pad, boxes_pad, sboxes_pad, cand, corder_pad,
+      *extra_in)
 
 
 @functools.partial(jax.named_call, name="pallas_occluded_c")
@@ -2305,14 +2481,92 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
             pred = jnp.pad(pred.astype(jnp.int32), (0, n_pad - n),
                            constant_values=SLAB_UNKNOWN)
         key = _coherence_key(rays, boxes, sboxes, pred=pred)
-        rays, perm = _sorted_rays(rays, key)
+        rays, perm, key_sorted = _sorted_rays(rays, key)
     # Big-scene OBJ path: lean (t, id) carry in the clustered kernels,
     # attributes recovered once per call by the two-level one-hot
     # (the in-sweep sel/pick machinery is ~25% of the clustered sweep).
     lean = (not single and not want_uv
             and os.environ.get("TPT_LEAN_BIG", "1") == "1")
     best_out = best_idx = None
-    for s, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
+    # Rotated chain: measured slightly BELOW the fixed chain on the
+    # 100k-tri frame (4.65-4.66 vs 4.76 Mrays/s in every variant —
+    # separate seed launch, per-tile near-first order, DMA-coherent
+    # 2-group order), so it stays an ablation knob, default off. Why the
+    # sim's "perfect prior" bound (0.69x entries) is not reachable this
+    # way: the predicted slab must be swept FIRST and therefore with no
+    # prior — and that is exactly the slab holding most true hits, so
+    # its full-list entries are irreducible; only the (already
+    # prior-tightened) remainder of the chain shrinks further.
+    rot = (not single and lean and pred is not None
+           and os.environ.get("TPT_SEED", "0") == "1"
+           and os.environ.get("TPT_SORT_KEY", "dir12") == "dir12")
+    if rot:
+        slab_rows = _clustered_slab_rows(tris.shape[0])
+        s_count = -(-tris.shape[0] // slab_rows)
+        rot = s_count > 1
+    if rot:
+        # ROTATED chain (sim_frame.py's "perfect prior" lever, made
+        # real): every launch sweeps, per ray tile, the tile's OWN
+        # j-th-visit slab — the predicted landing slab FIRST, then the
+        # rest in ascending order — selected by scalar-prefetch block
+        # index maps. The tile predicted into slab k culls its whole
+        # remaining chain against a near-oracle prior from step one,
+        # instead of waiting for the fixed order to reach k. Any
+        # per-tile permutation of all S slabs is exact; a wrong
+        # prediction costs work, never correctness. The tile's slab id
+        # comes off the sorted key's top bits (pred-major ordering makes
+        # the tile's median representative).
+        sbits = int(s_count).bit_length()
+        rt_sub = min(SUBTILE_C, RAY_TILE_C)
+        sub_per = RAY_TILE_C // rt_sub
+        tile_pred = (key_sorted.reshape(-1, RAY_TILE_C)
+                     [:, RAY_TILE_C // 2]
+                     >> jnp.uint32(32 - sbits)).astype(jnp.int32)
+        # Pad every per-slab operand to S whole slabs (zero tris
+        # self-reject, far-point boxes fail every test).
+        rows_pad = s_count * slab_rows
+        far = jnp.float32(3e37)
+        tris_pad = jnp.pad(tris, ((0, rows_pad - tris.shape[0]), (0, 0)))
+        bc = slab_rows // CLUSTER
+        sc = slab_rows // (CLUSTER * SUPER)
+        boxes_pad = jnp.concatenate(
+            [boxes, jnp.full((rows_pad // CLUSTER - boxes.shape[0], 8),
+                             far)])
+        sboxes_pad = jnp.concatenate(
+            [sboxes, jnp.full((rows_pad // (CLUSTER * SUPER)
+                               - sboxes.shape[0], 8), far)])
+        corder_pad = jnp.concatenate(
+            [octant_orders(boxes_pad[si * bc:(si + 1) * bc])
+             for si in range(s_count)])
+        # Per-tile visit order: the predicted slab FIRST, then the
+        # remaining slabs in ascending order (launch j >= 1 sweeps
+        # j - 1 where that precedes the tile's prediction, else j).
+        # Unknown predictions (>= s_count) degrade to the fixed order.
+        # DMA-coherence is the reason this beats a per-tile NEAR-FIRST
+        # table (measured 4.65 vs 4.76 Mrays/s on the 100k frame): with
+        # arbitrary per-tile orders, launch j's tile groups fragment and
+        # the ~0.5 MB triangle block re-fetches at every group change;
+        # here tiles are pred-major sorted, so every launch is at most
+        # TWO contiguous groups (sid = j for preds <= j - 1, j - 1
+        # after) and the chain pays ~3S block fetches total instead of
+        # ~S * groups.
+        pred_eff = jnp.where(tile_pred >= s_count, 0, tile_pred)
+        for j in range(s_count):
+            if j == 0:
+                sid_j = pred_eff
+            else:
+                sid_j = jnp.where(jnp.int32(j - 1) < pred_eff,
+                                  jnp.int32(j - 1), jnp.int32(j))
+            sid_sub_j = jnp.repeat(sid_j, sub_per)
+            cur_tmax = tmax if best_out is None else best_out[0]
+            cand_j = rotated_candidates(rays, sboxes_pad, sid_sub_j,
+                                        rt_sub, tmin, sc, cur_tmax)
+            prior = None if best_out is None else (best_out, best_idx)
+            best_out, best_idx = _closest_call_rotated(
+                sid_j, rays, tris_pad, boxes_pad, sboxes_pad, cand_j,
+                corder_pad, slab_rows, tmin, prior=prior)
+    slabs = [] if rot else _tri_slabs(tris, boxes, sboxes)
+    for s, slab, bx, sbx, corder in slabs:
         if bx is None:
             out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
                                      tb=tb_single, want_uv=want_uv)
@@ -2402,7 +2656,7 @@ def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
         rays = pack_rays(origins, dirs, tmax, n_pad)
         tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes, sboxes)
-        rays, perm = _sorted_rays(rays, key)
+        rays, perm, _ = _sorted_rays(rays, key)
     occ = None
     for _, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
         if bx is None:
