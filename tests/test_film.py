@@ -90,3 +90,77 @@ def test_exr_roundtrip_half(tmp_path):
     film.write_exr(p, img, half=True)
     back = film.read_exr(p)
     np.testing.assert_allclose(back, img, rtol=1e-2, atol=1e-3)
+
+
+def test_exr_roundtrip_zip(tmp_path):
+    """ZIP-compressed EXR (16-scanline blocks) is bit-exact and smaller
+    on compressible content (tinyexr reads ZIP EXRs; film parity)."""
+    rng = np.random.RandomState(3)
+    # Smooth gradient + a little noise: compressible but not trivial.
+    y, x = np.mgrid[0:37, 0:21].astype(np.float32)
+    img = np.stack([y / 37, x / 21, (x + y) / 58], axis=2)
+    img += rng.rand(37, 21, 3).astype(np.float32) * 1e-3
+    for comp in ("zip", "zips"):
+        p = str(tmp_path / f"{comp}.exr")
+        film.write_exr(p, img, compression=comp)
+        back = film.read_exr(p)
+        np.testing.assert_array_equal(back, img)
+    import os
+    p0 = str(tmp_path / "none.exr")
+    film.write_exr(p0, img)
+    assert os.path.getsize(str(tmp_path / "zip.exr")) < os.path.getsize(p0)
+
+
+def test_exr_zip_incompressible_block(tmp_path):
+    """Blocks that deflate larger are stored raw and still read back."""
+    rng = np.random.RandomState(11)
+    img = rng.rand(4, 5, 3).astype(np.float32) * 1e3
+    p = str(tmp_path / "r.exr")
+    film.write_exr(p, img, compression="zips")
+    np.testing.assert_array_equal(film.read_exr(p), img)
+
+
+def test_png_unfilter_all_filters():
+    """Every PNG filter type decodes identically via the native C path and
+    the numpy fallback (cumsum Sub, serial Average/Paeth)."""
+    rng = np.random.RandomState(5)
+    h, w, ch = 11, 17, 3
+    ref = (rng.rand(h, w, ch) * 255).astype(np.uint8)
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    # Encode rows cycling through filters 0..4 (an independent encoder —
+    # decoding must invert it, not just round-trip write_png's filter-0).
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for row in range(h):
+        filt = row % 5
+        line = ref[row].reshape(stride).astype(np.int32)
+        enc = np.zeros(stride, np.int32)
+        for i in range(stride):
+            a = int(line[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[filt]
+            enc[i] = (int(line[i]) - pred) & 0xFF
+        raw.append(filt)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    from tpu_pt import native
+    # Numpy fallback (native disabled via monkeypatching availability).
+    orig = native.available
+    native.available = lambda: False
+    try:
+        out = film._unfilter_scanlines(bytes(raw), h, w, stride, ch)
+    finally:
+        native.available = orig
+    np.testing.assert_array_equal(out.reshape(h, w, ch), ref)
+
+    if native.available():
+        out_c = native.unfilter_png_native(bytes(raw), h, stride, ch)
+        np.testing.assert_array_equal(out_c.reshape(h, w, ch), ref)

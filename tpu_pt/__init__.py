@@ -43,3 +43,4 @@ from .camera import Camera, Trackball, cornell_default_camera  # noqa: F401
 from .render import (CameraArrays, RenderStats, render_frame,  # noqa: F401
                      render_wavefront, init_accum, image_to_host)
 from .scene import load_scene, SceneArrays  # noqa: F401
+from . import vmath  # noqa: F401  — public [..., 3] vector math (README §Library)

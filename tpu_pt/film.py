@@ -113,41 +113,69 @@ def read_png(path: str) -> np.ndarray:
             break
     raw = zlib.decompress(idat)
     stride = w * channels
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    p = 0
-    for row in range(h):
-        filt = raw[p]
-        line = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
-        p += 1 + stride
-        if filt == 0:
-            pass
-        elif filt == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (int(line[i]) + int(line[i - channels])) & 0xFF
-        elif filt == 2:  # Up
-            line = (line.astype(np.int32) + prev).astype(np.uint8)
-        elif filt == 3:  # Average
-            for i in range(stride):
-                left = int(line[i - channels]) if i >= channels else 0
-                line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif filt == 4:  # Paeth
-            for i in range(stride):
-                a = int(line[i - channels]) if i >= channels else 0
-                b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
-                pp = a + b - c
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (int(line[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter {filt}")
-        out[row] = line
-        prev = line
+    out = _unfilter_scanlines(raw, h, w, stride, channels)
     img = out.reshape(h, w, channels)
     if channels == 1:
         img = np.repeat(img, 3, axis=2)
     return img[:, :, :3]
+
+
+def _unfilter_scanlines(raw: bytes, h: int, w: int, stride: int,
+                        channels: int) -> np.ndarray:
+    """Undo per-row PNG filtering -> uint8 [h, stride].
+
+    Native C fast path when available (Average/Paeth are serial scans);
+    the numpy fallback vectorizes None/Sub/Up whole-row (Sub is a modular
+    cumsum over x per channel lane) and loops only the serial filters."""
+    try:
+        from . import native
+        if native.available():
+            return native.unfilter_png_native(raw, h, stride, channels)
+    except Exception:
+        pass
+    rows = np.frombuffer(raw, np.uint8, h * (stride + 1)).reshape(
+        h, stride + 1)
+    filters = rows[:, 0]
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for row in range(h):
+        filt = filters[row]
+        line = rows[row, 1:].copy()
+        if filt == 0:
+            pass
+        elif filt == 1:   # Sub: out[i] = line[i] + out[i-ch] == cumsum mod 256
+            line = np.cumsum(line.reshape(w, channels), axis=0,
+                             dtype=np.uint8).reshape(stride)
+        elif filt == 2:   # Up
+            line += prev
+        elif filt == 3:   # Average: serial left-dependency, per-pixel step
+            ln = line.reshape(w, channels).astype(np.int32)
+            pv = prev.reshape(w, channels).astype(np.int32)
+            left = np.zeros(channels, np.int32)
+            for x in range(w):
+                left = (ln[x] + ((left + pv[x]) >> 1)) & 0xFF
+                ln[x] = left
+            line = ln.astype(np.uint8).reshape(stride)
+        elif filt == 4:   # Paeth: serial left-dependency, per-pixel step
+            ln = line.reshape(w, channels).astype(np.int32)
+            pv = prev.reshape(w, channels).astype(np.int32)
+            a = np.zeros(channels, np.int32)
+            c = np.zeros(channels, np.int32)
+            for x in range(w):
+                b = pv[x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, b, c))
+                a = (ln[x] + pred) & 0xFF
+                ln[x] = a
+                c = b
+            line = ln.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter {filt}")
+        out[row] = line
+        prev = line
+    return out
 
 
 def read_ppm(path: str) -> np.ndarray:
@@ -197,22 +225,55 @@ def write_ppm(path: str, rgb_u8: np.ndarray) -> None:
 # ----------------------------------------------------------------------------
 # OpenEXR (float HDR) IO — the reference vendors tinyexr for this
 # (``support/tinyexr``, used by ``sutil::loadImage``); here a dependency-free
-# subset: scanline images, NO_COMPRESSION, FLOAT or HALF channels.
+# subset: scanline images, NO_COMPRESSION/ZIPS/ZIP, FLOAT or HALF channels.
 # ----------------------------------------------------------------------------
 
 _EXR_MAGIC = 20000630
 _EXR_PT_UINT, _EXR_PT_HALF, _EXR_PT_FLOAT = 0, 1, 2
+_EXR_COMP = {"none": 0, "zips": 2, "zip": 3}   # lines/block: 1, 1, 16
 
 
-def write_exr(path: str, rgb: np.ndarray, half: bool = False) -> None:
-    """Write a linear float RGB image as a scanline EXR (uncompressed).
+def _exr_zip_encode(data: bytes) -> bytes:
+    """OpenEXR ZIP pre-pass (reorder halves + byte delta) then deflate."""
+    arr = np.frombuffer(data, np.uint8)
+    half = (arr.size + 1) // 2
+    reordered = np.empty(arr.size, np.uint8)
+    reordered[:half] = arr[0::2]
+    reordered[half:] = arr[1::2]
+    enc = reordered.copy()
+    enc[1:] -= reordered[:-1]
+    enc[1:] += 128                                # uint8 wraps mod 256
+    return zlib.compress(enc.tobytes(), 6)
 
-    ``rgb`` is [H, W, 3] float; ``half`` selects HALF (float16) channels.
-    Channels are stored B, G, R (alphabetical, as EXR requires).
+
+def _exr_zip_decode(data: bytes) -> bytes:
+    """Inverse of :func:`_exr_zip_encode`: inflate, undo delta (a modular
+    cumsum), interleave the two halves back."""
+    enc = np.frombuffer(zlib.decompress(data), np.uint8).copy()
+    enc[1:] += 128                                # undo the +128 bias: -128
+    rec = np.cumsum(enc, dtype=np.uint8)
+    half = (rec.size + 1) // 2
+    out = np.empty(rec.size, np.uint8)
+    out[0::2] = rec[:half]
+    out[1::2] = rec[half:]
+    return out.tobytes()
+
+
+def write_exr(path: str, rgb: np.ndarray, half: bool = False,
+              compression: str = "none") -> None:
+    """Write a linear float RGB image as a scanline EXR.
+
+    ``rgb`` is [H, W, 3] float; ``half`` selects HALF (float16) channels;
+    ``compression`` is ``"none"``, ``"zips"`` (ZIP, 1 scanline/block) or
+    ``"zip"`` (ZIP, 16 scanlines/block). Channels are stored B, G, R
+    (alphabetical, as EXR requires). Incompressible blocks are stored raw,
+    as the OpenEXR format prescribes.
     """
     img = np.asarray(rgb, np.float32)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"expected [H, W, 3], got {img.shape}")
+    comp = _EXR_COMP[compression]
+    lines_per_block = 16 if comp == 3 else 1
     h, w, _ = img.shape
     ptype = _EXR_PT_HALF if half else _EXR_PT_FLOAT
     dtype = np.dtype("<f2") if half else np.dtype("<f4")
@@ -228,7 +289,7 @@ def write_exr(path: str, rgb: np.ndarray, half: bool = False) -> None:
     box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
     header = (
         attr(b"channels", b"chlist", chans)
-        + attr(b"compression", b"compression", b"\0")
+        + attr(b"compression", b"compression", bytes([comp]))
         + attr(b"dataWindow", b"box2i", box)
         + attr(b"displayWindow", b"box2i", box)
         + attr(b"lineOrder", b"lineOrder", b"\0")
@@ -239,21 +300,33 @@ def write_exr(path: str, rgb: np.ndarray, half: bool = False) -> None:
     )
     preamble = struct.pack("<ii", _EXR_MAGIC, 2) + header
     bgr = img[:, :, ::-1].astype(dtype)           # scanlines store B, G, R
-    line_bytes = 3 * w * dtype.itemsize
-    table_pos = len(preamble)
-    data_pos = table_pos + 8 * h
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+    payloads = []
+    for b in range(n_blocks):
+        y = b * lines_per_block
+        rows = bgr[y:y + lines_per_block]
+        raw = b"".join(row.tobytes(order="F") for row in rows)
+        if comp:
+            z = _exr_zip_encode(raw)
+            payloads.append(z if len(z) < len(raw) else raw)
+        else:
+            payloads.append(raw)
+    data_pos = len(preamble) + 8 * n_blocks
     with open(path, "wb") as f:
         f.write(preamble)
-        for y in range(h):
-            f.write(struct.pack("<Q", data_pos + y * (8 + line_bytes)))
-        for y in range(h):
-            f.write(struct.pack("<ii", y, line_bytes))
-            f.write(bgr[y].tobytes(order="F"))    # per channel, then x
+        off = data_pos
+        for payload in payloads:
+            f.write(struct.pack("<Q", off))
+            off += 8 + len(payload)
+        for b, payload in enumerate(payloads):
+            f.write(struct.pack("<ii", b * lines_per_block, len(payload)))
+            f.write(payload)
 
 
 def read_exr(path: str) -> np.ndarray:
-    """Read a scanline EXR written by ``write_exr`` (or any uncompressed
-    single-part FLOAT/HALF RGB file). Returns [H, W, 3] float32 (R, G, B)."""
+    """Read a scanline EXR written by ``write_exr`` (or any single-part
+    FLOAT/HALF RGB file with NO_COMPRESSION, ZIPS or ZIP compression —
+    the tinyexr-parity subset). Returns [H, W, 3] float32 (R, G, B)."""
     with open(path, "rb") as f:
         buf = f.read()
     magic, version = struct.unpack_from("<ii", buf, 0)
@@ -276,8 +349,11 @@ def read_exr(path: str) -> np.ndarray:
         pos += size
     pos += 1
 
-    if attrs["compression"][1][0] != 0:
-        raise ValueError("only NO_COMPRESSION EXR supported")
+    comp = attrs["compression"][1][0]
+    if comp not in (0, 2, 3):
+        raise ValueError(f"unsupported EXR compression {comp} "
+                         "(NO_COMPRESSION/ZIPS/ZIP only)")
+    lines_per_block = 16 if comp == 3 else 1
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
 
@@ -292,17 +368,26 @@ def read_exr(path: str) -> np.ndarray:
         cpos = e + 1 + 16
     dtypes = {_EXR_PT_HALF: np.dtype("<f2"), _EXR_PT_FLOAT: np.dtype("<f4"),
               _EXR_PT_UINT: np.dtype("<u4")}
+    line_bytes = sum(w * dtypes[pt].itemsize for _, pt in chans)
 
-    offsets = struct.unpack_from(f"<{h}Q", buf, pos)
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+    offsets = struct.unpack_from(f"<{n_blocks}Q", buf, pos)
     out = {}
-    for y_i, off in enumerate(offsets):
+    for off in offsets:
         y, nbytes = struct.unpack_from("<ii", buf, off)
-        p = off + 8
-        for cname, ptype in chans:            # stored alphabetically
-            dt = dtypes[ptype]
-            row = np.frombuffer(buf, dt, w, p).astype(np.float32)
-            out.setdefault(cname, np.zeros((h, w), np.float32))[y - y0] = row
-            p += w * dt.itemsize
+        lines = min(lines_per_block, h - (y - y0))
+        raw_size = lines * line_bytes
+        data = buf[off + 8:off + 8 + nbytes]
+        if comp and nbytes < raw_size:        # raw-stored blocks pass through
+            data = _exr_zip_decode(data)
+        p = 0
+        for li in range(lines):
+            for cname, ptype in chans:        # stored alphabetically
+                dt = dtypes[ptype]
+                row = np.frombuffer(data, dt, w, p).astype(np.float32)
+                out.setdefault(cname,
+                               np.zeros((h, w), np.float32))[y - y0 + li] = row
+                p += w * dt.itemsize
     if all(c in out for c in "RGB"):
         return np.stack([out["R"], out["G"], out["B"]], axis=2)
     return np.stack([out[c] for c, _ in chans], axis=2)

@@ -79,6 +79,12 @@ def get_lib():
             np.ctypeslib.ndpointer(np.float32, flags="C"),
         ]
         lib.tpt_build_lbvh.restype = ctypes.c_int
+        lib.tpt_unfilter_png.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+        ]
+        lib.tpt_unfilter_png.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -127,6 +133,21 @@ def load_obj_native(path: str):
             metallic=float(props[i, 8]),
         ))
     return verts, idx.astype(np.int64), mat_ids.astype(np.int64), materials
+
+
+def unfilter_png_native(raw: bytes, h: int, stride: int,
+                        channels: int) -> np.ndarray:
+    """Unfilter PNG scanlines natively. Returns uint8 [h, stride] or raises."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    src = np.frombuffer(raw, np.uint8, h * (stride + 1))
+    out = np.empty((h, stride), np.uint8)
+    rc = lib.tpt_unfilter_png(h, stride, channels,
+                              np.ascontiguousarray(src), out.reshape(-1))
+    if rc != 0:
+        raise ValueError("bad PNG filter byte")
+    return out
 
 
 def build_lbvh_native(tri_min: np.ndarray, tri_max: np.ndarray,

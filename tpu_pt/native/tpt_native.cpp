@@ -449,4 +449,58 @@ int tpt_build_lbvh(int64_t n, const float* tri_min, const float* tri_max,
   return 0;
 }
 
+// PNG scanline unfiltering (RFC 2083 §6). The reference gets this from
+// vendored stb/tinyexr-adjacent loaders; the Python fallback in
+// tpu_pt.film vectorizes filters 0-2 but Average/Paeth are serial, so
+// large textures route here. `raw` holds h rows of (filter byte +
+// stride payload); `out` receives h*stride unfiltered bytes.
+int tpt_unfilter_png(int64_t h, int64_t stride, int32_t channels,
+                     const uint8_t* raw, uint8_t* out) {
+  const int64_t bpp = channels;  // 8-bit channels only
+  std::vector<uint8_t> zero((size_t)stride, 0);
+  const uint8_t* prev = zero.data();
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* src = raw + y * (stride + 1);
+    const uint8_t filt = src[0];
+    ++src;
+    uint8_t* line = out + y * stride;
+    switch (filt) {
+      case 0:
+        std::memcpy(line, src, (size_t)stride);
+        break;
+      case 1:  // Sub
+        for (int64_t i = 0; i < stride; ++i)
+          line[i] = (uint8_t)(src[i] + (i >= bpp ? line[i - bpp] : 0));
+        break;
+      case 2:  // Up
+        for (int64_t i = 0; i < stride; ++i)
+          line[i] = (uint8_t)(src[i] + prev[i]);
+        break;
+      case 3:  // Average
+        for (int64_t i = 0; i < stride; ++i) {
+          const int left = i >= bpp ? line[i - bpp] : 0;
+          line[i] = (uint8_t)(src[i] + ((left + prev[i]) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t i = 0; i < stride; ++i) {
+          const int a = i >= bpp ? line[i - bpp] : 0;
+          const int b = prev[i];
+          const int c = i >= bpp ? prev[i - bpp] : 0;
+          const int p = a + b - c;
+          const int pa = std::abs(p - a);
+          const int pb = std::abs(p - b);
+          const int pc = std::abs(p - c);
+          const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          line[i] = (uint8_t)(src[i] + pred);
+        }
+        break;
+      default:
+        return 1;
+    }
+    prev = line;
+  }
+  return 0;
+}
+
 }  // extern "C"
