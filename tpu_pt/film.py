@@ -178,6 +178,20 @@ def _unfilter_scanlines(raw: bytes, h: int, w: int, stride: int,
     return out
 
 
+def write_jpeg(path: str, rgb_u8: np.ndarray, quality: int = 90) -> None:
+    """Write a baseline JPEG (stb_image_write parity; ``tpu_pt.jpeg``)."""
+    from . import jpeg
+    with open(path, "wb") as f:
+        f.write(jpeg.encode_jpeg(np.asarray(rgb_u8, np.uint8), quality))
+
+
+def read_jpeg(path: str) -> np.ndarray:
+    """Read a baseline JPEG to uint8 [H, W, 3] (stb_image parity)."""
+    from . import jpeg
+    with open(path, "rb") as f:
+        return jpeg.decode_jpeg(f.read())
+
+
 def read_ppm(path: str) -> np.ndarray:
     """Read a P6 (binary) or P3 (ascii) PPM (``sutil::PPMLoader`` parity).
 

@@ -99,6 +99,12 @@ class WhittedScene:
     ambient: jnp.ndarray        # [3]
     # Textures: tuple of [h, w, 4] float arrays (static length pytree).
     textures: tuple
+    # Per-texture (wrapS, wrapT) GL enums from the glTF ``samplers`` array
+    # (the reference stores these per texture via ``Scene::addSampler`` and
+    # samples through them in cuda/whitted.cu). Static — the sampler loop
+    # in ``whitted._sample_textures`` is unrolled per texture anyway.
+    # 10497=REPEAT (default), 33071=CLAMP_TO_EDGE, 33648=MIRRORED_REPEAT.
+    tex_wrap: tuple = struct.field(pytree_node=False, default=())
     # Static capability flags (not traced): let the renderer skip whole
     # sampling passes for scenes that lack the channel. Conservative
     # default True — masked math stays correct either way.
@@ -213,30 +219,44 @@ def _node_matrix(node: dict) -> np.ndarray:
     return m
 
 
-def _decode_image(g: _Gltf, img: dict) -> np.ndarray:
-    """Image -> float [h, w, 4]. PNG everywhere; external-file PPM too
-    (the reference textures from PPM via ``sutil::loadTexture`` /
-    ``PPMLoader``)."""
-    from .. import film
-    if "uri" in img and not img["uri"].startswith("data:"):
-        path = os.path.join(g.base_dir, img["uri"])
-        if path.lower().endswith(".ppm"):
-            rgb = film.read_ppm(path)
-        else:
-            rgb = film.read_png(path)
-    else:
-        if "uri" in img:
-            blob = base64.b64decode(img["uri"].split(",", 1)[1])
-        else:
-            bv = g.doc["bufferViews"][img["bufferView"]]
-            data = g.buffer(bv["buffer"])
-            off = bv.get("byteOffset", 0)
-            blob = data[off: off + bv["byteLength"]]
+def _decode_image_bytes(blob: bytes) -> np.ndarray:
+    """Sniff + decode an in-memory image (PNG/JPEG/PPM) to uint8 [h, w, 3].
+
+    JPEG is glTF-core-mandatory; the reference gets it from tinygltf's
+    stb_image (``sutil/Scene.cpp:267-550``) — here ``tpu_pt.jpeg``."""
+    from .. import film, jpeg
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
         import tempfile
         with tempfile.NamedTemporaryFile(suffix=".png") as f:
             f.write(blob)
             f.flush()
-            rgb = film.read_png(f.name)
+            return film.read_png(f.name)
+    if blob[:2] == b"\xff\xd8":
+        return jpeg.decode_jpeg(blob)
+    if blob[:2] in (b"P6", b"P3"):
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".ppm") as f:
+            f.write(blob)
+            f.flush()
+            return film.read_ppm(f.name)
+    raise ValueError("unsupported image format (PNG/JPEG/PPM supported)")
+
+
+def _decode_image(g: _Gltf, img: dict) -> np.ndarray:
+    """Image -> float [h, w, 4]. PNG/JPEG everywhere (glTF core);
+    external-file PPM too (the reference textures from PPM via
+    ``sutil::loadTexture`` / ``PPMLoader``)."""
+    if "uri" in img and not img["uri"].startswith("data:"):
+        with open(os.path.join(g.base_dir, img["uri"]), "rb") as f:
+            blob = f.read()
+    elif "uri" in img:
+        blob = base64.b64decode(img["uri"].split(",", 1)[1])
+    else:
+        bv = g.doc["bufferViews"][img["bufferView"]]
+        data = g.buffer(bv["buffer"])
+        off = bv.get("byteOffset", 0)
+        blob = data[off: off + bv["byteLength"]]
+    rgb = _decode_image_bytes(blob)
     rgba = np.ones((*rgb.shape[:2], 4), np.float32)
     rgba[..., :3] = rgb.astype(np.float32) / 255.0
     return rgba
@@ -332,7 +352,27 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
     n_m = max(len(gmats), int(tmat.max()) + 1)
     tables = _default_whitted_tables(n_m)
     textures = []
+    tex_wraps = []
     tex_cache = {}
+
+    def _load_tex(info):
+        """Texture info -> texture slot, deduped by (image, sampler)."""
+        tex = doc["textures"][info["index"]]
+        src = tex["source"]
+        samp = tex.get("sampler", -1)
+        key = (src, samp)
+        if key not in tex_cache:
+            wrap_s = wrap_t = 10497                  # REPEAT default
+            if samp >= 0:
+                s = doc.get("samplers", [])[samp]
+                wrap_s = s.get("wrapS", 10497)
+                wrap_t = s.get("wrapT", 10497)
+            tex_cache[key] = len(textures)
+            textures.append(jnp.asarray(
+                _decode_image(g, doc["images"][src])))
+            tex_wraps.append((wrap_s, wrap_t))
+        return tex_cache[key]
+
     for i, m in enumerate(gmats):
         pbr = m.get("pbrMetallicRoughness", {})
         tables["base_color"][i] = np.asarray(
@@ -347,12 +387,7 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
         tables["alpha_cutoff"][i] = m.get("alphaCutoff", 0.5)
         bct = pbr.get("baseColorTexture")
         if bct is not None:
-            src = doc["textures"][bct["index"]]["source"]
-            if src not in tex_cache:
-                tex_cache[src] = len(textures)
-                textures.append(jnp.asarray(
-                    _decode_image(g, doc["images"][src])))
-            tables["tex_id"][i] = tex_cache[src]
+            tables["tex_id"][i] = _load_tex(bct)
             xf = bct.get("extensions", {}).get("KHR_texture_transform")
             if xf:
                 ox, oy = xf.get("offset", [0.0, 0.0])
@@ -364,14 +399,6 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
                 # cuda/LocalShading.h).
                 tables["tex_uvx"][i] = [sx * cr, sy * sr, ox,
                                         -sx * sr, sy * cr, oy]
-        def _load_tex(info):
-            src = doc["textures"][info["index"]]["source"]
-            if src not in tex_cache:
-                tex_cache[src] = len(textures)
-                textures.append(jnp.asarray(
-                    _decode_image(g, doc["images"][src])))
-            return tex_cache[src]
-
         mrt = pbr.get("metallicRoughnessTexture")
         if mrt is not None:
             # G=roughness, B=metallic, linear (MaterialData.h:83).
@@ -384,12 +411,7 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
             # Tangent-space normal map (whitted.cu normal mapping
             # parity); stored linearly, decoded at sample time with
             # srgb=False.
-            src = doc["textures"][nt["index"]]["source"]
-            if src not in tex_cache:
-                tex_cache[src] = len(textures)
-                textures.append(jnp.asarray(
-                    _decode_image(g, doc["images"][src])))
-            tables["ntex_id"][i] = tex_cache[src]
+            tables["ntex_id"][i] = _load_tex(nt)
             tables["ntex_scale"][i] = nt.get("scale", 1.0)
 
     # --- flatten into SceneArrays (path-tracer-compatible geometry) -------
@@ -475,6 +497,7 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
                                            np.float32).reshape(-1, 3)),
         ambient=jnp.asarray(ambient),
         textures=tuple(textures),
+        tex_wrap=tuple(tex_wraps),
         has_normal_maps=bool((tables["ntex_id"] >= 0).any()),
         has_mr_tex=bool((tables["mrtex_id"] >= 0).any()),
         has_emissive_tex=bool((tables["etex_id"] >= 0).any()),

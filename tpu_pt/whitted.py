@@ -51,8 +51,20 @@ def _interp_attrs(ws: WhittedScene, hit):
     return n, uu, vv
 
 
+_WRAP_REPEAT, _WRAP_CLAMP, _WRAP_MIRROR = 10497, 33071, 33648
+
+
+def _wrap_coord(u, mode: int):
+    """glTF sampler wrap to [0, 1] (GL semantics; Scene::addSampler parity)."""
+    if mode == _WRAP_CLAMP:
+        return jnp.clip(u, 0.0, 1.0)
+    if mode == _WRAP_MIRROR:
+        return 1.0 - jnp.abs(u % 2.0 - 1.0)
+    return u % 1.0                                   # REPEAT (default)
+
+
 def _sample_textures(ws: WhittedScene, tex_id, uu, vv, srgb=True):
-    """Bilinear texture fetch with repeat wrap.
+    """Bilinear texture fetch honoring per-texture sampler wrap modes.
 
     Textures have distinct static shapes, so each is sampled for its own
     lanes and combined by mask (texture counts are small). ``srgb=False``
@@ -62,8 +74,10 @@ def _sample_textures(ws: WhittedScene, tex_id, uu, vv, srgb=True):
     alpha = jnp.ones(tex_id.shape, jnp.float32)
     for k, tex in enumerate(ws.textures):
         h, w = tex.shape[0], tex.shape[1]
-        x = (uu % 1.0) * (w - 1)
-        y = (vv % 1.0) * (h - 1)
+        wrap_s, wrap_t = (ws.tex_wrap[k] if k < len(ws.tex_wrap)
+                          else (_WRAP_REPEAT, _WRAP_REPEAT))
+        x = _wrap_coord(uu, wrap_s) * (w - 1)
+        y = _wrap_coord(vv, wrap_t) * (h - 1)
         x0 = jnp.floor(x).astype(jnp.int32)
         y0 = jnp.floor(y).astype(jnp.int32)
         x1 = jnp.minimum(x0 + 1, w - 1)
