@@ -82,3 +82,18 @@ def test_whitted_golden(assets_dir):
     ours = tpu_pt.image_to_host(img).astype(np.float32)
     err = film.rmse(ours / 255.0, golden / 255.0)
     assert err < 0.01, f"whitted RMSE {err:.4f}"
+
+
+def test_primitives_golden(assets_dir, cam):
+    """Scene-JSON analytic primitives render end-to-end and match the
+    committed golden (glass sphere shell + metal sphere + parallelogram
+    in the Cornell box; cuda/geometry.cu + sphere.cu showcase parity)."""
+    golden = film.read_png(str(GOLDENS / "primitives.png")).astype(np.float32)
+    scene = tpu_pt.load_scene(str(assets_dir / "cornell_prims.json"))
+    assert scene.prims is not None and scene.prims.count == 3
+    img = make_goldens.render_mode(scene, cam,
+                                   dict(use_importance_sampling=True,
+                                        use_direct_lighting=True))
+    ours = tpu_pt.image_to_host(img).astype(np.float32)
+    err = film.rmse(ours / 255.0, golden / 255.0)
+    assert err < 0.01, f"primitives: RMSE {err:.4f}"

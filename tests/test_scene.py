@@ -161,3 +161,69 @@ def test_median_split_order_non_leaf_multiple():
         e2 = rng.uniform(-2, 2, (t, 3)).astype(np.float32)
         out = median_split_order(v0, e1, e2, np.ones(t, bool))
         assert sorted(out.tolist()) == list(range(t))
+
+
+class TestSceneJSON:
+    """Scene JSON: primitives bound into the pipeline (VERDICT round-1 #2;
+    reference custom-primitive programs cuda/geometry.cu + sphere.cu)."""
+
+    def _scene(self, assets_dir):
+        import tpu_pt
+        return tpu_pt.load_scene(str(assets_dir / "cornell_prims.json"))
+
+    def test_load(self, assets_dir):
+        from tpu_pt.intersect.primitives import (PRIM_SPHERE,
+                                                 PRIM_SPHERE_SHELL,
+                                                 PRIM_PARALLELOGRAM)
+        scene = self._scene(assets_dir)
+        assert scene.prims is not None
+        assert set(scene.prims.kind) == {PRIM_SPHERE, PRIM_SPHERE_SHELL,
+                                         PRIM_PARALLELOGRAM}
+        # "Refractive..." name-substring rule carries over from the MTL
+        # convention (TinyObjWrapper.cpp:153-164).
+        from tpu_pt.scene.arrays import BSDF_REFRACTION, BSDF_METALLIC
+        bsdf = np.asarray(scene.mat_bsdf)
+        mats = np.asarray(scene.prims.mat)
+        kinds = list(scene.prims.kind)
+        shell_mat = mats[kinds.index(PRIM_SPHERE_SHELL)]
+        sphere_mat = mats[kinds.index(PRIM_SPHERE)]
+        assert bsdf[shell_mat] == BSDF_REFRACTION
+        assert bsdf[sphere_mat] == BSDF_METALLIC
+        # Refractive shell never occludes NEE shadow rays.
+        assert scene.prims.occludes[kinds.index(PRIM_SPHERE_SHELL)] is False
+        assert scene.prims.occludes[kinds.index(PRIM_SPHERE)] is True
+
+    def test_closest_combines_primitives(self, assets_dir):
+        """A ray aimed at the metal primitive sphere hits it (id offset past
+        the padded triangle range), one aimed at a wall hits the mesh."""
+        import jax.numpy as jnp
+        from tpu_pt.config import RenderConfig
+        from tpu_pt.intersect import get_intersectors
+        from tpu_pt.vec3 import V3
+        scene = self._scene(assets_dir)
+        cfg = RenderConfig(width=8, height=8, spp=1, max_depth=2,
+                           intersector="bruteforce")
+        closest, occluded = get_intersectors(scene, cfg)
+        # Sphere at (400, 90, 120) r=60; shoot from the front opening.
+        o = V3(jnp.array([400.0, 278.0]), jnp.array([90.0, 278.0]),
+               jnp.array([-400.0, -400.0]))
+        d = V3(jnp.array([0.0, 0.0]), jnp.array([0.0, 0.0]),
+               jnp.array([1.0, 1.0]))
+        hit = closest(o, d)
+        t_pad = scene.num_tris_padded
+        assert bool(hit.hit[0]) and int(hit.tri[0]) >= t_pad
+        np.testing.assert_allclose(float(hit.t[0]), 520.0 - 60.0, rtol=1e-4)
+        # Second ray passes the sphere, lands on the back wall (a triangle).
+        assert bool(hit.hit[1]) and int(hit.tri[1]) < t_pad
+        # Occlusion: a segment through the metal sphere is blocked; one
+        # through the glass shell is not (refractive pass-through).
+        o2 = V3(jnp.array([400.0, 190.0]), jnp.array([90.0, 320.0]),
+                jnp.array([-200.0, -200.0]))
+        d2 = V3(jnp.array([0.0, 0.0]), jnp.array([0.0, 0.0]),
+                jnp.array([1.0, 1.0]))
+        # Lane 1's tmax stops short of the red panel primitive at
+        # z=398.5 (t=598.5) so only the glass shell lies on the segment.
+        tmax = jnp.array([700.0, 550.0])
+        occ = occluded(o2, d2, tmax)
+        assert bool(occ[0]) is True      # metal sphere blocks
+        assert bool(occ[1]) is False     # glass shell passes light

@@ -19,6 +19,7 @@ Scenes:
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import os
 
@@ -196,6 +197,31 @@ def main():
     sv, st = uv_sphere(185, 165 + 90, 169, 90, 32, 36)
     w.add_tris("GreyDiffuse", sv, st)
     w.write(os.path.join(out, "cornell_box_sphere.obj"), "cornell.mtl")
+
+    # Scene JSON with analytic primitives: the reference's custom-primitive
+    # showcase (glass sphere shell, cuda/geometry.cu:67-144; metal sphere,
+    # sphere.cu; parallelogram, geometry.cu:38-66) inside the Cornell box.
+    prims_scene = dict(
+        obj="cornell_box.obj",
+        materials=[
+            dict(name="RefractiveShellGlass", diffuse=[1.0, 1.0, 1.0],
+                 ior=1.5),
+            dict(name="MetallicPrimSphere", diffuse=[0.9, 0.7, 0.4],
+                 roughness=0.15, metallic=1.0),
+            dict(name="RedPanel", diffuse=[0.7, 0.12, 0.12]),
+        ],
+        primitives=[
+            dict(type="sphere_shell", center=[190, 320, 169],
+                 radius1=55.0, radius2=65.0, material="RefractiveShellGlass"),
+            dict(type="sphere", center=[400, 90, 120], radius=60.0,
+                 material="MetallicPrimSphere"),
+            dict(type="parallelogram", anchor=[120, 230, 420],
+                 v1=[130.0, 0.0, -40.0], v2=[0.0, 110.0, 0.0],
+                 material="RedPanel"),
+        ],
+    )
+    with open(os.path.join(out, "cornell_prims.json"), "w") as f:
+        json.dump(prims_scene, f, indent=1)
 
     if args.big:
         w = ObjWriter()

@@ -68,6 +68,17 @@ def main():
         film.write_png(path, tpu_pt.image_to_host(img))
         print("wrote", path)
 
+    # Analytic-primitives golden (scene JSON: glass sphere shell + metal
+    # sphere + parallelogram bound into the pipeline; the reference's
+    # custom-primitive showcase, cuda/geometry.cu + sphere.cu).
+    pscene = tpu_pt.load_scene(os.path.join(REPO, "assets",
+                                            "cornell_prims.json"))
+    img = render_mode(pscene, cam, dict(use_importance_sampling=True,
+                                        use_direct_lighting=True))
+    path = os.path.join(GOLDEN_DIR, "primitives.png")
+    film.write_png(path, tpu_pt.image_to_host(img))
+    print("wrote", path)
+
     # Whitted-pipeline golden.
     import numpy as np
     from tpu_pt.scene.gltf import load_gltf

@@ -64,13 +64,56 @@ def get_fused_closest_nee(scene: SceneArrays, cfg: RenderConfig):
     VMEM-resident triangles serves both the radiance and the shadow ray);
     the quirk occlusion mode keeps the two-kernel path."""
     if (not cfg.fused_nee or _resolve(scene, cfg) != "pallas"
-            or scene.light is None or cfg.quirks.occlusion_first_hit_only):
-        return None
+            or scene.light is None or cfg.quirks.occlusion_first_hit_only
+            or (scene.prims is not None and scene.prims.count)):
+        return None    # the fused kernel knows nothing of analytic prims
     from . import pallas_bf
     if scene.num_tris_padded > pallas_bf.TRI_SLAB:
         return None    # fused kernel holds all tris in one VMEM block
     return partial(pallas_bf.intersect_closest_nee, scene,
                    tmin=cfg.t_min, tmax=cfg.t_max)
+
+
+def _with_primitives(scene: SceneArrays, cfg: RenderConfig, closest_fn,
+                     occluded_fn):
+    """Bind analytic primitives into the pipeline (min-t combine).
+
+    The SBT-bound custom-primitive intersection programs of the reference
+    (``sutil/Scene.cpp:1368-1450`` + ``cuda/geometry.cu``/``sphere.cu``)
+    become a dense post-pass over the few primitives, combined with the
+    triangle hit by min-t. Primitive ids are offset past the padded
+    triangle range so consumers can tell them apart; when a primitive
+    wins, any landing-slab prediction is reset to SLAB_UNKNOWN."""
+    from functools import wraps
+    from .primitives import (combine_hits, intersect_primitives,
+                             occluded_primitives)
+    prims = scene.prims
+    offset = scene.num_tris_padded
+
+    @wraps(closest_fn)
+    def closest2(o, d, pred=None, want_slab=False):
+        if want_slab:
+            hit, slab = closest_fn(o, d, pred=pred, want_slab=True)
+        else:
+            hit = (closest_fn(o, d, pred=pred, want_slab=False)
+                   if getattr(closest_fn, "supports_pred", False)
+                   else closest_fn(o, d))
+        ph = intersect_primitives(prims, o, d, tmin=cfg.t_min,
+                                  tmax=cfg.t_max, index_offset=offset)
+        if want_slab:
+            import jax.numpy as jnp
+            prim_wins = ph.t < hit.t
+            slab = jnp.where(prim_wins, SLAB_UNKNOWN, slab)
+            return combine_hits(hit, ph), slab
+        return combine_hits(hit, ph)
+
+    closest2.supports_pred = getattr(closest_fn, "supports_pred", False)
+
+    def occluded2(o, d, tmax):
+        return (occluded_fn(o, d, tmax)
+                | occluded_primitives(prims, o, d, tmax, tmin=cfg.t_min))
+
+    return closest2, occluded2
 
 
 def get_intersectors(scene: SceneArrays, cfg: RenderConfig,
@@ -80,6 +123,11 @@ def get_intersectors(scene: SceneArrays, cfg: RenderConfig,
     ``want_uv=False`` lets the Pallas backend skip the barycentric output
     reduction (the OBJ path tracer shades flat normals only; the whitted
     pipeline needs u/v for vertex-attribute interpolation)."""
+    if scene.prims is not None and scene.prims.count:
+        base = scene.replace(prims=None)
+        closest_fn, occluded_fn = get_intersectors(base, cfg,
+                                                   want_uv=want_uv)
+        return _with_primitives(scene, cfg, closest_fn, occluded_fn)
     backend = _resolve(scene, cfg)
 
     if backend == "pallas":

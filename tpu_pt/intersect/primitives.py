@@ -40,14 +40,23 @@ class Primitives:
     kind: tuple = struct.field(pytree_node=False)  # per-prim PRIM_* ints
     params: jnp.ndarray = None   # [P, 12] f32
     mat: jnp.ndarray = None      # [P] i32
+    # Per-prim "can occlude an NEE shadow ray" flags (static): refractive
+    # primitives pass light, matching the reference's occlusion program
+    # skipping refractive hits (``pathTracerPrograms.cu:672-681``).
+    # Empty = all occlude.
+    occludes: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def count(self) -> int:
         return len(self.kind)
 
 
-def make_primitives(prims: list[dict]) -> Primitives:
-    """Build from dicts: {kind, mat, center/radius/... per kind}."""
+def make_primitives(prims: list[dict],
+                    mat_bsdf: np.ndarray | None = None) -> Primitives:
+    """Build from dicts: {kind, mat, center/radius/... per kind}.
+
+    ``mat_bsdf`` (host [M] ints) marks refractive materials so their
+    primitives are excluded from NEE occlusion at build time."""
     p = len(prims)
     kind = []
     params = np.zeros((p, 12), np.float32)
@@ -68,8 +77,14 @@ def make_primitives(prims: list[dict]) -> Primitives:
             params[i, 4] = d["radius2"]
         else:
             raise ValueError(f"unknown primitive kind {d['kind']}")
+    if mat_bsdf is not None:
+        from ..scene.arrays import BSDF_REFRACTION
+        occludes = tuple(bool(np.asarray(mat_bsdf)[m] != BSDF_REFRACTION)
+                         for m in mat)
+    else:
+        occludes = tuple(True for _ in kind)
     return Primitives(kind=tuple(kind), params=jnp.asarray(params),
-                      mat=jnp.asarray(mat))
+                      mat=jnp.asarray(mat), occludes=occludes)
 
 
 def _sphere_t(o: V3, d: V3, c: V3, r, tmin, tmax):
@@ -123,8 +138,13 @@ def _parallelogram_t(o: V3, d: V3, anchor: V3, v1: V3, v2: V3, tmin, tmax):
 
 
 def intersect_primitives(prims: Primitives, origins, dirs,
-                         tmin: float = 0.01, tmax: float = T_FAR) -> Hit:
-    """Closest hit over all analytic primitives (dense loop; P is small)."""
+                         tmin: float = 0.01, tmax: float = T_FAR,
+                         index_offset: int = 0) -> Hit:
+    """Closest hit over all analytic primitives (dense loop; P is small).
+
+    ``index_offset`` biases ``Hit.tri`` so primitive ids live past the
+    triangle id range when combined with a mesh hit (consumers can tell
+    the two apart: id >= num_tris_padded means primitive)."""
     o = as_v3(origins)
     d = as_v3(dirs)
     n_rays = o.x.shape[0]
@@ -148,13 +168,42 @@ def intersect_primitives(prims: Primitives, origins, dirs,
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
         best_n = v3.where(better, n, best_n)
-        best_i = jnp.where(better, i, best_i)
+        best_i = jnp.where(better, index_offset + i, best_i)
         best_m = jnp.where(better, prims.mat[i], best_m)
 
     ok = best_t < T_FAR
     return Hit(t=best_t, tri=best_i, hit=ok, normal=best_n, mat=best_m,
                u=jnp.zeros((n_rays,), jnp.float32),
                v=jnp.zeros((n_rays,), jnp.float32))
+
+
+def occluded_primitives(prims: Primitives, origins, dirs, tmax,
+                        tmin: float = 0.01) -> jnp.ndarray:
+    """Any-hit over the occluding primitives for NEE shadow segments.
+
+    Refractive primitives never occlude (``occludes`` flag; reference
+    convention ``pathTracerPrograms.cu:672-681``). ``tmax`` is per-lane
+    (l_dist - eps)."""
+    o = as_v3(origins)
+    d = as_v3(dirs)
+    n_rays = o.x.shape[0]
+    occ = jnp.zeros((n_rays,), bool)
+    for i in range(prims.count):
+        if prims.occludes and not prims.occludes[i]:
+            continue
+        q = prims.params[i]
+        kindi = prims.kind[i]
+        if kindi == PRIM_SPHERE:
+            t, _ = _sphere_t(o, d, V3.of(q[0], q[1], q[2]), q[3], tmin, tmax)
+        elif kindi == PRIM_SPHERE_SHELL:
+            t, _ = _shell_t(o, d, V3.of(q[0], q[1], q[2]), q[3], q[4],
+                            tmin, tmax)
+        else:
+            t, _ = _parallelogram_t(o, d, V3.of(q[0], q[1], q[2]),
+                                    V3.of(q[3], q[4], q[5]),
+                                    V3.of(q[6], q[7], q[8]), tmin, tmax)
+        occ = occ | (t < tmax)
+    return occ
 
 
 def combine_hits(a: Hit, b: Hit) -> Hit:

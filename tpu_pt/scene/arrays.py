@@ -65,6 +65,13 @@ class SceneArrays:
     # PathTraceParams (``pathTracer.h:102``).
     bvh: object = None
 
+    # Optional analytic primitives (tpu_pt.intersect.primitives.Primitives):
+    # sphere / sphere-shell / parallelogram, the reference's custom-primitive
+    # intersection programs (``cuda/geometry.cu:38-144``, ``cuda/sphere.cu``)
+    # bound into the pipeline. Combined with triangle hits by min-t in
+    # ``get_intersectors``; primitive ids live past ``num_tris_padded``.
+    prims: object = None
+
     # True (unpadded) triangle count, kept static so kernels can trim
     # their sweep range below the TRI_PAD granularity; 0 = unknown (use
     # the padded count).

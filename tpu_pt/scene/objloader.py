@@ -276,6 +276,10 @@ def load_scene(path: str, light: AreaLight | None = None,
     candidate lists already absorb the few world-spanning clusters, so
     the extra rows outweigh the culling gain. Kept for scenes whose
     large-triangle fraction is higher."""
+    if path.lower().endswith(".json"):
+        from .scenejson import load_scene_json
+        return load_scene_json(path, light=light, auto_light=auto_light,
+                               build_bvh=build_bvh)
     if path.lower().endswith((".gltf", ".glb")):
         from .gltf import load_gltf
         ws = load_gltf(path)
