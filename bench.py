@@ -35,17 +35,24 @@ def main():
     import tpu_pt
     from tpu_pt.render import CameraArrays, render_frame, init_accum
 
-    obj = os.path.join(REPO, "assets", "cornell_box_mixed.obj")
+    obj = os.environ.get(
+        "BENCH_SCENE", os.path.join(REPO, "assets", "cornell_box_mixed.obj"))
     if not os.path.exists(obj):
         subprocess.run([sys.executable,
                         os.path.join(REPO, "tools", "make_assets.py")],
                        check=True)
     scene = tpu_pt.load_scene(obj)
+    scene_name = ("Cornell (mixed BSDF)"
+                  if obj.endswith("cornell_box_mixed.obj")
+                  else os.path.basename(obj))
 
     size = int(os.environ.get("BENCH_SIZE", 1024 if on_tpu else 256))
     spp = int(os.environ.get("BENCH_SPP", 16 if on_tpu else 4))
     frames = int(os.environ.get("BENCH_FRAMES", 4 if on_tpu else 2))
-    cfg = tpu_pt.RenderConfig(width=size, height=size, spp=spp, max_depth=8,
+    depth = int(os.environ.get("BENCH_DEPTH", 8))
+    sched = os.environ.get("BENCH_SCHED", "pixelq")
+    cfg = tpu_pt.RenderConfig(width=size, height=size, spp=spp,
+                              max_depth=depth, scheduler=sched,
                               use_direct_lighting=True,
                               use_importance_sampling=True)
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
@@ -73,8 +80,8 @@ def main():
     ms_per_frame = dt / frames * 1e3
 
     print(json.dumps({
-        "metric": f"Mrays/s/chip, {size}x{size} Cornell (mixed BSDF), "
-                  f"8 bounces, {spp} spp, IS+NEE on",
+        "metric": f"Mrays/s/chip, {size}x{size} {scene_name}, "
+                  f"{depth} bounces, {spp} spp, IS+NEE on",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),

@@ -140,3 +140,44 @@ def test_cli_exr_output(tmp_path, assets_dir):
     assert img.shape == (16, 16, 3)
     assert img.dtype == np.float32
     assert img.max() > 0
+
+
+def test_cli_whitted_stats_checkpoint_resume(tmp_path, assets_dir):
+    """Whitted CLI is first-class: --stats prints telemetry, --checkpoint
+    writes state, --resume continues bit-exactly (counter RNG)."""
+    if not (assets_dir / "pbr_test.gltf").exists():
+        import subprocess as sp
+        repo = assets_dir.parent
+        sp.run([sys.executable, str(repo / "tools" / "make_gltf_assets.py")],
+               check=True)
+    scene = str(assets_dir / "pbr_test.gltf")
+    ck = tmp_path / "w.npz"
+    out1 = tmp_path / "a.png"
+    r = _run_cli(["render", scene, "-o", str(out1), "--width", "32",
+                  "--height", "32", "--spp", "2", "--frames", "1",
+                  "--depth", "3", "--stats",
+                  "--checkpoint", str(ck)], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "Mrays/s" in r.stdout and "done(miss/depth/absorbed)" in r.stdout
+    assert ck.exists()
+
+    # Resume one more frame; must equal a straight 2-frame run bit-exactly.
+    out2 = tmp_path / "b.png"
+    r = _run_cli(["render", scene, "-o", str(out2), "--frames", "1",
+                  "--resume", str(ck)], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    out12 = tmp_path / "c.png"
+    r = _run_cli(["render", scene, "-o", str(out12), "--width", "32",
+                  "--height", "32", "--spp", "2", "--frames", "2",
+                  "--depth", "3"], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    np.testing.assert_array_equal(film.read_png(str(out2)),
+                                  film.read_png(str(out12)))
+
+
+def test_cli_whitted_validate(tmp_path, assets_dir):
+    r = _run_cli(["render", str(assets_dir / "pbr_test.gltf"),
+                  "-o", str(tmp_path / "v.png"), "--width", "24",
+                  "--height", "24", "--spp", "1", "--frames", "1",
+                  "--depth", "2", "--validate"], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]

@@ -82,7 +82,7 @@ def test_whitted_render_smoke(pbr_scene, pbr_camera):
                               background=(0.1, 0.15, 0.25),
                               intersector="bruteforce")
     accum = init_accum(cfg)
-    accum, img = render_whitted_frame(pbr_scene, pbr_camera, cfg, 0, accum)
+    accum, img, stats = render_whitted_frame(pbr_scene, pbr_camera, cfg, 0, accum)
     a = np.asarray(accum)
     assert np.isfinite(a).all()
     assert a.max() > 0.1
@@ -95,7 +95,7 @@ def test_whitted_shadows_and_highlight(pbr_scene, pbr_camera):
     cfg = tpu_pt.RenderConfig(width=96, height=96, spp=4, max_depth=4,
                               background=(0.0, 0.0, 0.0),
                               intersector="bruteforce")
-    rad = render_whitted_wavefront(pbr_scene, pbr_camera, cfg, 0,
+    rad, _ = render_whitted_wavefront(pbr_scene, pbr_camera, cfg, 0,
                                    96 * 96, 0)
     img = np.asarray(rad).reshape(96, 96, 3)
     # The metallic sphere should produce a strong specular peak.
@@ -109,8 +109,8 @@ def test_whitted_deterministic(pbr_scene, pbr_camera):
     from tpu_pt.whitted import render_whitted_wavefront
     cfg = tpu_pt.RenderConfig(width=32, height=32, spp=2, max_depth=4,
                               intersector="bruteforce")
-    a = render_whitted_wavefront(pbr_scene, pbr_camera, cfg, 0, 32 * 32, 0)
-    b = render_whitted_wavefront(pbr_scene, pbr_camera, cfg, 0, 32 * 32, 0)
+    a, _ = render_whitted_wavefront(pbr_scene, pbr_camera, cfg, 0, 32 * 32, 0)
+    b, _ = render_whitted_wavefront(pbr_scene, pbr_camera, cfg, 0, 32 * 32, 0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
@@ -124,19 +124,19 @@ def test_texture_uv_transform(pbr_scene, pbr_camera):
     cfg = tpu_pt.RenderConfig(width=32, height=32, spp=2, max_depth=2,
                               intersector="bruteforce")
     base = np.asarray(render_whitted_wavefront(
-        pbr_scene, pbr_camera, cfg, 0, 32 * 32, 0))
+        pbr_scene, pbr_camera, cfg, 0, 32 * 32, 0)[0])
     uvx = np.tile(np.array([3.0, 0, 0, 0, 3.0, 0], np.float32),
                   (pbr_scene.tex_id.shape[0], 1))
     scaled_scene = pbr_scene.replace(tex_uvx=jnp.asarray(uvx))
     scaled = np.asarray(render_whitted_wavefront(
-        scaled_scene, pbr_camera, cfg, 0, 32 * 32, 0))
+        scaled_scene, pbr_camera, cfg, 0, 32 * 32, 0)[0])
     has_tex = int(np.asarray(pbr_scene.tex_id).max()) >= 0
     assert has_tex
     assert not np.array_equal(base, scaled)    # textured pattern moved
     # Identity transform reproduces the original exactly.
     ident = np.asarray(render_whitted_wavefront(
         pbr_scene.replace(tex_uvx=pbr_scene.tex_uvx), pbr_camera, cfg,
-        0, 32 * 32, 0))
+        0, 32 * 32, 0)[0])
     np.testing.assert_array_equal(base, ident)
 
 
@@ -150,11 +150,11 @@ def test_normal_mapping(pbr_scene, pbr_camera):
     cfg = tpu_pt.RenderConfig(width=64, height=64, spp=2, max_depth=2,
                               intersector="bruteforce")
     bumped = np.asarray(render_whitted_wavefront(
-        pbr_scene, pbr_camera, cfg, 0, 64 * 64, 0))
+        pbr_scene, pbr_camera, cfg, 0, 64 * 64, 0)[0])
     flat_scene = pbr_scene.replace(
         ntex_id=jnp.full_like(pbr_scene.ntex_id, -1))
     flat = np.asarray(render_whitted_wavefront(
-        flat_scene, pbr_camera, cfg, 0, 64 * 64, 0))
+        flat_scene, pbr_camera, cfg, 0, 64 * 64, 0)[0])
     d = np.abs(bumped - flat).sum(axis=1)
     assert (d > 1e-6).sum() > 500          # the ground visibly changed
     assert np.isfinite(bumped).all()
@@ -182,7 +182,7 @@ def test_checker_phong_material(pbr_scene, pbr_camera):
     cfg = tpu_pt.RenderConfig(width=64, height=64, spp=2, max_depth=2,
                               intersector="bruteforce")
     img = np.asarray(render_whitted_wavefront(
-        scene, pbr_camera, cfg, 0, 64 * 64, 0)).reshape(64, 64, 3)
+        scene, pbr_camera, cfg, 0, 64 * 64, 0)[0]).reshape(64, 64, 3)
     ground = img[5:30]                          # ground rows
     reddish = (ground[..., 0] > 2 * ground[..., 1]) & (ground[..., 0] > .01)
     greenish = (ground[..., 1] > 2 * ground[..., 0]) & (ground[..., 1] > .01)
@@ -197,12 +197,12 @@ def test_mr_and_emissive_textures(pbr_scene, pbr_camera):
     cfg = tpu_pt.RenderConfig(width=64, height=64, spp=2, max_depth=2,
                               intersector="bruteforce")
     img = np.asarray(render_whitted_wavefront(
-        pbr_scene, pbr_camera, cfg, 0, 64 * 64, 0))
+        pbr_scene, pbr_camera, cfg, 0, 64 * 64, 0)[0])
     no_tex = pbr_scene.replace(
         mrtex_id=jnp.full_like(pbr_scene.mrtex_id, -1),
         etex_id=jnp.full_like(pbr_scene.etex_id, -1))
     img0 = np.asarray(render_whitted_wavefront(
-        no_tex, pbr_camera, cfg, 0, 64 * 64, 0))
+        no_tex, pbr_camera, cfg, 0, 64 * 64, 0)[0])
     d = np.abs(img - img0).sum(axis=1)
     assert (d > 1e-6).sum() > 100          # sphere + cube shading changed
     assert np.isfinite(img).all()

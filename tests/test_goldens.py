@@ -78,7 +78,7 @@ def test_whitted_golden(assets_dir):
     accum = init_accum(cfg)
     img = None
     for f in range(2):
-        accum, img = render_whitted_frame(ws, cam, cfg, f, accum)
+        accum, img, _ = render_whitted_frame(ws, cam, cfg, f, accum)
     ours = tpu_pt.image_to_host(img).astype(np.float32)
     err = film.rmse(ours / 255.0, golden / 255.0)
     assert err < 0.01, f"whitted RMSE {err:.4f}"

@@ -96,7 +96,7 @@ def main():
     accum = init_accum(cfg)
     img = None
     for f in range(2):
-        accum, img = render_whitted_frame(ws, wcam, cfg, f, accum)
+        accum, img, _ = render_whitted_frame(ws, wcam, cfg, f, accum)
     film.write_png(os.path.join(GOLDEN_DIR, "whitted-pbr.png"),
                    tpu_pt.image_to_host(img))
     print("wrote whitted-pbr.png")

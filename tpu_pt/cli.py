@@ -114,46 +114,78 @@ def _pipeline_for(args) -> str:
 
 
 def _render_whitted_cli(args) -> int:
+    """Whitted-pipeline render with the full flag set: --stats,
+    --checkpoint/--resume, --validate and --reference-quirks are
+    first-class here exactly as on the path-tracer path."""
     import jax
     import numpy as np
     import tpu_pt
-    from tpu_pt import film
+    from tpu_pt.config import Quirks
     from tpu_pt.scene.gltf import load_gltf
     from tpu_pt.whitted import render_whitted_frame
     from tpu_pt.render import CameraArrays, init_accum, image_to_host
     from tpu_pt.camera import Camera
 
     ws = load_gltf(args.scene)
-    cfg = tpu_pt.RenderConfig(
-        width=args.width, height=args.height, spp=args.spp,
-        max_depth=args.depth, background=tuple(args.background),
-        intersector=args.intersector)
-    # Default camera: frame the scene bounds.
-    v = np.asarray(ws.geom.tri_v0)[np.asarray(ws.geom.tri_valid)]
-    lo, hi = v.min(axis=0), v.max(axis=0)
-    c = 0.5 * (lo + hi)
-    ext = float(np.linalg.norm(hi - lo))
-    camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext, lookat=c,
-                    fov_y=args.fov, aspect=args.width / args.height)
-    if args.eye is not None:
-        camera.eye = np.asarray(args.eye, np.float32)
-    if args.lookat is not None:
-        camera.lookat = np.asarray(args.lookat, np.float32)
+    frame_start = 0
+    if args.resume:
+        from tpu_pt.checkpoint import load_checkpoint
+        accum, frame_start, cfg, camera = load_checkpoint(args.resume)
+    else:
+        quirks = Quirks.reference() if args.reference_quirks else Quirks()
+        cfg = tpu_pt.RenderConfig(
+            width=args.width, height=args.height, spp=args.spp,
+            max_depth=args.depth, background=tuple(args.background),
+            intersector=args.intersector, quirks=quirks)
+        # Default camera: frame the scene bounds.
+        v = np.asarray(ws.geom.tri_v0)[np.asarray(ws.geom.tri_valid)]
+        lo, hi = v.min(axis=0), v.max(axis=0)
+        c = 0.5 * (lo + hi)
+        ext = float(np.linalg.norm(hi - lo))
+        camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext, lookat=c,
+                        fov_y=args.fov, aspect=args.width / args.height)
+        if args.eye is not None:
+            camera.eye = np.asarray(args.eye, np.float32)
+        if args.lookat is not None:
+            camera.lookat = np.asarray(args.lookat, np.float32)
+        accum = init_accum(cfg)
     cam = CameraArrays.from_camera(camera)
-    accum = init_accum(cfg)
+
+    render = render_whitted_frame
+    if args.validate:
+        from tpu_pt.debug import validate_whitted_frame
+
+        def render(ws, cam, cfg, f, accum):  # noqa: F811
+            return validate_whitted_frame(ws, cam, cfg, f, accum)
+
     img = None
     total_ms = 0.0
-    for f in range(args.frames):
+    for k in range(args.frames):
+        f = frame_start + k
         t0 = time.perf_counter()
-        accum, img = render_whitted_frame(ws, cam, cfg, f, accum)
+        accum, img, stats = render(ws, cam, cfg, f, accum)
         jax.block_until_ready(img)
         ms = (time.perf_counter() - t0) * 1e3
         total_ms += ms
-        print(f"\rFrame Render Time: {ms:.0f}ms", end="", flush=True)
+        line = f"\rFrame Render Time: {ms:.0f}ms"
+        if args.stats:
+            rays = float(stats.rays_traced) + float(stats.shadow_rays)
+            hist = np.asarray(stats.done_histogram).astype(int)
+            line += (f"  [{rays / (ms / 1e3) / 1e6:.1f} Mrays/s, "
+                     f"iters {float(stats.wavefront_iterations):.0f}, "
+                     f"done(miss/depth/absorbed)={hist[0]}/{hist[1]}/"
+                     f"{hist[2]}]")
+        print(line, end="", flush=True)
     print()
+    print(f"Total Samples: {cfg.spp * args.frames * cfg.width * cfg.height}")
     print(f"Average Frame Time: {total_ms / max(args.frames, 1):.1f}ms")
     _write_image(args.output, image_to_host(img), accum)
     print(f"wrote {args.output}")
+    if args.checkpoint:
+        from tpu_pt.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint, accum, frame_start + args.frames,
+                        cfg, camera)
+        print(f"checkpoint -> {args.checkpoint}")
     return 0
 
 
@@ -229,7 +261,21 @@ def cmd_render(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    os.environ.setdefault("BENCH_SIZE", str(args.width))
+    """Run the headline benchmark honoring the CLI's scene/size/spp/
+    depth/scheduler flags (argparse defaults pass through untouched so
+    a bare ``tpu-pt bench`` keeps the BASELINE.json configuration)."""
+    if args.scene:
+        os.environ.setdefault("BENCH_SCENE", os.path.abspath(args.scene))
+    if args.width != 512:                   # non-default CLI width
+        os.environ.setdefault("BENCH_SIZE", str(args.width))
+    if args.spp != 128:
+        os.environ.setdefault("BENCH_SPP", str(args.spp))
+    if args.depth != 4:
+        os.environ.setdefault("BENCH_DEPTH", str(args.depth))
+    if args.scheduler != "pixelq":
+        os.environ.setdefault("BENCH_SCHED", args.scheduler)
+    if args.frames != 1:
+        os.environ.setdefault("BENCH_FRAMES", str(args.frames))
     import bench  # repo-root bench script
     bench.main()
     return 0

@@ -133,3 +133,33 @@ def format_trace(records: list[dict]) -> str:
             f"contrib=({c[0]:.4f},{c[1]:.4f},{c[2]:.4f}) "
             f"{r['reason'] if r['done'] else ''}".rstrip())
     return "\n".join(lines)
+
+
+def validate_whitted_frame(ws, cam, cfg: RenderConfig, frame_idx: int = 0,
+                           accum=None):
+    """``validate_frame`` for the whitted pipeline: one frame under
+    checkify float/index checks. Returns (accum, frame_u8, stats)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+
+    from . import film
+    from .render import init_accum
+    from .whitted import render_whitted_wavefront
+
+    if accum is None:
+        accum = init_accum(cfg)
+
+    def frame_fn(accum):
+        n = cfg.width * cfg.height
+        radiance, stats = render_whitted_wavefront(ws, cam, cfg, 0, n,
+                                                   jnp.uint32(frame_idx))
+        frame_img = radiance.reshape(cfg.height, cfg.width, 3)
+        new_accum = film.accumulate(accum, frame_img, jnp.uint32(frame_idx))
+        return new_accum, film.make_color(new_accum), stats
+
+    checked = jax.jit(checkify.checkify(
+        frame_fn, errors=checkify.float_checks | checkify.index_checks))
+    err, out = checked(accum)
+    err.throw()
+    return out

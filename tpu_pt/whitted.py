@@ -30,12 +30,68 @@ from . import vec3 as v3
 from .vec3 import V3
 from .config import RenderConfig
 from .intersect import get_intersectors
-from .render import CameraArrays, camera_rays
+from .render import CameraArrays, RenderStats, camera_rays
 from .scene.gltf import (WhittedScene, KIND_GLASS, KIND_PBR, KIND_PHONG,
                          KIND_CHECKER, ALPHA_BLEND, ALPHA_MASK)
 from . import rng
 
 MAX_TRACE_DEPTH = 8  # whitted.h:42
+
+
+def _wmat_table(ws: WhittedScene) -> jnp.ndarray:
+    """Stacked whitted material table [M, 40] for one-hot lookup."""
+    m = ws.base_color.shape[0]
+    f = lambda a: jnp.asarray(a, jnp.float32)          # noqa: E731
+    return jnp.concatenate([
+        f(ws.base_color),                              # 0:4
+        f(ws.metallic)[:, None],                       # 4
+        f(ws.roughness)[:, None],                      # 5
+        f(ws.emissive),                                # 6:9
+        f(ws.kind)[:, None],                           # 9
+        f(ws.alpha_mode)[:, None],                     # 10
+        f(ws.alpha_cutoff)[:, None],                   # 11
+        f(ws.ior)[:, None],                            # 12
+        f(ws.tex_id)[:, None],                         # 13
+        f(ws.ntex_id)[:, None],                        # 14
+        f(ws.ntex_scale)[:, None],                     # 15
+        f(ws.mrtex_id)[:, None],                       # 16
+        f(ws.etex_id)[:, None],                        # 17
+        f(ws.tex_uvx),                                 # 18:24
+        f(ws.phong_kr),                                # 24:27
+        f(ws.checker2),                                # 27:39
+        jnp.zeros((m, 1), jnp.float32),                # 39 pad
+    ], axis=1)
+
+
+def _lookup_wmat(ws: WhittedScene, mat_ids: jnp.ndarray) -> dict:
+    """All per-material properties in ONE one-hot MXU matmul.
+
+    The reference dispatches materials via SBT records; seven-plus
+    ``table[ids]`` gathers per bounce run at ~1 GB/s on TPU (the
+    round-1 whitted hot-path flaw), while a one-hot [N, M] x [M, 40]
+    HIGHEST-precision matmul is an exact row select on the MXU —
+    the same technique as ``render._lookup_materials``."""
+    table = _wmat_table(ws)
+    m = table.shape[0]
+    onehot = (mat_ids[:, None] == jnp.arange(m, dtype=mat_ids.dtype)[None, :]
+              ).astype(jnp.float32)
+    p = jnp.matmul(onehot, table, precision=jax.lax.Precision.HIGHEST)
+    return dict(
+        base=p[:, 0:4],
+        metallic=p[:, 4], roughness=p[:, 5],
+        emissive=p[:, 6:9],
+        kind=p[:, 9].astype(jnp.int32),
+        alpha_mode=p[:, 10].astype(jnp.int32),
+        alpha_cutoff=p[:, 11], ior=p[:, 12],
+        tex_id=p[:, 13].astype(jnp.int32),
+        ntex_id=p[:, 14].astype(jnp.int32),
+        ntex_scale=p[:, 15],
+        mrtex_id=p[:, 16].astype(jnp.int32),
+        etex_id=p[:, 17].astype(jnp.int32),
+        tex_uvx=p[:, 18:24],
+        phong_kr=p[:, 24:27],
+        checker2=p[:, 27:39],
+    )
 
 
 def _interp_attrs(ws: WhittedScene, hit):
@@ -120,7 +176,16 @@ def _ggx_d(n_dot_h, alpha):
 def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
                              cfg: RenderConfig, pixel_start, n_pixels: int,
                              frame_idx, sample_offset=0):
-    """Direct-lighting estimate over cfg.spp jittered samples per pixel."""
+    """Direct-lighting estimate over cfg.spp jittered samples per pixel.
+
+    Returns (radiance [N, 3], RenderStats). The depth loop is a
+    ``while_loop`` that exits as soon as no lane continues (most whitted
+    paths terminate at the first PBR hit; only glass / reflective /
+    alpha-continuation lanes go deeper), and material properties come
+    from one one-hot MXU lookup per bounce instead of per-table gathers.
+    Stats histogram indices reuse DoneReason slots: [miss, depth-capped,
+    absorbed (opaque direct-lit hit — whitted's normal termination),
+    0, 0]."""
     geom = ws.geom
     closest_fn, occluded_fn = get_intersectors(geom, cfg)
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
@@ -129,19 +194,20 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
     n_lights = ws.light_pos.shape[0]
     depth_cap = min(cfg.max_depth, MAX_TRACE_DEPTH)
 
-    def shade(origin, direction, atten, alive, depth, sample_idx):
+    def shade(origin, direction, atten, alive, depth, sample_idx, st):
         hit = closest_fn(origin, direction)
         hmask = hit.hit & alive
 
-        base = ws.base_color[hit.mat]                 # [N, 4] gather
-        kind = ws.kind[hit.mat]
-        metallic = ws.metallic[hit.mat]
-        roughness = ws.roughness[hit.mat]
-        emissive = ws.emissive[hit.mat]
-        alpha_mode = ws.alpha_mode[hit.mat]
-        alpha_cutoff = ws.alpha_cutoff[hit.mat]
-        ior = ws.ior[hit.mat]
-        tex_id = ws.tex_id[hit.mat]
+        props = _lookup_wmat(ws, hit.mat)             # one MXU pass
+        base = props["base"]
+        kind = props["kind"]
+        metallic = props["metallic"]
+        roughness = props["roughness"]
+        emissive = props["emissive"]
+        alpha_mode = props["alpha_mode"]
+        alpha_cutoff = props["alpha_cutoff"]
+        ior = props["ior"]
+        tex_id = props["tex_id"]
 
         ns, uu, vv = _interp_attrs(ws, hit)
         # Flip the shading normal toward the ray (whitted.cu:221-223).
@@ -153,7 +219,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
             # texcoord transforms, cuda/LocalShading.h; glTF
             # KHR_texture_transform) — applied before EVERY texture
             # fetch, normal maps included.
-            uvx = ws.tex_uvx[hit.mat]                 # [N, 6] gather
+            uvx = props["tex_uvx"]
             uu, vv = (uvx[:, 0] * uu + uvx[:, 1] * vv + uvx[:, 2],
                       uvx[:, 3] * uu + uvx[:, 4] * vv + uvx[:, 5])
         if ws.textures and ws.has_normal_maps:
@@ -161,7 +227,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
             # TBN from the triangle's UV tangent orthonormalized against
             # the shading normal; degenerate tangents fall back to an
             # ONB axis.
-            n_id = ws.ntex_id[hit.mat]
+            n_id = props["ntex_id"]
             tan_rows = ws.tri_tangent[hit.tri]        # [N, 3] gather
             tan = V3(tan_rows[:, 0], tan_rows[:, 1], tan_rows[:, 2])
             tan = tan - ns * v3.dot(ns, tan)
@@ -172,7 +238,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
                            onb_t)
             bit = v3.cross(ns, tan)
             nm, _ = _sample_textures(ws, n_id, uu, vv, srgb=False)
-            n_scale = ws.ntex_scale[hit.mat]
+            n_scale = props["ntex_scale"]
             tx = (nm.x * 2.0 - 1.0) * n_scale
             ty = (nm.y * 2.0 - 1.0) * n_scale
             tz = nm.z * 2.0 - 1.0
@@ -187,7 +253,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         # the material's second parameter set; set 1 is the regular
         # tables. Applies before texturing (checker materials are
         # procedural).
-        c2 = ws.checker2[hit.mat]                     # [N, 12] gather
+        c2 = props["checker2"]
         tcx = jnp.floor(uu * c2[:, 10]).astype(jnp.int32)
         tcy = jnp.floor(vv * c2[:, 11]).astype(jnp.int32)
         use2 = hmask & (kind == KIND_CHECKER) & (((tcx + tcy) & 1) == 0)
@@ -200,7 +266,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         if ws.textures and ws.has_mr_tex:
             # Metallic-roughness texture: G = roughness, B = metallic,
             # linear, multiplied with the factors (MaterialData.h:83).
-            mr_id = ws.mrtex_id[hit.mat]
+            mr_id = props["mrtex_id"]
             mr, _ = _sample_textures(ws, mr_id, uu, vv, srgb=False)
             has_mr = mr_id >= 0
             roughness = jnp.where(has_mr, roughness * mr.y, roughness)
@@ -208,7 +274,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         if ws.textures and ws.has_emissive_tex:
             # Emissive texture (sRGB) times the emissive factor
             # (MaterialData.h:129).
-            e_id = ws.etex_id[hit.mat]
+            e_id = props["etex_id"]
             em, _ = _sample_textures(ws, e_id, uu, vv)
             emissive_rgb = v3.where(e_id >= 0, emissive_rgb * em,
                                     emissive_rgb)
@@ -244,6 +310,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
             occ_dir = v3.where(lit, ldir, V3.zeros(lit.shape))
             occ_tmax = jnp.where(lit, l_dist - 0.001, 0.0)
             shadowed = occluded_fn(p, occ_dir, occ_tmax)
+            st["shadow_rays"] += jnp.sum(jnp.where(lit, 1.0, 0.0))
             f = _schlick(spec_color, v_dot_h)
             g_vis = _vis(jnp.maximum(n_dot_l, 1e-6),
                          jnp.maximum(n_dot_v, 1e-6), a_r)
@@ -271,7 +338,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
 
         # Phong-metal reflections: Kr-weighted mirror (shading.cu metal).
         # Checker cells carry their own Kr (shading.cu:190-199).
-        kr = ws.phong_kr[hit.mat]
+        kr = props["phong_kr"]
         kr_v = V3(kr[:, 0], kr[:, 1], kr[:, 2])
         kr_v = v3.where(use2, V3(c2[:, 6], c2[:, 7], c2[:, 8]), kr_v)
         phong_kind = (kind == KIND_PHONG) | (kind == KIND_CHECKER)
@@ -302,45 +369,73 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         contrib = v3.where(miss, V3.full(miss.shape, bg) * atten, contrib)
 
         atten_next = atten * cont_weight
+        capped = hmask & cont & ~(depth + 1 < depth_cap)
         alive_next = alive & cont & (depth + 1 < depth_cap)
-        return contrib, new_origin, new_dir, atten_next, alive_next
 
-    def one_sample(sample_idx):
+        st["rays"] += jnp.sum(jnp.where(alive, 1.0, 0.0))
+        st["iters"] += 1.0
+        st["miss"] += jnp.sum(jnp.where(miss, 1.0, 0.0))
+        st["capped"] += jnp.sum(jnp.where(capped, 1.0, 0.0))
+        st["absorbed"] += jnp.sum(jnp.where(hmask & ~cont, 1.0, 0.0))
+        return contrib, new_origin, new_dir, atten_next, alive_next, st
+
+    def one_sample(sample_idx, st):
         jx, jy = rng.uniform2(pixel_ids, sample_idx, frame_idx,
                               rng.STREAM_JITTER)
         origin, direction = camera_rays(cam, pixel_ids, cfg.width,
                                         cfg.height, jx, jy)
 
-        def body(carry, depth):
-            origin, direction, atten, alive, acc = carry
-            contrib, o2, d2, atten2, alive2 = shade(
-                origin, direction, atten, alive, depth, sample_idx)
-            return (o2, d2, atten2, alive2, acc + contrib), None
+        def cond(carry):
+            _, _, _, alive, _, depth, _ = carry
+            return (depth < depth_cap) & jnp.any(alive)
+
+        def body(carry):
+            origin, direction, atten, alive, acc, depth, st = carry
+            contrib, o2, d2, atten2, alive2, st = shade(
+                origin, direction, atten, alive, depth, sample_idx, st)
+            return (o2, d2, atten2, alive2, acc + contrib, depth + 1, st)
 
         init = (origin, direction, V3.ones((n_pixels,)),
-                jnp.ones((n_pixels,), bool), V3.zeros((n_pixels,)))
-        depths = jnp.arange(depth_cap, dtype=jnp.uint32)
-        (_, _, _, _, acc), _ = jax.lax.scan(body, init, depths)
-        return acc
+                jnp.ones((n_pixels,), bool), V3.zeros((n_pixels,)),
+                jnp.uint32(0), st)
+        # Early exit when no lane continues: whitted paths mostly die at
+        # the first opaque hit, so typical frames trace 1-2 rounds, not
+        # depth_cap (the round-1 ~18%-occupancy scan scheduler flaw).
+        out = jax.lax.while_loop(cond, body, init)
+        return out[4], out[6]
 
-    def spp_body(acc, sample_idx):
-        return acc + one_sample(sample_idx), None
+    def spp_body(carry, sample_idx):
+        acc, st = carry
+        smp, st = one_sample(sample_idx, st)
+        return (acc + smp, st), None
 
     samples = jnp.arange(cfg.spp, dtype=jnp.uint32) + jnp.asarray(
         sample_offset, jnp.uint32)
-    acc, _ = jax.lax.scan(spp_body, V3.zeros((n_pixels,)), samples)
-    return (acc * (1.0 / cfg.spp)).to_array()
+    st0 = dict(rays=jnp.float32(0), shadow_rays=jnp.float32(0),
+               iters=jnp.float32(0), miss=jnp.float32(0),
+               capped=jnp.float32(0), absorbed=jnp.float32(0))
+    (acc, st), _ = jax.lax.scan(spp_body, (V3.zeros((n_pixels,)), st0),
+                                samples)
+    hist = jnp.stack([st["miss"], st["capped"], st["absorbed"],
+                      jnp.float32(0), jnp.float32(0)])
+    stats = RenderStats(rays_traced=st["rays"],
+                        shadow_rays=st["shadow_rays"],
+                        done_histogram=hist,
+                        wavefront_iterations=st["iters"])
+    return (acc * (1.0 / cfg.spp)).to_array(), stats
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("accum",))
 def render_whitted_frame(ws: WhittedScene, cam: CameraArrays,
                          cfg: RenderConfig, frame_idx, accum):
     """Progressive whitted frame (raygen accumulation parity,
-    ``whitted.cu:44-98``)."""
+    ``whitted.cu:44-98``). Returns (accum, image_u8, RenderStats) —
+    the same interface as ``render.render_frame``."""
     from . import film
 
     n = cfg.width * cfg.height
-    radiance = render_whitted_wavefront(ws, cam, cfg, 0, n, frame_idx)
+    radiance, stats = render_whitted_wavefront(ws, cam, cfg, 0, n,
+                                               frame_idx)
     frame_img = radiance.reshape(cfg.height, cfg.width, 3)
     new_accum = film.accumulate(accum, frame_img, frame_idx)
-    return new_accum, film.make_color(new_accum)
+    return new_accum, film.make_color(new_accum), stats
