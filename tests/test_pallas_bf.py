@@ -299,6 +299,36 @@ def test_rotated_chain_render_bitwise_invariant(mixed_scene, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
 
 
+@pytest.mark.parametrize("guard", ["1", "0"])
+def test_streamed_matches_chained(mixed_scene, rays, monkeypatch, guard):
+    """TPT_STREAM keeps the scene in HBM and DMA-streams each tile's
+    candidate clusters through a VMEM ring: hits and occlusion must be
+    bitwise identical to the chained-slab path, with and without the
+    per-candidate running-best guard (TPT_STREAM_GUARD)."""
+    o, d = rays
+    tmax = jnp.full((o.shape[0],), 500.0)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 64)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    monkeypatch.setenv("TPT_STREAM", "0")
+    ref = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    ref_occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    monkeypatch.setenv("TPT_STREAM", "1")
+    monkeypatch.setenv("TPT_STREAM_GUARD", guard)
+    out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))
+    np.testing.assert_array_equal(np.asarray(ref.mat), np.asarray(out.mat))
+    for c in "xyz":
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref.normal, c)),
+            np.asarray(getattr(out.normal, c)))
+    np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
+
+
 def test_render_with_pallas_matches_bruteforce(cornell_scene):
     from tpu_pt.render import render_wavefront
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())

@@ -112,6 +112,11 @@ def main():
           bbase, render(p("bpred0"), big, {"TPT_PRED": "0"}))
     check("rotated chain == fixed chain order (big scene)",
           bbase, render(p("bseed1"), big, {"TPT_SEED": "1"}))
+    check("streamed HBM path == chained slabs (big scene)",
+          bbase, render(p("bstream"), big, {"TPT_STREAM": "1"}))
+    check("streamed unguarded == chained slabs (big scene)",
+          bbase, render(p("bstreamng"), big, {"TPT_STREAM": "1",
+                                              "TPT_STREAM_GUARD": "0"}))
 
     print("all equivalences hold" if not fails
           else f"{fails} equivalence(s) BROKEN")

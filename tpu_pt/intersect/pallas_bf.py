@@ -1071,6 +1071,200 @@ def _closest_kernel_rotated_chained_lean(sid_ref, rays_ref, tris_ref,
                                       best_i.astype(jnp.int32), 0)
 
 
+# ---------------------------------------------------------------------------
+# Streamed clustered kernels: the scene stays in HBM.
+#
+# The chained-slab machinery above exists for one reason: a slab's whole
+# triangle buffer must be VMEM-resident for the sweep ([rows, 16] f32 —
+# 6.4 MB at 100k tris, 64 MB at 1M, far over VMEM). Chaining bought prior
+# tightening but costs S full launches per round (13 at 100k tris, 32 at
+# 1M), S candidate-table builds, and a fixed grid-program cost for every
+# (tile, slab) pair — including the mostly-empty ones.
+#
+# Here the packed triangles are a pallas input in ANY memory space (HBM);
+# each ray tile walks its per-tile candidate list (exact per-ray slab
+# tests against ALL supercluster AABBs, near-first — ``stream_candidates``)
+# and DMAs each candidate's CLUSTER*SUPER rows into a VMEM ring buffer,
+# double-buffered STREAM_BUF deep, sweeping slot k while slots k+1.. are
+# in flight. One 8 KB cluster DMA is ~10 ns of HBM bandwidth against a
+# ~260 ns sweep (128 tris x 256 rays), so the pipeline is compute-bound.
+# The chained path's inter-slab prior is replaced by the running best-t:
+# candidates arrive near-first, and (guard on) each is re-tested against
+# the tile's current best before its sweep — per-CANDIDATE tightening
+# instead of per-slab, in one launch, with no slab partitioning at all.
+# ---------------------------------------------------------------------------
+STREAM_BUF = 4                      # DMA ring slots (power of two)
+
+
+def _stream_guard() -> bool:
+    """Per-candidate running-best re-test (skip a swept cluster no ray
+    can improve). Near-first lists make this the chained-prior analog;
+    ``TPT_STREAM_GUARD=0`` ablates it to a cond-free pipeline."""
+    return os.environ.get("TPT_STREAM_GUARD", "1") == "1"
+
+
+def _stream_widen(tris: jnp.ndarray) -> jnp.ndarray:
+    """Pad the packed [rows, 16] triangles to [rows, 128] for streaming.
+
+    Mosaic DMA slices must be 128-lane-aligned in the minor dim, so the
+    HBM-resident copy carries 112 dead lanes. The waste is bandwidth-only
+    and hidden: one 64 KB supercluster DMA is ~80 ns of HBM against a
+    ~1.4 us VPU sweep, and the ring keeps ``STREAM_BUF`` in flight."""
+    return jnp.pad(tris, ((0, 0), (0, 128 - tris.shape[1])))
+
+
+def _stream_dma(tris_hbm, scratch, sems, cand_ref, k, nbuf):
+    """DMA descriptor for candidate ``k``: supercluster rows -> ring slot.
+
+    Rebuilt identically at start() and wait() (the pallas contract); the
+    slot is ``k % nbuf`` with ``nbuf`` a power of two."""
+    sc_rows = CLUSTER * SUPER
+    slot = jax.lax.rem(k, nbuf)
+    sid = cand_ref[1 + k, 0]
+    return pltpu.make_async_copy(
+        tris_hbm.at[pl.ds(sid * sc_rows, sc_rows), :],
+        scratch.at[pl.ds(slot * sc_rows, sc_rows), :],
+        sems.at[slot])
+
+
+def _stream_drain(tris_hbm, scratch, sems, cand_ref, k_stop, ncand, nbuf):
+    """Wait out the ring's in-flight DMAs after an early break.
+
+    Starts issued: warmup 0..nbuf-2 plus body k+nbuf-1 for k < k_stop —
+    i.e. every index in [0, k_stop+nbuf-1) that passed the ``< ncand``
+    gate. Waits issued: 0..k_stop-1. Pallas requires every started copy
+    to be awaited before the kernel returns."""
+    def drain(j, c):
+        @pl.when(j < ncand)
+        def _():
+            _stream_dma(tris_hbm, scratch, sems, cand_ref, j, nbuf).wait()
+        return c
+
+    jax.lax.fori_loop(k_stop, k_stop + nbuf - 1, drain, 0)
+
+
+def _closest_kernel_streamed_lean(rays_ref, cand_ref, keys_ref, sboxes_ref,
+                                  tris_hbm, out_ref, i_ref, scratch, sems,
+                                  *, n_sc, tmin, nbuf, guard):
+    rt = rays_ref.shape[1]
+    ray = _ray_rows(rays_ref)
+    sc_rows = CLUSTER * SUPER
+    ncand = jnp.clip(cand_ref[0, 0], 0, n_sc)
+
+    for j in range(nbuf - 1):       # warm the DMA pipeline
+        @pl.when(j < ncand)
+        def _():
+            _stream_dma(tris_hbm, scratch, sems, cand_ref, j, nbuf).start()
+
+    inv = _ray_inv(ray)
+
+    # Early break, exact: candidates arrive sorted by tile-min entry
+    # distance, so once keys[k] >= max_r best_t[r], EVERY later candidate
+    # j has tnear_j(r) >= keys[j] >= keys[k] >= best_t(r) for every ray —
+    # the whole tail is skipped at zero cost (no DMA, no branch, no
+    # sweep). This is the wavefront analog of BVH traversal termination.
+    def cond(state):
+        k, best_t, _ = state
+        return (k < ncand) & (keys_ref[1 + k, 0] < jnp.max(best_t))
+
+    def body(state):
+        k, best_t, bi = state
+        @pl.when(k + nbuf - 1 < ncand)
+        def _():
+            _stream_dma(tris_hbm, scratch, sems, cand_ref,
+                        k + nbuf - 1, nbuf).start()
+        _stream_dma(tris_hbm, scratch, sems, cand_ref, k, nbuf).wait()
+        slot = jax.lax.rem(k, nbuf)
+        sid = cand_ref[1 + k, 0]
+
+        def sweep(c):
+            best_t, bi = c
+            t, _, _, _ = _pe_block(ray, scratch, slot * sc_rows, sc_rows,
+                                   tmin)
+            blk_t = jnp.min(t, axis=0, keepdims=True)             # [1, RT]
+            sub = jax.lax.broadcasted_iota(jnp.int32, (sc_rows, rt), 0)
+            cnd = jnp.where(t == blk_t, sub, _BIG_IDX)
+            blk_sub = jnp.min(cnd, axis=0, keepdims=True)
+            blk_i = (blk_sub + sid * sc_rows).astype(jnp.float32)
+            better = blk_t < best_t
+            return (jnp.where(better, blk_t, best_t),
+                    jnp.where(better, blk_i, bi))
+
+        if guard:
+            tnear, tfar = _box_near_far(ray, inv, sboxes_ref, sid)
+            useful = (tnear <= tfar) & (tfar > tmin) & (tnear < best_t)
+            best_t, bi = jax.lax.cond(jnp.any(useful), sweep, lambda c: c,
+                                      (best_t, bi))
+        else:
+            best_t, bi = sweep((best_t, bi))
+        return k + 1, best_t, bi
+
+    init = (jnp.int32(0),
+            jnp.full((1, rt), T_FAR, jnp.float32),
+            jnp.zeros((1, rt), jnp.float32))
+    k_stop, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    _stream_drain(tris_hbm, scratch, sems, cand_ref, k_stop, ncand, nbuf)
+    out_ref[:, :] = best_t
+    i_ref[:, :] = jnp.where(best_t < T_FAR, best_i.astype(jnp.int32), 0)
+
+
+def _occluded_kernel_streamed(rays_ref, cand_ref, keys_ref, sboxes_ref,
+                              tris_hbm, occ_ref, scratch, sems, *, n_sc,
+                              tmin, nbuf, guard):
+    rt = rays_ref.shape[1]
+    ray = _ray_rows(rays_ref)
+    tmax = rays_ref[6:7, :]
+    sc_rows = CLUSTER * SUPER
+    ncand = jnp.clip(cand_ref[0, 0], 0, n_sc)
+
+    for j in range(nbuf - 1):
+        @pl.when(j < ncand)
+        def _():
+            _stream_dma(tris_hbm, scratch, sems, cand_ref, j, nbuf).start()
+
+    inv = _ray_inv(ray)
+
+    # Break when every ray is either already blocked or the remaining
+    # (near-sorted) candidates start beyond its light distance: the
+    # running max of tmax over unblocked rays bounds every useful key.
+    def cond(state):
+        k, occ = state
+        open_max = jnp.max(jnp.where(occ < 0.5, tmax, jnp.float32(-1.0)))
+        return (k < ncand) & (keys_ref[1 + k, 0] < open_max)
+
+    def body(state):
+        k, occ = state
+        @pl.when(k + nbuf - 1 < ncand)
+        def _():
+            _stream_dma(tris_hbm, scratch, sems, cand_ref,
+                        k + nbuf - 1, nbuf).start()
+        _stream_dma(tris_hbm, scratch, sems, cand_ref, k, nbuf).wait()
+        slot = jax.lax.rem(k, nbuf)
+        sid = cand_ref[1 + k, 0]
+
+        def sweep(c):
+            t, refr, _, _ = _pe_block(ray, scratch, slot * sc_rows,
+                                      sc_rows, tmin)
+            blocking = (t < tmax) & (refr < 0.5)
+            hit_any = jnp.max(jnp.where(blocking, 1.0, 0.0), axis=0,
+                              keepdims=True)
+            return jnp.maximum(c, hit_any)
+
+        if guard:
+            tnear, tfar = _box_near_far(ray, inv, sboxes_ref, sid)
+            useful = ((tnear <= tfar) & (tfar > tmin) & (tnear < tmax)
+                      & (occ < 0.5))
+            occ = jax.lax.cond(jnp.any(useful), sweep, lambda c: c, occ)
+        else:
+            occ = sweep(occ)
+        return k + 1, occ
+
+    init = (jnp.int32(0), jnp.zeros((1, rt), jnp.float32))
+    k_stop, occ = jax.lax.while_loop(cond, body, init)
+    _stream_drain(tris_hbm, scratch, sems, cand_ref, k_stop, ncand, nbuf)
+    occ_ref[:, :] = occ.astype(jnp.int32)
+
+
 def _occluded_kernel_clustered(rays_ref, tris_ref, boxes_ref, sboxes_ref,
                                cand_ref, corder_ref, occ_ref, *, n_tri,
                                tmin, ns1, guard="both"):
@@ -1970,6 +2164,154 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
     )(rays, tris, boxes, sboxes, cand, corder)
 
 
+def stream_candidates(rays: jnp.ndarray, sboxes: jnp.ndarray, rt: int,
+                      tmin: float, tmax) -> jnp.ndarray:
+    """Whole-scene per-tile work lists for the streamed kernels.
+
+    Same contract as ``super_candidates_exact`` but over ALL supercluster
+    AABBs at once (the streamed path has no slabs), computed in column
+    chunks so the dense per-ray test's temporaries stay [N, <=1024]
+    instead of [N, NS] (2 GB at 1M tris x 65k rays). One argsort over the
+    assembled [tiles, NS] near-keys yields the global near-first order.
+    """
+    ns = sboxes.shape[0]
+    n_pad = rays.shape[1]
+    n_tiles = n_pad // rt
+    big = jnp.float32(3e38)
+    o = rays[0:3, :]
+    d = rays[3:6, :]
+    eps = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) > eps, d,
+                          jnp.where(d >= 0, eps, -eps))
+    if jnp.ndim(tmax) == 0:
+        tmax_r = jnp.full((n_pad, 1), tmax)
+    else:
+        tmax_r = jnp.reshape(tmax, (n_pad, 1))
+    chunk = 1024
+    any_parts, key_parts = [], []
+    for c0 in range(0, ns, chunk):
+        sb = sboxes[c0:c0 + chunk]
+        nc = sb.shape[0]
+        tn = jnp.full((n_pad, nc), -big)
+        tf = jnp.full((n_pad, nc), big)
+        for a in range(3):
+            t0 = (sb[None, :, a] - o[a][:, None]) * inv[a][:, None]
+            t1 = (sb[None, :, a + 3] - o[a][:, None]) * inv[a][:, None]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        ok = (tn <= tf) & (tf > tmin) & (tn < tmax_r)         # [N, nc]
+        okt = ok.reshape(n_tiles, rt, nc)
+        any_parts.append(jnp.any(okt, axis=1))
+        key_parts.append(jnp.min(
+            jnp.where(okt, tn.reshape(n_tiles, rt, nc),
+                      jnp.float32(T_FAR)), axis=1))
+    any_ = jnp.concatenate(any_parts, axis=1)                 # [tiles, NS]
+    key = jnp.where(any_, jnp.concatenate(key_parts, axis=1),
+                    jnp.float32(T_FAR))
+    iota = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32)[None, :],
+                            key.shape)
+    skey, order = jax.lax.sort((key, iota), dimension=1, num_keys=1)
+    cnt = jnp.sum(any_, axis=1, dtype=jnp.int32)[:, None]
+    tab = jnp.concatenate([cnt, order], axis=1)
+    # Keys share the table's row convention (row 1+k = candidate k); the
+    # kernels' early break compares them against the running best.
+    keys = jnp.concatenate([jnp.full((n_tiles, 1), T_FAR, jnp.float32),
+                            skey], axis=1)
+    rows = _pad_to(1 + ns, 8)
+    if rows != 1 + ns:
+        tab = jnp.pad(tab, ((0, 0), (0, rows - 1 - ns)))
+        keys = jnp.pad(keys, ((0, 0), (0, rows - 1 - ns)),
+                       constant_values=T_FAR)
+    return tab.reshape(-1, 1), keys.reshape(-1, 1)
+
+
+def _stream_specs(n_sc: int, nbuf: int):
+    ns1 = _pad_to(1 + n_sc, 8)
+    in_specs = [
+        pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ns1, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ns1, 1), lambda i: (i, 0),     # near keys
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_sc, 8), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),         # tris stay in HBM
+    ]
+    scratch = [
+        pltpu.VMEM((nbuf * CLUSTER * SUPER, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((nbuf,)),
+    ]
+    return in_specs, scratch
+
+
+@functools.partial(jax.named_call, name="pallas_closest_stream")
+def _closest_call_streamed(rays, tris, sboxes, cand, keys,
+                           tmin: float):
+    """One launch per round: lean (t, global packed id) streamed closest.
+
+    ``rays`` [8, N] (key-sorted), ``tris`` the full clustered packing
+    (left in HBM, 128-widened), ``cand`` from ``stream_candidates``."""
+    tris = _stream_widen(tris)
+    n_pad = rays.shape[1]
+    grid = (n_pad // RAY_TILE_C,)
+    n_sc = sboxes.shape[0]
+    kernel = functools.partial(_closest_kernel_streamed_lean, n_sc=n_sc,
+                               tmin=tmin, nbuf=STREAM_BUF,
+                               guard=_stream_guard())
+    in_specs, scratch = _stream_specs(n_sc, STREAM_BUF)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_pad * tris.shape[0], bytes_accessed=n_pad * 48,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(rays, cand, keys, sboxes, tris)
+
+
+@functools.partial(jax.named_call, name="pallas_occluded_stream")
+def _occluded_call_streamed(rays, tris, sboxes, cand, keys,
+                            tmin: float):
+    tris = _stream_widen(tris)
+    n_pad = rays.shape[1]
+    grid = (n_pad // RAY_TILE_C,)
+    n_sc = sboxes.shape[0]
+    kernel = functools.partial(_occluded_kernel_streamed, n_sc=n_sc,
+                               tmin=tmin, nbuf=STREAM_BUF,
+                               guard=_stream_guard())
+    in_specs, scratch = _stream_specs(n_sc, STREAM_BUF)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=34 * n_pad * tris.shape[0], bytes_accessed=n_pad * 48,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(rays, cand, keys, sboxes, tris)
+
+
 def _trim_rows(t_real: int, packed: jnp.ndarray):
     """Trim a single-slab triangle buffer to the finest 8-aligned padding.
 
@@ -2487,6 +2829,11 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
     # (the in-sweep sel/pick machinery is ~25% of the clustered sweep).
     lean = (not single and not want_uv
             and os.environ.get("TPT_LEAN_BIG", "1") == "1")
+    # Streamed path: scene in HBM, per-tile candidate DMA, ONE launch per
+    # round instead of the chained slab relaunches (see the streamed
+    # section comment). Lean carry only (the big-scene OBJ hot path).
+    stream = (not single and lean and SUBTILE_C >= RAY_TILE_C
+              and os.environ.get("TPT_STREAM", "0") == "1")
     best_out = best_idx = None
     # Rotated chain: measured slightly BELOW the fixed chain on the
     # 100k-tri frame (4.65-4.66 vs 4.76 Mrays/s in every variant —
@@ -2497,7 +2844,7 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
     # prior — and that is exactly the slab holding most true hits, so
     # its full-list entries are irreducible; only the (already
     # prior-tightened) remainder of the chain shrinks further.
-    rot = (not single and lean and pred is not None
+    rot = (not single and lean and pred is not None and not stream
            and os.environ.get("TPT_SEED", "0") == "1"
            and os.environ.get("TPT_SORT_KEY", "dir12") == "dir12")
     if rot:
@@ -2565,7 +2912,15 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
             best_out, best_idx = _closest_call_rotated(
                 sid_j, rays, tris_pad, boxes_pad, sboxes_pad, cand_j,
                 corder_pad, slab_rows, tmin, prior=prior)
-    slabs = [] if rot else _tri_slabs(tris, boxes, sboxes)
+    if stream:
+        cand, keys = stream_candidates(rays, sboxes, RAY_TILE_C, tmin,
+                                       tmax)
+        best_out, best_idx = _closest_call_streamed(
+            rays, tris, sboxes, cand, keys, tmin)
+        if tmax < T_FAR:
+            best_out = jnp.where(best_out < tmax, best_out,
+                                 jnp.float32(T_FAR))
+    slabs = [] if (rot or stream) else _tri_slabs(tris, boxes, sboxes)
     for s, slab, bx, sbx, corder in slabs:
         if bx is None:
             out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
@@ -2657,6 +3012,14 @@ def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
         tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes, sboxes)
         rays, perm, _ = _sorted_rays(rays, key)
+        if os.environ.get("TPT_STREAM", "0") == "1" \
+                and SUBTILE_C >= RAY_TILE_C:
+            cand, keys = stream_candidates(rays, sboxes, RAY_TILE_C,
+                                           tmin, rays[6:7, :])
+            occ = _occluded_call_streamed(rays, tris, sboxes, cand,
+                                          keys, tmin)
+            occ = _unsort(perm, (occ[0],))[0][None, :]
+            return occ[0, :n] > 0
     occ = None
     for _, slab, bx, sbx, corder in _tri_slabs(tris, boxes, sboxes):
         if bx is None:
