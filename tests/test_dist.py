@@ -95,6 +95,41 @@ def test_sharded_progressive_frames(cornell_scene, cam):
     assert d.mean() < 1e-6, f"mean {d.mean()}"
 
 
+@pytest.mark.parametrize("n_spp", [1, 2])
+def test_multihost_two_process(assets_dir, n_spp):
+    """The DCN seam, actually exercised: two OS processes join one
+    ``jax.distributed`` job (2 virtual CPU devices each), render a frame
+    over the hybrid (tile-over-DCN, spp-over-ICI) mesh from
+    ``dist.multihost_mesh``, and each asserts the gathered frame matches
+    its own single-device render. n_spp=2 keeps the per-pixel psum inside
+    a process; n_spp=1 spans the tile axis across both processes."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""          # no TPU plugin in workers
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=2"])
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(n_spp)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker {p.args[2]} failed:\n{out}"
+        assert "multihost frame matches single-device" in out
+
+
 def test_accum_stays_sharded(cornell_scene, cam):
     cfg = cfg_small(spp=2)
     mesh = dist.device_mesh(n_tile=8, n_spp=1)

@@ -27,6 +27,66 @@ from .render import CameraArrays, RenderStats, render_wavefront
 from .scene.arrays import SceneArrays
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Join a multi-host render job (the DCN seam, SURVEY §5.8).
+
+    TPU-native replacement for the reference's single-host P2P/ZERO_COPY
+    frame assembly (``sutil/CUDAOutputBuffer.h:45-51``): instead of peering
+    GPUs over PCIe, every host's chips join one global ``jax.distributed``
+    job and the frame is sharded over a process-spanning mesh (see
+    :func:`multihost_mesh`). On TPU pods the arguments are auto-detected
+    from the environment; for CPU tests pass them explicitly. Idempotent.
+    """
+    # Probe the distributed client directly: jax.process_count() would
+    # itself initialize the XLA backend, which must not happen before
+    # jax.distributed.initialize().
+    from jax._src import distributed as _dist_state
+    if (_dist_state.global_state.client is not None
+            or getattr(init_multihost, "_done", False)):
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    init_multihost._done = True
+
+
+def multihost_mesh(n_spp: int = 1) -> Mesh:
+    """A (tile, spp) mesh spanning processes: tile over DCN, spp over ICI.
+
+    Tiles are embarrassingly parallel (each device renders its own pixel
+    rows; the only cross-tile traffic is the per-frame stats psum), so the
+    tile axis goes on the slow outer network — one process == one or more
+    tile rows. The spp axis carries the per-pixel ``psum`` of sample means
+    every frame, so it stays inside a process on ICI. With one process
+    this degrades to :func:`device_mesh`'s layout.
+    """
+    from jax.experimental import mesh_utils
+    n_proc = jax.process_count()
+    local = jax.local_device_count()
+    assert local % n_spp == 0, (local, n_spp)
+    # process_is_granule: one process == one DCN node. (TPU pods would
+    # group by slice_index instead; CPU/test processes have no slices.)
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        (local // n_spp, n_spp), (n_proc, 1), process_is_granule=True)
+    return Mesh(dev_array, ("tile", "spp"))
+
+
+def gather_frame(frame_u8: jnp.ndarray) -> jnp.ndarray:
+    """Assemble the full frame on every host (addressable copy).
+
+    The cross-host analog of CUDAOutputBuffer's getHostPointer: the
+    row-sharded device frame becomes a host numpy array each process can
+    write to disk / display. Single-process callers get a plain transfer.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(frame_u8)
+    from jax.experimental import multihost_utils
+    return jax.device_get(
+        multihost_utils.process_allgather(frame_u8, tiled=True))
+
+
 def device_mesh(n_tile: int | None = None, n_spp: int | None = None,
                 devices=None) -> Mesh:
     """Build a (tile, spp) mesh. Defaults: split samples 2-way when the

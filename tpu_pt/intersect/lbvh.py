@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..scene.arrays import SceneArrays, BSDF_REFRACTION
@@ -29,7 +30,7 @@ from .. import vec3 as v3m
 from ..vec3 import V3
 from .moller import Hit, T_FAR, DET_EPS
 
-END = jnp.int32(-1)
+END = np.int32(-1)
 _MORTON_BITS = 10  # per axis -> 30-bit codes
 
 

@@ -18,10 +18,26 @@ the reference LCG's 24-bit output granularity (``random.h:54,66``).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 _U32 = jnp.uint32
 # 1/2^24, float32-exact; uniforms are in [0, 1).
-_INV_2_24 = jnp.float32(5.9604644775390625e-08)
+_INV_2_24 = 5.9604644775390625e-08
+_INV_2_24_ARR = None
+
+
+def _inv_2_24() -> jnp.ndarray:
+    """The 2^-24 scale as a CONCRETE f32 device array, created lazily.
+
+    Lazily: a module-scope ``jnp.float32(...)`` initializes the XLA
+    backend at import time, which breaks ``jax.distributed.initialize``
+    in multi-host workers. Concrete (not a Python literal): the literal
+    changed XLA fusion enough to cost 1-ulp cross-sharding bitwise
+    equality (test_tile_sharding_bitwise_with_scan_scheduler caught it)."""
+    global _INV_2_24_ARR
+    if _INV_2_24_ARR is None:
+        _INV_2_24_ARR = jnp.float32(_INV_2_24)
+    return _INV_2_24_ARR
 
 
 def pcg4d(a, b, c, d):
@@ -55,7 +71,7 @@ def pcg4d(a, b, c, d):
 
 def _to_unit_float(u: jnp.ndarray) -> jnp.ndarray:
     """uint32 -> float32 in [0, 1) with 24-bit resolution."""
-    return (u >> _U32(8)).astype(jnp.float32) * _INV_2_24
+    return (u >> _U32(8)).astype(jnp.float32) * _inv_2_24()
 
 
 def uniform4(pixel, sample, frame, stream):
