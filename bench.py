@@ -57,21 +57,26 @@ def main():
                               use_importance_sampling=True)
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
 
-    # Warmup / compile.
+    # Warmup / compile. device_barrier, not block_until_ready: the tunnel
+    # backend's first post-compile block can return while the device is
+    # still computing (measured 0.1 ms); a scalar readback cannot.
+    from tpu_pt.profiling import device_barrier, barrier_rtt
     accum = init_accum(cfg)
     accum, img, stats = render_frame(scene, cam, cfg, 0, accum)
-    jax.block_until_ready((accum, img))
+    device_barrier(img)
+    rtt = barrier_rtt(img)
 
     # Time frames 1..N; sum THEIR ray counts (RNG is frame-keyed, so RR
     # termination — and the honest ray count — varies per frame). Stats
-    # stay on-device until after the clock stops.
+    # stay on-device until after the clock stops; the closing barrier's
+    # round-trip is subtracted.
     frame_stats = []
     t0 = time.perf_counter()
     for f in range(1, frames + 1):
         accum, img, stats = render_frame(scene, cam, cfg, f, accum)
         frame_stats.append(stats)
-    jax.block_until_ready((accum, img))
-    dt = time.perf_counter() - t0
+    device_barrier(img)
+    dt = time.perf_counter() - t0 - rtt
 
     total_rays = sum(float(s.rays_traced) + float(s.shadow_rays)
                      for s in frame_stats)

@@ -42,22 +42,25 @@ def main():
                               use_importance_sampling=True)
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
 
+    from tpu_pt.profiling import device_barrier, barrier_rtt
     accum = init_accum(cfg)
     t_c0 = time.perf_counter()
     accum, img, stats = render_frame(scene, cam, cfg, 0, accum)
-    jax.block_until_ready((accum, img))
+    device_barrier(img)        # block_until_ready can lie over the tunnel
     compile_s = time.perf_counter() - t_c0
+    rtt = barrier_rtt(img)
 
     # Sum ray counts of the TIMED frames (RR varies per frame; frame 0's
     # count would be systematically wrong for frames 1..N). Stats stay
-    # on-device until the clock stops.
+    # on-device until the clock stops; the closing barrier's round-trip
+    # is subtracted.
     frame_stats = []
     t0 = time.perf_counter()
     for f in range(1, frames + 1):
         accum, img, stats = render_frame(scene, cam, cfg, f, accum)
         frame_stats.append(stats)
-    jax.block_until_ready((accum, img))
-    dt = time.perf_counter() - t0
+    device_barrier(img)
+    dt = time.perf_counter() - t0 - rtt
 
     total_rays = sum(float(s.rays_traced) + float(s.shadow_rays)
                      for s in frame_stats)

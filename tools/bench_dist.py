@@ -61,18 +61,20 @@ def main():
     step = dist.make_sharded_renderer(scene, cfg, mesh)
     accum = dist.init_accum_sharded(cfg, mesh)
 
+    from tpu_pt.profiling import device_barrier, barrier_rtt
     t_c0 = time.perf_counter()
     accum, img, stats = step(cam, 0, accum)
-    jax.block_until_ready((accum, img))
+    device_barrier(img)      # block_until_ready can lie over the tunnel
     compile_s = time.perf_counter() - t_c0
+    rtt = barrier_rtt(img)
 
     frame_stats = []
     t0 = time.perf_counter()
     for f in range(1, frames + 1):
         accum, img, stats = step(cam, f, accum)
         frame_stats.append(stats)
-    jax.block_until_ready((accum, img))
-    dt = time.perf_counter() - t0
+    device_barrier(img)
+    dt = time.perf_counter() - t0 - rtt
 
     total_rays = sum(float(s.rays_traced) + float(s.shadow_rays)
                      for s in frame_stats)

@@ -62,13 +62,16 @@ def main():
 
     for name, fn, arg in (("closest", closest, (origins, dirs)),
                           ("occluded", occluded, (origins, dirs, tmax))):
+        from tpu_pt.profiling import device_barrier, barrier_rtt
         out = fn(*arg)
-        jax.block_until_ready(out)
+        leaf = jax.tree.leaves(out)[0]
+        device_barrier(leaf)  # block_until_ready can lie over the tunnel
+        rtt = barrier_rtt(leaf)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*arg)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
+        device_barrier(jax.tree.leaves(out)[0])
+        dt = (time.perf_counter() - t0 - rtt) / reps
         print(json.dumps({
             "metric": f"incoherent {name}, {n} rays, "
                       f"{scene.num_tris_padded} padded tris",

@@ -49,17 +49,19 @@ def main():
                     fov_y=40.0, aspect=1.0)
     cam = CameraArrays.from_camera(camera)
 
+    from tpu_pt.profiling import device_barrier, barrier_rtt
     accum = init_accum(cfg)
     accum, img, stats = render_whitted_frame(ws, cam, cfg, 0, accum)
-    jax.block_until_ready((accum, img))            # compile + warm
+    device_barrier(img)      # block_until_ready can lie over the tunnel
+    rtt = barrier_rtt(img)
 
     frame_stats = []
     t0 = time.perf_counter()
     for f in range(1, frames + 1):
         accum, img, stats = render_whitted_frame(ws, cam, cfg, f, accum)
         frame_stats.append(stats)
-    jax.block_until_ready((accum, img))
-    dt = time.perf_counter() - t0
+    device_barrier(img)
+    dt = time.perf_counter() - t0 - rtt
 
     total_rays = sum(float(s.rays_traced) + float(s.shadow_rays)
                      for s in frame_stats)

@@ -48,13 +48,14 @@ def main():
                               use_importance_sampling=True)
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
     accum = init_accum(cfg)
+    from tpu_pt.profiling import device_barrier
     accum, img, _ = render_frame(scene, cam, cfg, 0, accum)
-    jax.block_until_ready((accum, img))
+    device_barrier(img)      # block_until_ready can lie over the tunnel
 
     tracedir = tempfile.mkdtemp(prefix="tpt_trace_")
     with jax.profiler.trace(tracedir):
         accum, img, _ = render_frame(scene, cam, cfg, 1, accum)
-        jax.block_until_ready((accum, img))
+        device_barrier(img)
 
     paths = sorted(glob.glob(os.path.join(
         tracedir, "plugins/profile/*/*.trace.json.gz")))

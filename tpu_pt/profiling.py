@@ -18,6 +18,31 @@ import time
 import numpy as np
 
 
+def device_barrier(x) -> float:
+    """Readback barrier that cannot return early.
+
+    ``jax.block_until_ready`` has been measured LYING through remote-
+    dispatch tunnels (axon): the first post-compile block returns in
+    ~0.1 ms while the device is still computing, which silently turns a
+    benchmark into a dispatch-latency measurement. Pulling a data-
+    dependent scalar to the host cannot return early. Call once in the
+    warmup region (to compile the tiny sum program) and once to close a
+    timed region; the pull costs one tunnel round-trip (~35 ms measured),
+    so correct long timings with :func:`barrier_rtt`.
+    """
+    import jax.numpy as jnp
+    return float(jnp.sum(jnp.asarray(x).astype(jnp.float32)))
+
+
+def barrier_rtt(x) -> float:
+    """Measure the pure round-trip cost of :func:`device_barrier` on an
+    already-computed array (subtract from timed regions it closes)."""
+    device_barrier(x)                    # ensure x itself is done
+    t0 = time.perf_counter()
+    device_barrier(x)
+    return time.perf_counter() - t0
+
+
 @dataclasses.dataclass
 class FrameRecord:
     ms: float
