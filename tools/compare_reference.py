@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Validate tpu_pt against the reference's five published renders.
+
+The reference repo ships five PNGs of its default workload
+(``CornellBoxWithMonkey.obj`` — a user-local file, ``PathTracerMain.cpp:50``)
+in the five mode combinations its README documents (``README.md:24-47``):
+no-IS/no-DL, IS/no-DL, IS+DL (all at the startup ``maxDepth = 4``,
+``PathTracerMain.cpp:655-657``), and 3-/16-bounce (IS+DL). The exact mesh,
+spp and window size are unknown (the PNGs are screenshots), so pixel RMSE
+against them is not meaningful; instead this tool renders the reconstructed
+scene (``assets/cornell_box_monkey.obj``, tools/make_assets.py) in the same
+five modes and compares *mode-relative photometry* — statistics that cancel
+the unknown exposure/spp and test whether our transport responds to each
+toggle the way the reference's does:
+
+- mean sRGB luminance per mode, and each mode's brightness RATIO to the
+  IS+DL anchor mode (within-source ratios cancel scene differences),
+- wall chromaticity (red/green purity in the side-wall bands),
+- light-source fraction (near-saturated pixels in the ceiling region).
+
+Writes the renders + ``report.md`` to docs/reference_comparison/.
+Run on TPU (a few minutes/mode at 512x512); CPU auto-shrinks for smoke.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_PNGS = {
+    "no-IS, no-DL": "no-imporance-sample-no-direct-lighting.png",
+    "IS, no-DL": "imporance-sampling-no-direct-lighting.png",
+    "IS + DL": "importance-sample-with-direct-lighting.png",
+    "3-bounce": "3-bounce.png",
+    "16-bounce": "16-bounce.png",
+}
+MODES = {
+    # name: (max_depth, importance_sampling, direct_lighting)
+    "no-IS, no-DL": (4, False, False),
+    "IS, no-DL": (4, True, False),
+    "IS + DL": (4, True, True),
+    "3-bounce": (3, True, True),
+    "16-bounce": (16, True, True),
+}
+ANCHOR = "IS + DL"
+
+
+def luminance(img):
+    import numpy as np
+    f = img.astype(np.float64) / 255.0
+    return 0.2126 * f[..., 0] + 0.7152 * f[..., 1] + 0.0722 * f[..., 2]
+
+
+def stats(img):
+    """Resolution-independent photometric stats of an sRGB u8 image."""
+    import numpy as np
+    h, w = img.shape[:2]
+    lum = luminance(img)
+    f = img.astype(np.float64)
+
+    def band(x0, x1, y0, y1):
+        return f[int(y0 * h):int(y1 * h), int(x0 * w):int(x1 * w)]
+
+    # Side-wall bands (clear of blocks): red right... screen-left is +x
+    # (red), screen-right is x=0 (green) under the reference camera.
+    left = band(0.01, 0.07, 0.25, 0.75).mean(axis=(0, 1))
+    right = band(0.93, 0.99, 0.25, 0.75).mean(axis=(0, 1))
+    ceiling = lum[: int(0.16 * h), int(0.30 * w): int(0.70 * w)]
+    return {
+        "mean_lum": float(lum.mean()),
+        "red_purity": float(left[0] / max(left.sum(), 1e-9)),
+        "green_purity": float(right[1] / max(right.sum(), 1e-9)),
+        "light_frac": float((ceiling > 0.95).mean()),
+    }
+
+
+def main():
+    import numpy as np
+    import jax
+    import tpu_pt
+    from tpu_pt import film
+    from tpu_pt.render import CameraArrays, render_frame, init_accum
+    from tpu_pt.profiling import device_barrier
+
+    on_tpu = jax.default_backend() == "tpu"
+    size = int(os.environ.get("CMP_SIZE", 512 if on_tpu else 96))
+    spp = int(os.environ.get("CMP_SPP", 16 if on_tpu else 4))
+    frames = int(os.environ.get("CMP_FRAMES", 16 if on_tpu else 2))
+
+    obj = os.path.join(REPO, "assets", "cornell_box_monkey.obj")
+    if not os.path.exists(obj):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "make_assets.py")],
+                       check=True)
+    scene = tpu_pt.load_scene(obj)
+    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+
+    outdir = os.path.join(REPO, "docs", "reference_comparison")
+    os.makedirs(outdir, exist_ok=True)
+
+    ours, theirs = {}, {}
+    for name, (depth, imp, dl) in MODES.items():
+        cfg = tpu_pt.RenderConfig(width=size, height=size, spp=spp,
+                                  max_depth=depth,
+                                  use_importance_sampling=imp,
+                                  use_direct_lighting=dl)
+        accum = init_accum(cfg)
+        t0 = time.perf_counter()
+        for f in range(frames):
+            accum, img, _ = render_frame(scene, cam, cfg, f, accum)
+        device_barrier(img)
+        host = tpu_pt.image_to_host(img)
+        slug = name.replace(", ", "_").replace(" + ", "_").replace(" ", "")
+        film.write_png(os.path.join(outdir, f"ours_{slug}.png"), host)
+        ours[name] = stats(host)
+        print(f"{name}: rendered {size}x{size} x{frames * spp}spp in "
+              f"{time.perf_counter() - t0:.0f}s  {ours[name]}", flush=True)
+
+        ref = film.read_png(os.path.join("/root/reference", REF_PNGS[name]))
+        theirs[name] = stats(np.asarray(ref)[..., :3])
+
+    lines = [
+        "# Reference comparison\n",
+        "Scene: `assets/cornell_box_monkey.obj` (reconstruction of the "
+        "reference's user-local `CornellBoxWithMonkey.obj`; see "
+        "`tools/make_assets.py`). Reference images: the five PNGs "
+        "published in the reference repo root (README.md:24-47).\n",
+        f"Ours rendered at {size}x{size}, {frames * spp} total spp, "
+        f"backend={jax.default_backend()}.\n",
+        "Brightness ratios are relative to the IS+DL mode *within each "
+        "source*, cancelling the screenshots' unknown exposure/spp.\n",
+        "| mode | lum (ref) | lum (ours) | lum/anchor (ref) | "
+        "lum/anchor (ours) | red purity ref/ours | green purity ref/ours "
+        "| light frac ref/ours |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    ra, oa = theirs[ANCHOR]["mean_lum"], ours[ANCHOR]["mean_lum"]
+    for name in MODES:
+        r, o = theirs[name], ours[name]
+        lines.append(
+            f"| {name} | {r['mean_lum']:.3f} | {o['mean_lum']:.3f} "
+            f"| {r['mean_lum'] / ra:.3f} | {o['mean_lum'] / oa:.3f} "
+            f"| {r['red_purity']:.2f}/{o['red_purity']:.2f} "
+            f"| {r['green_purity']:.2f}/{o['green_purity']:.2f} "
+            f"| {r['light_frac']:.2f}/{o['light_frac']:.2f} |")
+    report = "\n".join(lines) + "\n"
+    with open(os.path.join(outdir, "report.md"), "w") as f:
+        f.write(report)
+    print(report)
+    print(json.dumps({"ours": ours, "theirs": theirs}))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,66 @@ def uv_sphere(cx, cy, cz, r, n_lat, n_lon):
     return verts, tris
 
 
+def ellipsoid(cx, cy, cz, rx, ry, rz, n_lat, n_lon):
+    verts, tris = uv_sphere(0, 0, 0, 1.0, n_lat, n_lon)
+    return [(cx + rx * x, cy + ry * y, cz + rz * z)
+            for x, y, z in verts], tris
+
+
+def icosphere(cx, cy, cz, r, subdiv=1):
+    """Subdivided icosahedron: the faceted crystal ball of the reference
+    renders (flat geometric normals make the facets; 80 tris at level 1)."""
+    t = (1.0 + math.sqrt(5.0)) / 2.0
+    verts = [(-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
+             (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
+             (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1)]
+    tris = [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+            (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+            (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+            (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)]
+
+    def norm(v):
+        l = math.sqrt(v[0] ** 2 + v[1] ** 2 + v[2] ** 2)
+        return (v[0] / l, v[1] / l, v[2] / l)
+
+    verts = [norm(v) for v in verts]
+    for _ in range(subdiv):
+        mid, new_tris = {}, []
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in mid:
+                va, vb = verts[a], verts[b]
+                verts.append(norm(((va[0] + vb[0]) / 2, (va[1] + vb[1]) / 2,
+                                   (va[2] + vb[2]) / 2)))
+                mid[key] = len(verts) - 1
+            return mid[key]
+
+        for a, b, c in tris:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_tris += [(a, ab, ca), (b, bc, ab), (c, ca, bc),
+                         (ab, bc, ca)]
+        tris = new_tris
+    return [(cx + r * x, cy + r * y, cz + r * z) for x, y, z in verts], tris
+
+
+def monkey_head(w: ObjWriter, cx, cy, cz, mtl="MetallicMonkey"):
+    """~1.3k-tri blobby primate head (overlapping closed ellipsoids), the
+    stand-in for the reference's hardcoded ~1k-tri monkey mesh
+    (``CornellBoxWithMonkey.obj``, ``PathTracerMain.cpp:50`` — a
+    user-local file not present in the reference repo). Faces -z (the
+    camera side)."""
+    for verts, tris in [
+        ellipsoid(cx, cy, cz, 52, 45, 42, 16, 20),           # cranium
+        ellipsoid(cx, cy - 18, cz - 34, 26, 17, 20, 8, 12),  # snout
+        ellipsoid(cx - 55, cy + 12, cz, 10, 19, 19, 8, 10),  # left ear
+        ellipsoid(cx + 55, cy + 12, cz, 10, 19, 19, 8, 10),  # right ear
+        ellipsoid(cx - 22, cy + 12, cz - 32, 14, 12, 12, 6, 8),  # brow L
+        ellipsoid(cx + 22, cy + 12, cz - 32, 14, 12, 12, 6, 8),  # brow R
+    ]:
+        w.add_tris(mtl, verts, tris)
+
+
 def displaced_sphere(cx, cy, cz, r, n_lat, n_lon):
     """Bumpy sphere — a deterministic stand-in for a scanned mesh."""
     verts, tris = uv_sphere(0, 0, 0, 1.0, n_lat, n_lon)
@@ -158,6 +218,13 @@ Kd 0.99 0.99 0.99
 Ni 1.5
 newmtl GreyDiffuse
 Kd 0.6 0.6 0.6
+newmtl MetallicMonkey
+Kd 0.45 0.12 0.55
+Pr 0.25
+Pm 1.0
+newmtl RefractiveCrystal
+Kd 0.99 0.99 0.99
+Ni 1.5
 """
 
 
@@ -197,6 +264,19 @@ def main():
     sv, st = uv_sphere(185, 165 + 90, 169, 90, 32, 36)
     w.add_tris("GreyDiffuse", sv, st)
     w.write(os.path.join(out, "cornell_box_sphere.obj"), "cornell.mtl")
+
+    # The reference's default workload, reconstructed: Cornell + monkey
+    # on the short block + faceted refractive crystal on the floor
+    # (matches the five published renders at /root/reference/*.png;
+    # the original OBJ is a user-local file, PathTracerMain.cpp:50).
+    w = ObjWriter()
+    cornell_shell(w)
+    short_block(w)
+    tall_block(w)
+    monkey_head(w, 185, 218, 169)
+    cv, ct = icosphere(300, 88, 120, 88, subdiv=1)
+    w.add_tris("RefractiveCrystal", cv, ct)
+    w.write(os.path.join(out, "cornell_box_monkey.obj"), "cornell.mtl")
 
     # Scene JSON with analytic primitives: the reference's custom-primitive
     # showcase (glass sphere shell, cuda/geometry.cu:67-144; metal sphere,
