@@ -110,3 +110,50 @@ def test_combines_with_triangle_hits():
                      u=hc.u, v=hc.v)
     merged = combine_hits(far, hc)
     np.testing.assert_allclose(np.asarray(merged.t), np.asarray(hc.t))
+
+
+@pytest.mark.parametrize("kind", [C.CURVE_CUBIC_BSPLINE,
+                                  C.CURVE_CATMULLROM])
+def test_tessellation_converges_to_fine_reference(kind, monkeypatch):
+    """Error bound for the fixed PIECES=8 tessellation: hit distances on a
+    strongly curved segment must converge to a 64-piece reference within
+    the rounded-cone sagitta bound (~|c''| (L/P)^2 / 8), and the exact
+    post-hoc surface normals must agree to a few degrees — catching both a
+    too-coarse PIECES default and a broken normal refinement."""
+    pts = np.asarray([[0, 0, 0], [2, 3, 0], [4, -3, 1], [6, 2, -1]],
+                     np.float32)
+    rad = np.asarray([0.4, 0.5, 0.45, 0.4], np.float32)
+    cs = C.make_curves([dict(kind=kind, points=pts, radii=rad)])
+    # A fan of rays from above, spread along the curve's x extent (both
+    # kinds span roughly x in [2, 4]: the single cubic span between the
+    # middle control points).
+    xs = np.linspace(2.0, 4.0, 24).astype(np.float32)
+    o = np.stack([xs, np.full_like(xs, 6.0), np.zeros_like(xs)], -1)
+    d = np.broadcast_to(np.asarray([0, -1, 0], np.float32), (24, 3))
+
+    h8 = C.intersect_curves(cs, jnp.asarray(o), jnp.asarray(d))
+    monkeypatch.setattr(C, "PIECES", 64)
+    h64 = C.intersect_curves(cs, jnp.asarray(o), jnp.asarray(d))
+
+    m8, m64 = np.asarray(h8.hit), np.asarray(h64.hit)
+    # Tessellation may not flip hit/miss except at grazing rays.
+    assert (m8 == m64).mean() > 0.9
+    m = m8 & m64
+    assert m.sum() >= 12
+    t8, t64 = np.asarray(h8.t)[m], np.asarray(h64.t)[m]
+    # Sagitta bound: curvature |c''| <= ~12 here, piece length L/8 ~ 0.9
+    # => max chord error ~ 12 * 0.9^2 / 8 ~ 0.1; measured max ~0.05.
+    assert np.abs(t8 - t64).max() < 0.12, np.abs(t8 - t64).max()
+
+    def nrm(h):
+        return np.stack([np.asarray(h.normal.x), np.asarray(h.normal.y),
+                         np.asarray(h.normal.z)], -1)
+
+    cosang = np.sum(nrm(h8)[m] * nrm(h64)[m], axis=-1)
+    # Exact swept-sphere normal refinement: both resolutions project onto
+    # the same true surface, so normals agree to a few degrees (the u
+    # parameter itself shifts slightly near high-curvature inflections,
+    # hence the loose max); a broken refinement is tens of degrees off.
+    ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+    assert np.median(ang) < 2.0, ang
+    assert ang.max() < 15.0, ang
