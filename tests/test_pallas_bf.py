@@ -329,6 +329,33 @@ def test_streamed_matches_chained(mixed_scene, rays, monkeypatch, guard):
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
 
 
+@pytest.mark.parametrize("pair_mult,k_out", [(12, 32), (1, 2)])
+def test_cbin_matches_chained(mixed_scene, rays, monkeypatch, pair_mult,
+                              k_out):
+    """TPT_CBIN groups rays BY cluster (per-ray work lists) and must
+    produce the same hits as the chained tile-union path. The tiny
+    (pair_mult=1, k_out=2) case starves the static caps so most rays go
+    through the parked-completion pass — overflow must stay exact."""
+    o, d = rays
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 64)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    ref = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    monkeypatch.setenv("TPT_CBIN", "1")
+    monkeypatch.setattr(pallas_bf, "CBIN_PAIR_MULT", pair_mult)
+    monkeypatch.setattr(pallas_bf, "CBIN_K_OUT", k_out)
+    out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    np.testing.assert_array_equal(np.asarray(ref.mat), np.asarray(out.mat))
+    for c in "xyz":
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref.normal, c)),
+            np.asarray(getattr(out.normal, c)))
+
+
 def test_render_with_pallas_matches_bruteforce(cornell_scene):
     from tpu_pt.render import render_wavefront
     cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())

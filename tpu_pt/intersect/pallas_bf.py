@@ -2312,6 +2312,239 @@ def _occluded_call_streamed(rays, tris, sboxes, cand, keys,
     )(rays, cand, keys, sboxes, tris)
 
 
+# ---------------------------------------------------------------------------
+# Cluster-binned closest hit: per-RAY work lists, rays grouped BY cluster.
+#
+# The tile-union schedulers above degrade catastrophically on incoherent
+# bounce rays: a 256-ray tile of isotropic directions pierces ~60% of all
+# supercluster AABBs (measured 450/784 on the 100k-tri scene), so the
+# union list sweeps ~60x more cluster rows than the rays individually
+# need (mean 7.4 boxes per ray). Binning inverts the schedule: an XLA
+# pass compacts the exact per-ray box tests into cluster-major (ray,
+# cluster) pairs — each cluster gets the (padded-to-256) batch of rays
+# that pierce it — and the kernel sweeps each 256-pair job against its
+# single cluster. Total tri tests collapse from O(tiles x union) to
+# O(sum of per-ray pierce counts), independent of ray coherence.
+#
+# Work-list build uses no sorts: the transposed pierce mask raveled
+# cluster-major is already grouped, so one jnp.nonzero compaction + two
+# small scatters produce the padded pair slots and the job table.
+# Rays whose pairs overflow the static caps (pair budget, per-ray K) are
+# finished exactly by the tile-union streamed pass with everyone else
+# parked.
+# ---------------------------------------------------------------------------
+CBIN_PAIR_MULT = int(os.environ.get("TPT_CBIN_PAIRS", 12))   # P_cap = mult*N
+CBIN_K_OUT = int(os.environ.get("TPT_CBIN_K", 32))           # per-ray results
+
+
+def cbin_pairs(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
+                 tmax):
+    """Exact per-ray cluster work lists, cluster-major and 256-padded.
+
+    Returns ``(pair_rays [8, P_cap], job_cluster [J_cap, 1] i32 (-1 =
+    empty job), pair_ray [P_cap] i32 (-1 = pad), pair_rank [P_cap] i32,
+    incomplete [N] bool)``. Job ``j`` covers pair lanes [256j, 256j+256)
+    and sweeps exactly one supercluster. ``incomplete`` marks rays whose
+    pairs were dropped by a static cap; the caller must finish them via
+    the tile-union path."""
+    ns = sboxes.shape[0]
+    n = rays.shape[1]
+    p_cap = CBIN_PAIR_MULT * n
+    j_cap = p_cap // RAY_TILE_C
+    o = rays[0:3, :]
+    d = rays[3:6, :]
+    eps = 1e-12
+    inv = 1.0 / jnp.where(jnp.abs(d) > eps, d,
+                          jnp.where(d >= 0, eps, -eps))
+    if jnp.ndim(tmax) == 0:
+        tmax_r = jnp.full((1, n), tmax)
+    else:
+        tmax_r = jnp.reshape(tmax, (1, n))
+    big = jnp.float32(3e38)
+    parts = []
+    for c0 in range(0, ns, 1024):
+        sb = sboxes[c0:c0 + 1024]
+        nc = sb.shape[0]
+        tn = jnp.full((nc, n), -big)
+        tf = jnp.full((nc, n), big)
+        for a in range(3):
+            t0 = (sb[:, a, None] - o[a][None, :]) * inv[a][None, :]
+            t1 = (sb[:, a + 3, None] - o[a][None, :]) * inv[a][None, :]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        parts.append((tn <= tf) & (tf > tmin) & (tn < tmax_r))
+    okt = jnp.concatenate(parts, axis=0)                    # [NS, N]
+
+    cnt_ray = jnp.sum(okt, axis=0, dtype=jnp.int32)         # [N]
+    cnt_cl = jnp.sum(okt, axis=1, dtype=jnp.int32)          # [NS]
+    jobs = (cnt_cl + RAY_TILE_C - 1) // RAY_TILE_C
+    base_job = jnp.cumsum(jobs) - jobs                      # exclusive
+    seg_start = base_job * RAY_TILE_C
+    start_cl = jnp.cumsum(cnt_cl) - cnt_cl
+    # Per-pair rank within its ray (pairs of a ray appear in ascending
+    # cluster order): exclusive running count down each column.
+    rank_t = jnp.cumsum(okt, axis=0, dtype=jnp.int32) - okt
+
+    flat = jnp.nonzero(okt.ravel(), size=p_cap,
+                       fill_value=ns * n)[0]                # cluster-major
+    valid = flat < ns * n
+    c = jnp.where(valid, flat // n, 0)
+    r = jnp.where(valid, flat % n, 0)
+    w = jnp.arange(p_cap, dtype=jnp.int32) - start_cl[c]    # rank in cluster
+    slot = seg_start[c] + w
+    dropped = valid & (slot >= p_cap)
+    slot = jnp.where(valid & ~dropped, slot, p_cap)
+
+    slot_ray = jnp.full((p_cap + 1,), -1, jnp.int32).at[slot].set(
+        r.astype(jnp.int32))[:p_cap]
+    rank = rank_t.ravel()[jnp.minimum(flat, ns * n - 1)]
+    slot_rank = jnp.full((p_cap + 1,), 0, jnp.int32).at[slot].set(
+        rank.astype(jnp.int32))[:p_cap]
+
+    total_jobs = jnp.sum(jobs)
+    jtab = jnp.full((j_cap + 1,), -1, jnp.int32).at[
+        jnp.where(jobs > 0, base_job, j_cap)].set(
+        jnp.arange(ns, dtype=jnp.int32))[:j_cap]
+    jtab = jax.lax.cummax(jtab)                             # forward fill
+    jtab = jnp.where(jnp.arange(j_cap) < total_jobs, jtab, -1)
+
+    # Expand rays to pair slots (pads gather ray 0; reduce drops them).
+    pair_rays = rays[:, jnp.maximum(slot_ray, 0)]
+    # A dropped pair, or more than K_OUT pairs, leaves the ray's answer
+    # incomplete at reduce time.
+    incomplete = jnp.zeros((n,), jnp.bool_).at[
+        jnp.where(dropped, r, n)].set(True, mode="drop")
+    incomplete = incomplete | (cnt_ray > CBIN_K_OUT)
+    # Pairs can also vanish wholesale if nonzero's budget filled up.
+    incomplete = incomplete | (jnp.sum(cnt_cl) > p_cap)
+    return pair_rays, jtab[:, None], slot_ray, slot_rank, incomplete
+
+
+def _bin_dma_tris(jobs_ref, tris_hbm, trisb, sems, j):
+    sc_rows = CLUSTER * SUPER
+    slot = jax.lax.rem(j, 2)
+    c = jobs_ref[j, 0]
+    return pltpu.make_async_copy(
+        tris_hbm.at[pl.ds(c * sc_rows, sc_rows), :],
+        trisb.at[pl.ds(slot * sc_rows, sc_rows), :], sems.at[slot])
+
+
+def _closest_kernel_cbin(jobs_ref, rays_ref, tris_hbm, out_t, out_i,
+                           trisb, sems, *, j_cap, tmin):
+    """Grid = jobs. Pair-ray columns and outputs ride the automatic
+    block pipeline; only the job's cluster rows are DMAed manually, one
+    job ahead (scratch persists across grid steps)."""
+    j = pl.program_id(0)
+    sc_rows = CLUSTER * SUPER
+    rt = rays_ref.shape[1]
+
+    def start(jj):
+        @pl.when(jobs_ref[jj, 0] >= 0)
+        def _():
+            _bin_dma_tris(jobs_ref, tris_hbm, trisb, sems, jj).start()
+
+    @pl.when(j == 0)
+    def _():
+        start(j)
+    @pl.when(j + 1 < j_cap)
+    def _():
+        start(j + 1)
+
+    c = jobs_ref[j, 0]
+
+    @pl.when(c >= 0)
+    def _():
+        _bin_dma_tris(jobs_ref, tris_hbm, trisb, sems, j).wait()
+        slot = jax.lax.rem(j, 2)
+        ray = _ray_rows(rays_ref)
+        t, _, _, _ = _pe_block(ray, trisb, slot * sc_rows, sc_rows, tmin)
+        blk_t = jnp.min(t, axis=0, keepdims=True)             # [1, RT]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (sc_rows, rt), 0)
+        cnd = jnp.where(t == blk_t, sub, _BIG_IDX)
+        blk_sub = jnp.min(cnd, axis=0, keepdims=True)
+        out_t[:, :] = blk_t
+        out_i[:, :] = blk_sub + c * sc_rows
+
+    @pl.when(c < 0)
+    def _():
+        out_t[:, :] = jnp.full((1, rt), T_FAR, jnp.float32)
+        out_i[:, :] = jnp.zeros((1, rt), jnp.int32)
+
+
+@functools.partial(jax.named_call, name="pallas_closest_cbin")
+def _closest_call_cbin(pair_rays, tris, jobs, tmin: float):
+    """Sweep every (cluster, 256-ray batch) job; returns per-pair
+    (t [1, P_cap], packed row id [1, P_cap])."""
+    tris = _stream_widen(tris)
+    p_cap = pair_rays.shape[1]
+    j_cap = jobs.shape[0]
+    sc_rows = CLUSTER * SUPER
+    kernel = functools.partial(_closest_kernel_cbin, j_cap=j_cap,
+                               tmin=tmin)
+    return pl.pallas_call(
+        kernel,
+        grid=(j_cap,),
+        in_specs=[
+            pl.BlockSpec((j_cap, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_TILE_C), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # tris (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_TILE_C), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE_C), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((1, p_cap), jnp.float32),
+                   jax.ShapeDtypeStruct((1, p_cap), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((2 * sc_rows, 128), jnp.float32),      # tri slots
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * p_cap * sc_rows, bytes_accessed=p_cap * 48,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(jobs, pair_rays, tris)
+
+
+def _cbin_reduce(res_t, res_i, pair_ray, pair_rank, n: int):
+    """Per-ray lexicographic (t, id) min over the per-pair results.
+
+    Scatter each pair's result to its (ray, rank) cell — unique targets,
+    so the reduction is order-independent and deterministic — then fold
+    the K axis. Ties on t pick the smallest packed row id (within a
+    cluster the kernels already do; across clusters near-first visit
+    order is replaced by the id order, which only differs on exact
+    shared-edge t ties between clusters)."""
+    k = CBIN_K_OUT
+    ray = jnp.where(pair_ray >= 0, pair_ray, n)
+    rank = jnp.minimum(pair_rank, k - 1)
+    keep = (pair_ray >= 0) & (pair_rank < k)
+    tt = jnp.full((n + 1, k), T_FAR, jnp.float32).at[
+        jnp.where(keep, ray, n), rank].set(res_t[0], mode="drop")[:n]
+    ii = jnp.full((n + 1, k), _BIG_IDX, jnp.int32).at[
+        jnp.where(keep, ray, n), rank].set(res_i[0], mode="drop")[:n]
+    bt = jnp.min(tt, axis=1)
+    bi = jnp.min(jnp.where(tt == bt[:, None], ii, _BIG_IDX), axis=1)
+    return bt[None, :], jnp.where(bt < T_FAR, bi, 0)[None, :]
+
+
+def _park_rays(rays: jnp.ndarray, park: jnp.ndarray) -> jnp.ndarray:
+    """Replace rays where ``park`` [N] with the PARKED constants (same
+    values ``pack_rays`` pads with): every box/triangle test fails, so
+    parked lanes contribute empty work lists."""
+    fill = jnp.concatenate([jnp.full((3, 1), 3.0e7, jnp.float32),
+                            jnp.full((3, 1), 0.5773503, jnp.float32),
+                            jnp.zeros((rays.shape[0] - 6, 1),
+                                      jnp.float32)], axis=0)
+    return jnp.where(park[None, :], fill, rays)
+
+
 def _trim_rows(t_real: int, packed: jnp.ndarray):
     """Trim a single-slab triangle buffer to the finest 8-aligned padding.
 
@@ -2912,7 +3145,30 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
             best_out, best_idx = _closest_call_rotated(
                 sid_j, rays, tris_pad, boxes_pad, sboxes_pad, cand_j,
                 corder_pad, slab_rows, tmin, prior=prior)
-    if stream:
+    cbin = (not single and lean
+            and os.environ.get("TPT_CBIN", "0") == "1")
+    if cbin:
+        # Cluster-binned sweep (per-RAY work lists; see the cbin
+        # section comment), then finish rays that overflowed a static
+        # cap through the tile-union streamed pass with everyone else
+        # parked (parked lanes produce empty candidate lists).
+        pair_rays, jtab, pair_ray, pair_rank, incomplete = cbin_pairs(
+            rays, sboxes, tmin, tmax)
+        bt, bi = _closest_call_cbin(pair_rays, tris, jtab, tmin)
+        best_out, best_idx = _cbin_reduce(bt, bi, pair_ray, pair_rank,
+                                          rays.shape[1])
+        rays_c = _park_rays(rays, ~incomplete)
+        cand, keys = stream_candidates(rays_c, sboxes, RAY_TILE_C, tmin,
+                                       tmax)
+        ct, ci = _closest_call_streamed(rays_c, tris, sboxes, cand, keys,
+                                        tmin)
+        use_c = incomplete[None, :]
+        best_out = jnp.where(use_c, ct, best_out)
+        best_idx = jnp.where(use_c, ci, best_idx)
+        if tmax < T_FAR:
+            best_out = jnp.where(best_out < tmax, best_out,
+                                 jnp.float32(T_FAR))
+    elif stream:
         cand, keys = stream_candidates(rays, sboxes, RAY_TILE_C, tmin,
                                        tmax)
         best_out, best_idx = _closest_call_streamed(
@@ -2920,7 +3176,8 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
         if tmax < T_FAR:
             best_out = jnp.where(best_out < tmax, best_out,
                                  jnp.float32(T_FAR))
-    slabs = [] if (rot or stream) else _tri_slabs(tris, boxes, sboxes)
+    slabs = ([] if (rot or stream or cbin)
+             else _tri_slabs(tris, boxes, sboxes))
     for s, slab, bx, sbx, corder in slabs:
         if bx is None:
             out, idx = _closest_call(rays, slab, slab.shape[0], tmin, tmax,
