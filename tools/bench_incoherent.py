@@ -6,9 +6,11 @@ externally-supplied batches (e.g. a user tracing arbitrary rays through
 ``intersect_closest``) are not. This bench builds the worst case —
 surface-point origins with uniform-sphere directions — and times the
 closest-hit and occlusion paths on it, so scheduler knobs (TPT_GUARD,
-TPT_BINNED) can be compared on the workload they exist for.
+TPT_BINNED, TPT_CBIN, TPT_STREAM) can be compared on the workload they
+exist for.
 
-Knobs: INC_RAYS (262144), INC_SCENE (assets/big_mesh.obj), INC_REPS (3).
+Knobs: INC_RAYS (262144), INC_SCENE (assets/big_mesh.obj), INC_REPS (3),
+INC_UV (1; 0 = lean carry, required for TPT_CBIN).
 Prints one JSON line per path.
 """
 
@@ -56,7 +58,12 @@ def main():
     dirs = V3(d[:, 0], d[:, 1], d[:, 2])
     tmax = jnp.full((n,), 1e4, jnp.float32)
 
-    closest = jax.jit(lambda o, dd: bf.intersect_closest(scene, o, dd))
+    # INC_UV=0 takes the lean (t, id) carry — the OBJ path tracer's hot
+    # configuration and the only one the cluster-binned (TPT_CBIN)
+    # scheduler engages on.
+    want_uv = os.environ.get("INC_UV", "1") == "1"
+    closest = jax.jit(lambda o, dd: bf.intersect_closest(
+        scene, o, dd, want_uv=want_uv))
     occluded = jax.jit(lambda o, dd, t: bf.intersect_occluded(scene, o,
                                                               dd, t))
 
@@ -80,6 +87,9 @@ def main():
             "ms": round(dt * 1e3, 2),
             "guard": os.environ.get("TPT_GUARD", "both"),
             "binned": os.environ.get("TPT_BINNED", "0"),
+            "cbin": os.environ.get("TPT_CBIN", "0"),
+            "stream": os.environ.get("TPT_STREAM", "0"),
+            "want_uv": want_uv,
         }))
 
 
