@@ -114,6 +114,27 @@ def test_whitted_deterministic(pbr_scene, pbr_camera):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_whitted_pixelq_matches_wide(pbr_scene, pbr_camera):
+    """The pixelq work-queue scheduler traces the exact same paths as
+    the wide while_loop (counter RNG keys every draw by (pixel, sample,
+    depth)), so per-path stats must match EXACTLY; radiance only up to
+    f32 accumulation order."""
+    from tpu_pt.whitted import render_whitted_wavefront
+    mk = lambda s: tpu_pt.RenderConfig(      # noqa: E731
+        width=48, height=48, spp=4, max_depth=6, scheduler=s,
+        background=(0.1, 0.15, 0.25), intersector="bruteforce")
+    a, sa = render_whitted_wavefront(pbr_scene, pbr_camera, mk("pixelq"),
+                                     0, 48 * 48, 0)
+    b, sb = render_whitted_wavefront(pbr_scene, pbr_camera, mk("scan"),
+                                     0, 48 * 48, 0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    assert float(sa.rays_traced) == float(sb.rays_traced)
+    assert float(sa.shadow_rays) == float(sb.shadow_rays)
+    np.testing.assert_array_equal(np.asarray(sa.done_histogram),
+                                  np.asarray(sb.done_histogram))
+
+
 def test_texture_uv_transform(pbr_scene, pbr_camera):
     """Per-material UV affine (KHR_texture_transform / the reference's
     texcoord offset+rotation+scale, cuda/LocalShading.h): a 3x UV scale

@@ -541,9 +541,15 @@ def _render_regen(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
 
 
 def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
-                   closest_fn, occluded_fn, fused_fn=None):
+                   closest_fn, occluded_fn, fused_fn=None, bounce_fn=None):
     """Persistent wavefront with a pixel-granular work queue and lane-local
     flush slots — the scatter-free scheduler.
+
+    ``bounce_fn`` swaps the per-round transition (default: the path
+    tracer's ``_bounce``) so other integrators — the whitted pipeline —
+    reuse this scheduler. It receives ``(pix, sample, origin, direction,
+    atten, depth)`` and returns ``_bounce``'s step dict; prediction and
+    kernel fusion stay path-tracer-only.
 
     The per-round scatter-adds of ``_render_regen`` dominate its frame time
     (measured 46% on v5e: XLA TPU scatter costs ~6 ns per update and the
@@ -630,7 +636,7 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     # re-samples of the same pixel the pixel's last camera landing slab
     # — and the intersector sorts tiles by it (see _coherence_key).
     # Ordering-only: images are bitwise identical with TPT_PRED=0.
-    use_pred = (fused_fn is None
+    use_pred = (bounce_fn is None and fused_fn is None
                 and getattr(closest_fn, "supports_pred", False))
     from .intersect import SLAB_UNKNOWN
     SLAB_NONE = jnp.int32(SLAB_UNKNOWN)
@@ -664,11 +670,15 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
         g, sample = s["g"], s["sample"]
         j, chunk0 = item_pixel(g)
         pix = pixel_start + j
-        step = _bounce(scene, cfg, closest_fn, occluded_fn, pix,
-                       sample + offset, frame_idx, s["origin"],
-                       s["direction"], s["atten"], s["depth"],
-                       fused_fn=fused_fn,
-                       pred=s["pred"] if use_pred else None)
+        if bounce_fn is not None:
+            step = bounce_fn(pix, sample + offset, s["origin"],
+                             s["direction"], s["atten"], s["depth"])
+        else:
+            step = _bounce(scene, cfg, closest_fn, occluded_fn, pix,
+                           sample + offset, frame_idx, s["origin"],
+                           s["direction"], s["atten"], s["depth"],
+                           fused_fn=fused_fn,
+                           pred=s["pred"] if use_pred else None)
         active_f = jnp.where(active, 1.0, 0.0)
         pending = s["pending"] + step["contrib"] * active_f
 
@@ -738,8 +748,12 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
             slot_g=slot_g, slot_rgb=slot_rgb, uf_g=uf_g,
             active=active_next, next_g=next_g,
             n_rays=s["n_rays"] + jnp.sum(active_f),
-            n_shadow=s["n_shadow"] + jnp.sum(
-                jnp.where(active & step["shadow_mask"], 1.0, 0.0)),
+            # Integrators with several lights return a per-lane shadow-ray
+            # COUNT; the path tracer's single area light is a mask.
+            n_shadow=s["n_shadow"] + (
+                jnp.sum(active_f * step["shadow_count"])
+                if "shadow_count" in step else
+                jnp.sum(jnp.where(active & step["shadow_mask"], 1.0, 0.0))),
             hist=hist, iters=s["iters"] + 1.0,
         )
         if use_pred:

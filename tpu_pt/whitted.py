@@ -10,12 +10,13 @@ textures, alpha-mask/blend, emissive factors, and whitted-style recursive
 reflection/refraction for Phong-metal and Glass materials up to
 ``MAX_TRACE_DEPTH`` = 8 (``whitted.h:42``).
 
-Wavefront form: recursion becomes a ``lax.scan`` over depth carrying
-(ray, attenuation); branching continuations (alpha blend, glass
-reflect/refract) are resolved per lane — blend/refraction continue the
-straight/refracted path, Fresnel-weighted reflections continue for
-reflective materials — so each lane follows one whitted branch per bounce
-with the branch weights folded into the attenuation.
+Wavefront form: recursion becomes a per-lane depth carry driven by the
+path tracer's pixelq work-queue scheduler (``render._render_pixelq``);
+branching continuations (alpha blend, glass reflect/refract) are resolved
+per lane — blend/refraction continue the straight/refracted path,
+Fresnel-weighted reflections continue for reflective materials — so each
+lane follows one whitted branch per bounce with the branch weights folded
+into the attenuation.
 """
 
 from __future__ import annotations
@@ -173,30 +174,21 @@ def _ggx_d(n_dot_h, alpha):
     return a2 / (jnp.pi * x * x)
 
 
-def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
-                             cfg: RenderConfig, pixel_start, n_pixels: int,
-                             frame_idx, sample_offset=0):
-    """Direct-lighting estimate over cfg.spp jittered samples per pixel.
+def _make_whitted_step(ws: WhittedScene, cfg: RenderConfig, closest_fn,
+                       occluded_fn, frame_idx, depth_cap: int):
+    """Per-round whitted transition, shaped like ``render._bounce``'s
+    step dict so the shared pixelq scheduler can drive it.
 
-    Returns (radiance [N, 3], RenderStats). The depth loop is a
-    ``while_loop`` that exits as soon as no lane continues (most whitted
-    paths terminate at the first PBR hit; only glass / reflective /
-    alpha-continuation lanes go deeper), and material properties come
-    from one one-hot MXU lookup per bounce instead of per-table gathers.
-    Stats histogram indices reuse DoneReason slots: [miss, depth-capped,
-    absorbed (opaque direct-lit hit — whitted's normal termination),
-    0, 0]."""
-    geom = ws.geom
-    closest_fn, occluded_fn = get_intersectors(geom, cfg)
-    frame_idx = jnp.asarray(frame_idx, jnp.uint32)
-    pixel_ids = jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(
-        n_pixels, dtype=jnp.uint32)
+    The returned ``step(pix, sample_idx, origin, direction, atten,
+    depth)`` assumes every lane is live — the calling scheduler masks
+    dead lanes. ``shadow_count`` is a per-lane ray COUNT (whitted traces
+    one shadow ray per light, ``whitted.cu:246-263``)."""
     n_lights = ws.light_pos.shape[0]
-    depth_cap = min(cfg.max_depth, MAX_TRACE_DEPTH)
+    frame_idx = jnp.asarray(frame_idx, jnp.uint32)
 
-    def shade(origin, direction, atten, alive, depth, sample_idx, st):
+    def step(pix, sample_idx, origin, direction, atten, depth):
         hit = closest_fn(origin, direction)
-        hmask = hit.hit & alive
+        hmask = hit.hit
 
         props = _lookup_wmat(ws, hit.mat)             # one MXU pass
         base = props["base"]
@@ -293,6 +285,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         a_r = roughness * roughness
 
         result = emissive_rgb
+        shadow_count = jnp.zeros(hmask.shape, jnp.float32)
 
         for li in range(n_lights):
             lpos = V3.of(ws.light_pos[li, 0], ws.light_pos[li, 1],
@@ -310,7 +303,7 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
             occ_dir = v3.where(lit, ldir, V3.zeros(lit.shape))
             occ_tmax = jnp.where(lit, l_dist - 0.001, 0.0)
             shadowed = occluded_fn(p, occ_dir, occ_tmax)
-            st["shadow_rays"] += jnp.sum(jnp.where(lit, 1.0, 0.0))
+            shadow_count = shadow_count + jnp.where(lit, 1.0, 0.0)
             f = _schlick(spec_color, v_dot_h)
             g_vis = _vis(jnp.maximum(n_dot_l, 1e-6),
                          jnp.maximum(n_dot_v, 1e-6), a_r)
@@ -327,8 +320,8 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         # Continuations.
         is_glass = kind == KIND_GLASS
         refl_dir = v3.reflect(v3.normalize(direction), ns)
-        sa, _ = rng.bounce_streams(depth)
-        z1, _, _, _ = rng.uniform4(pixel_ids, sample_idx, frame_idx, sa)
+        sa, _ = rng.bounce_streams(jnp.asarray(depth, jnp.uint32))
+        z1, _, _, _ = rng.uniform4(pix, sample_idx, frame_idx, sa)
         from .bsdf import fr_dielectric
         cos_i = v3.dot(vdir, ns)
         fres = fr_dielectric(cos_i, 1.0, ior)
@@ -364,23 +357,56 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
         contrib = result * atten
         contrib = v3.where(hmask, contrib, V3.zeros(hmask.shape))
         # Miss: background color once per path.
-        miss = alive & ~hit.hit
+        miss = ~hit.hit
         bg = cfg.background
         contrib = v3.where(miss, V3.full(miss.shape, bg) * atten, contrib)
 
-        atten_next = atten * cont_weight
+        # Termination reasons reuse DoneReason slots: 0 = miss,
+        # 1 = depth-capped, 2 = absorbed (opaque direct-lit hit —
+        # whitted's normal termination; the path tracer's RR slot).
         capped = hmask & cont & ~(depth + 1 < depth_cap)
-        alive_next = alive & cont & (depth + 1 < depth_cap)
+        done = ~(hmask & cont & (depth + 1 < depth_cap))
+        reason = jnp.where(miss, 0, jnp.where(capped, 1, 2))
+        return dict(contrib=contrib, new_origin=new_origin,
+                    new_dir=new_dir, atten_cont=atten * cont_weight,
+                    done=done, reason=reason, shadow_count=shadow_count)
 
-        st["rays"] += jnp.sum(jnp.where(alive, 1.0, 0.0))
-        st["iters"] += 1.0
-        st["miss"] += jnp.sum(jnp.where(miss, 1.0, 0.0))
-        st["capped"] += jnp.sum(jnp.where(capped, 1.0, 0.0))
-        st["absorbed"] += jnp.sum(jnp.where(hmask & ~cont, 1.0, 0.0))
-        return contrib, new_origin, new_dir, atten_next, alive_next, st
+    return step
+
+
+def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
+                             cfg: RenderConfig, pixel_start, n_pixels: int,
+                             frame_idx, sample_offset=0):
+    """Direct-lighting estimate over cfg.spp jittered samples per pixel.
+
+    Returns (radiance [N, 3], RenderStats). Material properties come
+    from one one-hot MXU lookup per bounce instead of per-table gathers,
+    and the default scheduler is the path tracer's pixelq work queue
+    (``render._render_pixelq``): whitted paths mostly die at the first
+    opaque hit, so a full-width depth loop re-traces ~63% dead lanes by
+    exit depth — the queue replaces finished (pixel, sample-chunk) items
+    the round they retire. ``cfg.scheduler != "pixelq"`` keeps the wide
+    ``while_loop`` (exits as soon as no lane continues). Stats histogram
+    indices reuse DoneReason slots: [miss, depth-capped, absorbed
+    (opaque direct-lit hit — whitted's normal termination), 0, 0]."""
+    geom = ws.geom
+    closest_fn, occluded_fn = get_intersectors(geom, cfg)
+    depth_cap = min(cfg.max_depth, MAX_TRACE_DEPTH)
+    step_fn = _make_whitted_step(ws, cfg, closest_fn, occluded_fn,
+                                 frame_idx, depth_cap)
+
+    if cfg.scheduler == "pixelq":
+        from .render import _render_pixelq
+        return _render_pixelq(geom, cam, cfg, pixel_start, n_pixels,
+                              frame_idx, sample_offset, closest_fn,
+                              occluded_fn, bounce_fn=step_fn)
+
+    frame_u = jnp.asarray(frame_idx, jnp.uint32)
+    pixel_ids = jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(
+        n_pixels, dtype=jnp.uint32)
 
     def one_sample(sample_idx, st):
-        jx, jy = rng.uniform2(pixel_ids, sample_idx, frame_idx,
+        jx, jy = rng.uniform2(pixel_ids, sample_idx, frame_u,
                               rng.STREAM_JITTER)
         origin, direction = camera_rays(cam, pixel_ids, cfg.width,
                                         cfg.height, jx, jy)
@@ -391,16 +417,26 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
 
         def body(carry):
             origin, direction, atten, alive, acc, depth, st = carry
-            contrib, o2, d2, atten2, alive2, st = shade(
-                origin, direction, atten, alive, depth, sample_idx, st)
-            return (o2, d2, atten2, alive2, acc + contrib, depth + 1, st)
+            s = step_fn(pixel_ids, sample_idx, origin, direction, atten,
+                        depth)
+            contrib = v3.where(alive, s["contrib"], V3.zeros((n_pixels,)))
+            alive_f = jnp.where(alive, 1.0, 0.0)
+            fin = alive & s["done"]
+            st["rays"] += jnp.sum(alive_f)
+            st["shadow_rays"] += jnp.sum(alive_f * s["shadow_count"])
+            st["iters"] += 1.0
+            st["miss"] += jnp.sum(
+                jnp.where(fin & (s["reason"] == 0), 1.0, 0.0))
+            st["capped"] += jnp.sum(
+                jnp.where(fin & (s["reason"] == 1), 1.0, 0.0))
+            st["absorbed"] += jnp.sum(
+                jnp.where(fin & (s["reason"] == 2), 1.0, 0.0))
+            return (s["new_origin"], s["new_dir"], s["atten_cont"],
+                    alive & ~s["done"], acc + contrib, depth + 1, st)
 
         init = (origin, direction, V3.ones((n_pixels,)),
                 jnp.ones((n_pixels,), bool), V3.zeros((n_pixels,)),
                 jnp.uint32(0), st)
-        # Early exit when no lane continues: whitted paths mostly die at
-        # the first opaque hit, so typical frames trace 1-2 rounds, not
-        # depth_cap (the round-1 ~18%-occupancy scan scheduler flaw).
         out = jax.lax.while_loop(cond, body, init)
         return out[4], out[6]
 
