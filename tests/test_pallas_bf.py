@@ -329,13 +329,16 @@ def test_streamed_matches_chained(mixed_scene, rays, monkeypatch, guard):
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
 
 
-@pytest.mark.parametrize("pair_mult,k_out", [(12, 32), (1, 2)])
+@pytest.mark.parametrize("pair_mult,k_out,group",
+                         [(12, 32, 8), (12, 32, 1), (12, 48, 32), (1, 2, 8)])
 def test_cbin_matches_chained(mixed_scene, rays, monkeypatch, pair_mult,
-                              k_out):
-    """TPT_CBIN groups rays BY cluster (per-ray work lists) and must
-    produce the same hits as the chained tile-union path. The tiny
-    (pair_mult=1, k_out=2) case starves the static caps so most rays go
-    through the parked-completion pass — overflow must stay exact."""
+                              k_out, group):
+    """TPT_CBIN groups rays BY cluster (per-ray-group work lists) and must
+    produce the same hits as the chained tile-union path, at any group
+    size (g=1 is the exact per-ray schedule; g>1 shares a conservative
+    interval-tested list across adjacent lanes). The tiny (pair_mult=1,
+    k_out=2) case starves the static caps so most rays go through the
+    parked-completion pass — overflow must stay exact."""
     o, d = rays
     monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
     monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
@@ -345,6 +348,7 @@ def test_cbin_matches_chained(mixed_scene, rays, monkeypatch, pair_mult,
     monkeypatch.setenv("TPT_CBIN", "1")
     monkeypatch.setattr(pallas_bf, "CBIN_PAIR_MULT", pair_mult)
     monkeypatch.setattr(pallas_bf, "CBIN_K_OUT", k_out)
+    monkeypatch.setattr(pallas_bf, "CBIN_GROUP", group)
     out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
     np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))

@@ -2313,111 +2313,198 @@ def _occluded_call_streamed(rays, tris, sboxes, cand, keys,
 
 
 # ---------------------------------------------------------------------------
-# Cluster-binned closest hit: per-RAY work lists, rays grouped BY cluster.
+# Cluster-binned closest hit: per-ray-GROUP work lists, grouped BY cluster.
 #
 # The tile-union schedulers above degrade catastrophically on incoherent
 # bounce rays: a 256-ray tile of isotropic directions pierces ~60% of all
 # supercluster AABBs (measured 450/784 on the 100k-tri scene), so the
 # union list sweeps ~60x more cluster rows than the rays individually
-# need (mean 7.4 boxes per ray). Binning inverts the schedule: an XLA
-# pass compacts the exact per-ray box tests into cluster-major (ray,
-# cluster) pairs — each cluster gets the (padded-to-256) batch of rays
-# that pierce it — and the kernel sweeps each 256-pair job against its
-# single cluster. Total tri tests collapse from O(tiles x union) to
-# O(sum of per-ray pierce counts), independent of ray coherence.
+# need (mean 7.4 boxes per ray). Binning inverts the schedule: the exact
+# per-ray box tests are compacted into cluster-major (ray, cluster)
+# pairs — each cluster gets the (padded-to-256) batch of rays that
+# pierce it — and the kernel sweeps each 256-pair job against its single
+# cluster. Total tri tests collapse from O(tiles x union) to O(sum of
+# per-ray pierce counts), independent of ray coherence.
 #
-# Work-list build uses no sorts: the transposed pierce mask raveled
-# cluster-major is already grouped, so one jnp.nonzero compaction + two
-# small scatters produce the padded pair slots and the job table.
-# Rays whose pairs overflow the static caps (pair budget, per-ray K) are
-# finished exactly by the tile-union streamed pass with everyone else
-# parked.
+# The schedule build itself must be cheap: it reruns EVERY wavefront
+# round (a lane's ray changes each bounce). The original build — a
+# jnp.nonzero over the dense [NS, N] pierce mask plus P_cap-sized
+# scatters — cost 225 ms/round on the 100k-tri frame (TPU scatter is
+# ~6 ns/update), 87% of the frame. This build keeps every step
+# gather/sort-shaped and shrinks the dense mask by binning CBIN_GROUP
+# adjacent lanes (tile-sorted, so coherent) into one work list:
+#   1. conservative interval slab test of each GROUP vs every cluster
+#      AABB (endpoint products of the member-ray origin/reciprocal
+#      intervals bound the true per-ray slab t range; parked lanes are
+#      masked out of the intervals) -> okt [N/G, NS];
+#   2. per-group compact cluster lists by a rank-vs-k compare-reduce
+#      (no top_k: measured 3x slower; no giant scatter);
+#   3. ONE [N/G*K] key/value sort brings the (group, k) pairs into
+#      cluster-major order (stable, so group-ascending within cluster);
+#   4. job-granular slice gathers + reshapes expand sorted group-pairs
+#      to padded 256-lane jobs — nothing slot-sized is ever gathered
+#      per-element or scattered.
+# Groups whose lists overflow a static cap (pair budget, per-group K)
+# are finished exactly by the tile-union streamed pass with everyone
+# else parked. Measured (100k tris, 512^2 x 4 spp wavefront): 225 ->
+# ~2 ms/round at G=8, with the exact-list sweep unchanged.
 # ---------------------------------------------------------------------------
 CBIN_PAIR_MULT = int(os.environ.get("TPT_CBIN_PAIRS", 12))   # P_cap = mult*N
-CBIN_K_OUT = int(os.environ.get("TPT_CBIN_K", 32))           # per-ray results
+CBIN_K_OUT = int(os.environ.get("TPT_CBIN_K", 32))           # per-group cap
+CBIN_GROUP = int(os.environ.get("TPT_CBIN_GROUP", 8))        # lanes/work list
 
 
-def cbin_pairs(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
-                 tmax):
-    """Exact per-ray cluster work lists, cluster-major and 256-padded.
+def _cbin_group_test(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
+                     tmax, g: int) -> jnp.ndarray:
+    """Conservative slab test of every g-lane group vs every cluster AABB.
 
-    Returns ``(pair_rays [8, P_cap], job_cluster [J_cap, 1] i32 (-1 =
-    empty job), pair_ray [P_cap] i32 (-1 = pad), pair_rank [P_cap] i32,
-    incomplete [N] bool)``. Job ``j`` covers pair lanes [256j, 256j+256)
-    and sweeps exactly one supercluster. ``incomplete`` marks rays whose
-    pairs were dropped by a static cap; the caller must finish them via
-    the tile-union path."""
+    Returns okt [N//g, NS] bool. Interval arithmetic over the group's
+    member rays: per axis, the 8 endpoint products of (box_face - o) x
+    inv(d) bound min(t0,t1) from below and max(t0,t1) from above for
+    every member, so (tn_lo <= tf_hi) & (tf_hi > tmin) & (tn_lo < tmax)
+    is a superset of each member ray's exact slab test — false positives
+    only cost sweep work; false negatives are impossible. At g=1 the
+    intervals are points and this reproduces the exact per-ray test
+    bitwise. PARKED lanes (render.PARK_COORD origins) are masked out of
+    the intervals so a retired lane cannot blow up its group's bounds;
+    all-parked groups test false everywhere."""
     ns = sboxes.shape[0]
     n = rays.shape[1]
-    p_cap = CBIN_PAIR_MULT * n
-    j_cap = p_cap // RAY_TILE_C
-    o = rays[0:3, :]
-    d = rays[3:6, :]
+    ng = n // g
+    o = rays[0:3, :].reshape(3, ng, g)
+    d = rays[3:6, :].reshape(3, ng, g)
+    parked = o[0] >= 1.0e7                                  # [ng, g]
+    any_live = ~jnp.all(parked, axis=1)                     # [ng]
     eps = 1e-12
     inv = 1.0 / jnp.where(jnp.abs(d) > eps, d,
                           jnp.where(d >= 0, eps, -eps))
-    if jnp.ndim(tmax) == 0:
-        tmax_r = jnp.full((1, n), tmax)
-    else:
-        tmax_r = jnp.reshape(tmax, (1, n))
     big = jnp.float32(3e38)
+
+    def lo(x):
+        return jnp.min(jnp.where(parked[None], big, x), axis=2)
+
+    def hi(x):
+        return jnp.max(jnp.where(parked[None], -big, x), axis=2)
+
+    o_lo, o_hi = lo(o), hi(o)                               # [3, ng]
+    i_lo, i_hi = lo(inv), hi(inv)
+    if jnp.ndim(tmax) == 0:
+        tmax_g = jnp.full((ng, 1), tmax)
+    else:
+        tmax_g = jnp.max(
+            jnp.where(parked, -big,
+                      jnp.reshape(tmax, (ng, g))), axis=1, keepdims=True)
     parts = []
     for c0 in range(0, ns, 1024):
         sb = sboxes[c0:c0 + 1024]
-        nc = sb.shape[0]
-        tn = jnp.full((nc, n), -big)
-        tf = jnp.full((nc, n), big)
+        tn = None
+        tf = None
         for a in range(3):
-            t0 = (sb[:, a, None] - o[a][None, :]) * inv[a][None, :]
-            t1 = (sb[:, a + 3, None] - o[a][None, :]) * inv[a][None, :]
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        parts.append((tn <= tf) & (tf > tmin) & (tn < tmax_r))
-    okt = jnp.concatenate(parts, axis=0)                    # [NS, N]
+            f_lo0 = sb[None, :, a] - o_hi[a][:, None]       # [ng, nc]
+            f_hi0 = sb[None, :, a] - o_lo[a][:, None]
+            f_lo1 = sb[None, :, a + 3] - o_hi[a][:, None]
+            f_hi1 = sb[None, :, a + 3] - o_lo[a][:, None]
+            il = i_lo[a][:, None]
+            ih = i_hi[a][:, None]
+            pmin = None
+            pmax = None
+            for p in (f_lo0 * il, f_lo0 * ih, f_hi0 * il, f_hi0 * ih,
+                      f_lo1 * il, f_lo1 * ih, f_hi1 * il, f_hi1 * ih):
+                pmin = p if pmin is None else jnp.minimum(pmin, p)
+                pmax = p if pmax is None else jnp.maximum(pmax, p)
+            tn = pmin if tn is None else jnp.maximum(tn, pmin)
+            tf = pmax if tf is None else jnp.minimum(tf, pmax)
+        parts.append((tn <= tf) & (tf > tmin) & (tn < tmax_g)
+                     & any_live[:, None])
+    return jnp.concatenate(parts, axis=1)                   # [ng, ns]
 
-    cnt_ray = jnp.sum(okt, axis=0, dtype=jnp.int32)         # [N]
-    cnt_cl = jnp.sum(okt, axis=1, dtype=jnp.int32)          # [NS]
-    jobs = (cnt_cl + RAY_TILE_C - 1) // RAY_TILE_C
+
+def cbin_pairs(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
+               tmax):
+    """Cluster-major padded work lists for the cbin sweep.
+
+    Returns ``(pair_rays [8, P_cap], job_cluster [J_cap, 1] i32 (-1 =
+    empty job), row_tgt [P_cap // g] i32, incomplete [N] bool, (ng, g,
+    k))``. Job ``j`` covers pair lanes [256j, 256j+256) — ``256 // g``
+    groups of ``g`` adjacent lanes sharing one work list — and sweeps
+    exactly one supercluster. ``row_tgt`` maps each g-lane result row to
+    its (group * k + rank) reduce cell (``ng * k`` = dropped padding).
+    ``incomplete`` marks lanes whose group overflowed a static cap; the
+    caller must finish them via the tile-union path."""
+    ns = sboxes.shape[0]
+    n = rays.shape[1]
+    rt = RAY_TILE_C
+    g = max(1, min(CBIN_GROUP, rt))
+    while n % g or rt % g:
+        g //= 2
+    ng = n // g
+    k = CBIN_K_OUT
+    qpj = rt // g                                    # group-pairs per job
+    p_cap = CBIN_PAIR_MULT * n
+    j_cap = p_cap // rt
+
+    okt = _cbin_group_test(rays, sboxes, tmin, tmax, g)     # [ng, ns]
+    cnt_g = jnp.sum(okt, axis=1, dtype=jnp.int32)           # [ng]
+    rank = jnp.cumsum(okt, axis=1, dtype=jnp.int32) - okt   # [ng, ns]
+    okt_k = okt & (rank < k)                         # survives per-group cap
+    cnt_cl = jnp.sum(okt_k, axis=0, dtype=jnp.int32)        # [ns]
+    jobs = (cnt_cl + qpj - 1) // qpj
     base_job = jnp.cumsum(jobs) - jobs                      # exclusive
-    seg_start = base_job * RAY_TILE_C
     start_cl = jnp.cumsum(cnt_cl) - cnt_cl
-    # Per-pair rank within its ray (pairs of a ray appear in ascending
-    # cluster order): exclusive running count down each column.
-    rank_t = jnp.cumsum(okt, axis=0, dtype=jnp.int32) - okt
-
-    flat = jnp.nonzero(okt.ravel(), size=p_cap,
-                       fill_value=ns * n)[0]                # cluster-major
-    valid = flat < ns * n
-    c = jnp.where(valid, flat // n, 0)
-    r = jnp.where(valid, flat % n, 0)
-    w = jnp.arange(p_cap, dtype=jnp.int32) - start_cl[c]    # rank in cluster
-    slot = seg_start[c] + w
-    dropped = valid & (slot >= p_cap)
-    slot = jnp.where(valid & ~dropped, slot, p_cap)
-
-    slot_ray = jnp.full((p_cap + 1,), -1, jnp.int32).at[slot].set(
-        r.astype(jnp.int32))[:p_cap]
-    rank = rank_t.ravel()[jnp.minimum(flat, ns * n - 1)]
-    slot_rank = jnp.full((p_cap + 1,), 0, jnp.int32).at[slot].set(
-        rank.astype(jnp.int32))[:p_cap]
-
     total_jobs = jnp.sum(jobs)
     jtab = jnp.full((j_cap + 1,), -1, jnp.int32).at[
-        jnp.where(jobs > 0, base_job, j_cap)].set(
-        jnp.arange(ns, dtype=jnp.int32))[:j_cap]
+        jnp.where(jobs > 0, jnp.minimum(base_job, j_cap), j_cap)].set(
+        jnp.arange(ns, dtype=jnp.int32), mode="drop")[:j_cap]
     jtab = jax.lax.cummax(jtab)                             # forward fill
-    jtab = jnp.where(jnp.arange(j_cap) < total_jobs, jtab, -1)
+    jtab = jnp.where(jnp.arange(j_cap) < jnp.minimum(total_jobs, j_cap),
+                     jtab, -1)
 
-    # Expand rays to pair slots (pads gather ray 0; reduce drops them).
-    pair_rays = rays[:, jnp.maximum(slot_ray, 0)]
-    # A dropped pair, or more than K_OUT pairs, leaves the ray's answer
-    # incomplete at reduce time.
-    incomplete = jnp.zeros((n,), jnp.bool_).at[
-        jnp.where(dropped, r, n)].set(True, mode="drop")
-    incomplete = incomplete | (cnt_ray > CBIN_K_OUT)
-    # Pairs can also vanish wholesale if nonzero's budget filled up.
-    incomplete = incomplete | (jnp.sum(cnt_cl) > p_cap)
-    return pair_rays, jtab[:, None], slot_ray, slot_rank, incomplete
+    # Compact per-group cluster lists: c_list[g', j] = the j-th cluster
+    # (ascending) group g' pierces. One fused compare-reduce over
+    # [ng, ns, k]; beats lax.top_k 3x here (k is tiny, ns is padded).
+    c_iota = jnp.arange(ns, dtype=jnp.int32)
+    r_k = jnp.where(okt, rank, k)
+    sel = r_k[:, :, None] == jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    c_list = jnp.max(jnp.where(sel, c_iota[None, :, None], -1), axis=1)
+    valid = c_list >= 0                                     # [ng, k]
+
+    # Cluster-major order: ONE stable key/value sort of the (group, k)
+    # pair ids. Stability keeps groups ascending within a cluster.
+    skey = jnp.where(valid, c_list, ns).reshape(-1)
+    pid = jnp.arange(ng * k, dtype=jnp.int32)
+    _, sval = jax.lax.sort((skey, pid), num_keys=1)
+
+    # Expand sorted group-pairs to padded job slots with job-granular
+    # slice gathers (j_cap-sized) — no slot-sized gather or scatter.
+    j_iota = jnp.arange(j_cap, dtype=jnp.int32)
+    cjs = jnp.maximum(jtab, 0)
+    q0 = (j_iota - base_job[cjs]) * qpj              # job's first pair rank
+    qi = jnp.arange(qpj, dtype=jnp.int32)[None, :]
+    pos = jnp.minimum(start_cl[cjs][:, None] + q0[:, None] + qi,
+                      ng * k - 1)
+    okq = (jtab[:, None] >= 0) & ((q0[:, None] + qi) < cnt_cl[cjs][:, None])
+    pidq = sval[pos]                                        # [j_cap, qpj]
+    gg = pidq // k
+    kk = pidq - gg * k
+    gg = jnp.where(okq, gg, ng)                             # pad sentinel
+    row_tgt = jnp.where(okq, gg * k + kk, ng * k).reshape(-1)
+
+    # Pair-ray rows: one row-gather of [g*8]-float group rows at
+    # group-pair granularity; the sentinel row is PARKED rays (zeros
+    # would pass every slab/plane guard — see pack_rays).
+    park_row = jnp.tile(jnp.asarray(
+        [3.0e7, 3.0e7, 3.0e7, 0.5773503, 0.5773503, 0.5773503, 0.0, 0.0],
+        rays.dtype), (g,))
+    grp = jnp.concatenate([rays.T.reshape(ng, g * 8), park_row[None, :]])
+    pair_rays = grp[jnp.minimum(gg, ng)].reshape(p_cap, 8).T
+
+    # Lanes whose group overflowed the per-group k cap, or whose
+    # cluster's padded segment spilled past the pair budget (this also
+    # covers job-table overflow: j_cap = p_cap / 256), stay incomplete.
+    bad_c = (base_job + jobs) * rt > p_cap
+    inc_g = (cnt_g > k) | jnp.any(okt & bad_c[None, :], axis=1)
+    incomplete = jnp.repeat(inc_g, g)
+    return pair_rays, jtab[:, None], row_tgt, incomplete, (ng, g, k)
 
 
 def _bin_dma_tris(jobs_ref, tris_hbm, trisb, sems, j):
@@ -2512,25 +2599,29 @@ def _closest_call_cbin(pair_rays, tris, jobs, tmin: float):
     )(jobs, pair_rays, tris)
 
 
-def _cbin_reduce(res_t, res_i, pair_ray, pair_rank, n: int):
+def _cbin_reduce(res_t, res_i, row_tgt, n: int, ng: int, g: int, k: int):
     """Per-ray lexicographic (t, id) min over the per-pair results.
 
-    Scatter each pair's result to its (ray, rank) cell — unique targets,
-    so the reduction is order-independent and deterministic — then fold
-    the K axis. Ties on t pick the smallest packed row id (within a
-    cluster the kernels already do; across clusters near-first visit
-    order is replaced by the id order, which only differs on exact
-    shared-edge t ties between clusters)."""
-    k = CBIN_K_OUT
-    ray = jnp.where(pair_ray >= 0, pair_ray, n)
-    rank = jnp.minimum(pair_rank, k - 1)
-    keep = (pair_ray >= 0) & (pair_rank < k)
-    tt = jnp.full((n + 1, k), T_FAR, jnp.float32).at[
-        jnp.where(keep, ray, n), rank].set(res_t[0], mode="drop")[:n]
-    ii = jnp.full((n + 1, k), _BIG_IDX, jnp.int32).at[
-        jnp.where(keep, ray, n), rank].set(res_i[0], mode="drop")[:n]
-    bt = jnp.min(tt, axis=1)
-    bi = jnp.min(jnp.where(tt == bt[:, None], ii, _BIG_IDX), axis=1)
+    A group-pair's g lanes are adjacent in the slot layout, so the
+    per-pair results scatter as [g]-wide ROWS into the (group * k +
+    rank) cell of a [ng*k, g] buffer — unique row targets (each (group,
+    rank) pair occupies exactly one job slot range), so the reduction is
+    order-independent, deterministic, and the scatter is ~P_cap/g row
+    updates instead of P_cap element updates. Folding the k axis then
+    gives each lane's best (t, id). Ties on t pick the smallest packed
+    row id (within a cluster the kernels already do; across clusters
+    near-first visit order is replaced by the id order, which only
+    differs on exact shared-edge t ties between clusters)."""
+    rr_t = res_t.reshape(-1, g)
+    rr_i = res_i.reshape(-1, g)
+    tt = jnp.full((ng * k + 1, g), T_FAR, jnp.float32).at[
+        row_tgt].set(rr_t, mode="drop")[:ng * k].reshape(ng, k, g)
+    ii = jnp.full((ng * k + 1, g), _BIG_IDX, jnp.int32).at[
+        row_tgt].set(rr_i, mode="drop")[:ng * k].reshape(ng, k, g)
+    bt = jnp.min(tt, axis=1)                                # [ng, g]
+    bi = jnp.min(jnp.where(tt == bt[:, None, :], ii, _BIG_IDX), axis=1)
+    bt = bt.reshape(n)
+    bi = bi.reshape(n)
     return bt[None, :], jnp.where(bt < T_FAR, bi, 0)[None, :]
 
 
@@ -3152,11 +3243,11 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
         # section comment), then finish rays that overflowed a static
         # cap through the tile-union streamed pass with everyone else
         # parked (parked lanes produce empty candidate lists).
-        pair_rays, jtab, pair_ray, pair_rank, incomplete = cbin_pairs(
+        pair_rays, jtab, row_tgt, incomplete, (ng, gsz, kcap) = cbin_pairs(
             rays, sboxes, tmin, tmax)
         bt, bi = _closest_call_cbin(pair_rays, tris, jtab, tmin)
-        best_out, best_idx = _cbin_reduce(bt, bi, pair_ray, pair_rank,
-                                          rays.shape[1])
+        best_out, best_idx = _cbin_reduce(bt, bi, row_tgt, rays.shape[1],
+                                          ng, gsz, kcap)
         rays_c = _park_rays(rays, ~incomplete)
         cand, keys = stream_candidates(rays_c, sboxes, RAY_TILE_C, tmin,
                                        tmax)
