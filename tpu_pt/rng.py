@@ -33,10 +33,18 @@ def _inv_2_24() -> jnp.ndarray:
     backend at import time, which breaks ``jax.distributed.initialize``
     in multi-host workers. Concrete (not a Python literal): the literal
     changed XLA fusion enough to cost 1-ulp cross-sharding bitwise
-    equality (test_tile_sharding_bitwise_with_scan_scheduler caught it)."""
+    equality (test_tile_sharding_bitwise_with_scan_scheduler caught it).
+    ``ensure_compile_time_eval``: without it, a first call that happens
+    INSIDE a jit trace caches a DynamicJaxprTracer, which every later
+    trace then closes over — XLA lifts the stale tracer as a phantom
+    executable parameter and execution dies with "supplied N buffers
+    but compiled program expected N+1" on the SECOND config rendered in
+    a process (order-dependent, so it looked flaky)."""
     global _INV_2_24_ARR
     if _INV_2_24_ARR is None:
-        _INV_2_24_ARR = jnp.float32(_INV_2_24)
+        import jax
+        with jax.ensure_compile_time_eval():
+            _INV_2_24_ARR = jnp.float32(_INV_2_24)
     return _INV_2_24_ARR
 
 
