@@ -329,10 +329,12 @@ def test_streamed_matches_chained(mixed_scene, rays, monkeypatch, guard):
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
 
 
-@pytest.mark.parametrize("pair_mult,k_out,group",
-                         [(12, 32, 8), (12, 32, 1), (12, 48, 32), (1, 2, 8)])
+@pytest.mark.parametrize("pair_mult,k_out,group,lvl",
+                         [(12, 32, 8, 1), (12, 32, 1, 1), (12, 48, 32, 1),
+                          (1, 2, 8, 1), (12, 32, 1, 2), (12, 32, 8, 2),
+                          (12, 3, 1, 2)])
 def test_cbin_matches_chained(mixed_scene, rays, monkeypatch, pair_mult,
-                              k_out, group):
+                              k_out, group, lvl):
     """TPT_CBIN groups rays BY cluster (per-ray-group work lists) and must
     produce the same hits as the chained tile-union path, at any group
     size (g=1 is the exact per-ray schedule; g>1 shares a conservative
@@ -344,12 +346,21 @@ def test_cbin_matches_chained(mixed_scene, rays, monkeypatch, pair_mult,
     monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
     monkeypatch.setattr(pallas_bf, "CLUSTER", 64)
     monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    tmax = jnp.full((o.shape[0],), 2.5)
     ref = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    ref_occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
     monkeypatch.setenv("TPT_CBIN", "1")
     monkeypatch.setattr(pallas_bf, "CBIN_PAIR_MULT", pair_mult)
     monkeypatch.setattr(pallas_bf, "CBIN_K_OUT", k_out)
     monkeypatch.setattr(pallas_bf, "CBIN_GROUP", group)
+    # lvl=2 with fan 2 exercises the two-level parent/child expansion
+    # on the tiny test scene (4 superclusters -> 2 parents); the k_out=3
+    # case starves the child cap so two-level overflow completion runs.
+    monkeypatch.setattr(pallas_bf, "CBIN_LVL", lvl)
+    monkeypatch.setattr(pallas_bf, "CBIN_FAN", 2)
+    monkeypatch.setattr(pallas_bf, "CBIN_K1", 3)
     out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
     np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))
     np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
@@ -358,6 +369,7 @@ def test_cbin_matches_chained(mixed_scene, rays, monkeypatch, pair_mult,
         np.testing.assert_array_equal(
             np.asarray(getattr(ref.normal, c)),
             np.asarray(getattr(out.normal, c)))
+    np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
 
 
 def test_render_with_pallas_matches_bruteforce(cornell_scene):

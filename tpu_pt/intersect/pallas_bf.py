@@ -2351,24 +2351,20 @@ def _occluded_call_streamed(rays, tris, sboxes, cand, keys,
 # ---------------------------------------------------------------------------
 CBIN_PAIR_MULT = int(os.environ.get("TPT_CBIN_PAIRS", 12))   # P_cap = mult*N
 CBIN_K_OUT = int(os.environ.get("TPT_CBIN_K", 32))           # per-group cap
-CBIN_GROUP = int(os.environ.get("TPT_CBIN_GROUP", 8))        # lanes/work list
+CBIN_GROUP = int(os.environ.get("TPT_CBIN_GROUP", 1))        # lanes/work list
+CBIN_FAN = int(os.environ.get("TPT_CBIN_FAN", 8))            # parents: children
+CBIN_K1 = int(os.environ.get("TPT_CBIN_K1", 16))             # parent-list cap
+CBIN_LVL = int(os.environ.get("TPT_CBIN_LVL", 0))            # 0 auto, 1, 2
+CBIN_LVL2_MIN = int(os.environ.get("TPT_CBIN_LVL2_MIN", 192))
 
 
-def _cbin_group_test(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
-                     tmax, g: int) -> jnp.ndarray:
-    """Conservative slab test of every g-lane group vs every cluster AABB.
+def _cbin_ray_bounds(rays: jnp.ndarray, tmax, g: int):
+    """Per-group interval bounds for the conservative slab tests.
 
-    Returns okt [N//g, NS] bool. Interval arithmetic over the group's
-    member rays: per axis, the 8 endpoint products of (box_face - o) x
-    inv(d) bound min(t0,t1) from below and max(t0,t1) from above for
-    every member, so (tn_lo <= tf_hi) & (tf_hi > tmin) & (tn_lo < tmax)
-    is a superset of each member ray's exact slab test — false positives
-    only cost sweep work; false negatives are impossible. At g=1 the
-    intervals are points and this reproduces the exact per-ray test
-    bitwise. PARKED lanes (render.PARK_COORD origins) are masked out of
-    the intervals so a retired lane cannot blow up its group's bounds;
-    all-parked groups test false everywhere."""
-    ns = sboxes.shape[0]
+    Returns ``(o_lo, o_hi, i_lo, i_hi [3, ng], any_live [ng],
+    tmax_g [ng, 1])``. PARKED lanes (render.PARK_COORD origins) are
+    masked out of the intervals so a retired lane cannot blow up its
+    group's bounds; all-parked groups report any_live False."""
     n = rays.shape[1]
     ng = n // g
     o = rays[0:3, :].reshape(3, ng, g)
@@ -2394,29 +2390,141 @@ def _cbin_group_test(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
         tmax_g = jnp.max(
             jnp.where(parked, -big,
                       jnp.reshape(tmax, (ng, g))), axis=1, keepdims=True)
+    return o_lo, o_hi, i_lo, i_hi, any_live, tmax_g
+
+
+def _interval_slab(bounds, box_lo, box_hi, tmin: float) -> jnp.ndarray:
+    """Conservative slab test of group intervals vs per-group boxes.
+
+    ``box_lo/box_hi`` are [ng, m, 3] (or broadcastable); returns
+    [ng, m] bool. Interval arithmetic: per axis, the 8 endpoint
+    products of (box_face - o) x inv(d) bound min(t0,t1) from below and
+    max(t0,t1) from above for every member ray, so (tn_lo <= tf_hi) &
+    (tf_hi > tmin) & (tn_lo < tmax) is a superset of each member's
+    exact slab test — false positives only cost sweep work; false
+    negatives are impossible, and the test is monotone in box size (a
+    parent AABB passes whenever any child does). At g=1 the intervals
+    are points and this reproduces the exact per-ray test bitwise."""
+    o_lo, o_hi, i_lo, i_hi, any_live, tmax_g = bounds
+    tn = None
+    tf = None
+    for a in range(3):
+        f_lo0 = box_lo[..., a] - o_hi[a][:, None]           # [ng, m]
+        f_hi0 = box_lo[..., a] - o_lo[a][:, None]
+        f_lo1 = box_hi[..., a] - o_hi[a][:, None]
+        f_hi1 = box_hi[..., a] - o_lo[a][:, None]
+        il = i_lo[a][:, None]
+        ih = i_hi[a][:, None]
+        pmin = None
+        pmax = None
+        for p in (f_lo0 * il, f_lo0 * ih, f_hi0 * il, f_hi0 * ih,
+                  f_lo1 * il, f_lo1 * ih, f_hi1 * il, f_hi1 * ih):
+            pmin = p if pmin is None else jnp.minimum(pmin, p)
+            pmax = p if pmax is None else jnp.maximum(pmax, p)
+        tn = pmin if tn is None else jnp.maximum(tn, pmin)
+        tf = pmax if tf is None else jnp.minimum(tf, pmax)
+    return (tn <= tf) & (tf > tmin) & (tn < tmax_g) & any_live[:, None]
+
+
+def _cbin_group_test(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
+                     tmax, g: int) -> jnp.ndarray:
+    """Dense conservative slab test of every group vs every cluster AABB
+    ([N//g, NS] bool), chunked so temporaries stay [ng, <=1024]."""
+    ns = sboxes.shape[0]
+    bounds = _cbin_ray_bounds(rays, tmax, g)
     parts = []
     for c0 in range(0, ns, 1024):
         sb = sboxes[c0:c0 + 1024]
-        tn = None
-        tf = None
-        for a in range(3):
-            f_lo0 = sb[None, :, a] - o_hi[a][:, None]       # [ng, nc]
-            f_hi0 = sb[None, :, a] - o_lo[a][:, None]
-            f_lo1 = sb[None, :, a + 3] - o_hi[a][:, None]
-            f_hi1 = sb[None, :, a + 3] - o_lo[a][:, None]
-            il = i_lo[a][:, None]
-            ih = i_hi[a][:, None]
-            pmin = None
-            pmax = None
-            for p in (f_lo0 * il, f_lo0 * ih, f_hi0 * il, f_hi0 * ih,
-                      f_lo1 * il, f_lo1 * ih, f_hi1 * il, f_hi1 * ih):
-                pmin = p if pmin is None else jnp.minimum(pmin, p)
-                pmax = p if pmax is None else jnp.maximum(pmax, p)
-            tn = pmin if tn is None else jnp.maximum(tn, pmin)
-            tf = pmax if tf is None else jnp.minimum(tf, pmax)
-        parts.append((tn <= tf) & (tf > tmin) & (tn < tmax_g)
-                     & any_live[:, None])
+        parts.append(_interval_slab(bounds, sb[None, :, 0:3],
+                                    sb[None, :, 3:6], tmin))
     return jnp.concatenate(parts, axis=1)                   # [ng, ns]
+
+
+def _extract_lists(okt: jnp.ndarray, ids, k: int):
+    """Compact per-group id lists from a pierce mask.
+
+    ``okt`` [ng, m] bool, ``ids`` [m] i32 ascending; returns
+    (c_list [ng, k] i32 with -1 padding, valid [ng, k], cnt [ng]).
+    One fused compare-reduce over [ng, m, k]; beats lax.top_k 3x here
+    (k is tiny, m is padded)."""
+    mi = okt.astype(jnp.int32)
+    rank = jnp.cumsum(mi, axis=1) - mi
+    cnt = jnp.sum(mi, axis=1)
+    r_k = jnp.where(okt, rank, k).astype(jnp.int32)
+    sel = r_k[:, :, None] == jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    c_list = jnp.max(jnp.where(sel, ids[None, :, None], -1), axis=1)
+    return c_list, c_list >= 0, cnt
+
+
+def _cbin_lists(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
+                tmax, g: int, k: int):
+    """Per-group compact cluster work lists (ascending cluster ids).
+
+    Returns ``(c_list [ng, k], valid [ng, k], inc [ng])`` where ``inc``
+    marks groups whose list was truncated by a static cap (they must be
+    finished by the fallback pass).
+
+    Two modes: a flat dense test over all NS cluster AABBs, or — above
+    CBIN_LVL2_MIN clusters — a two-level pass that tests CBIN_FAN-wide
+    parent AABBs densely, then expands only the pierced parents' child
+    boxes (a [ng, k1]-row gather): the dense term shrinks from
+    O(ng * NS) to O(ng * (NS/fan + k1 * fan)), which is what keeps the
+    schedule build flat-cost as scenes grow. Parent unions pad with
+    EMPTY boxes (lo > hi), so padded children self-reject."""
+    ns = sboxes.shape[0]
+    ng = rays.shape[1] // g
+    fan = CBIN_FAN
+    lvl = CBIN_LVL
+    two = (lvl == 2) or (lvl == 0 and ns >= CBIN_LVL2_MIN)
+    if not two:
+        okt = _cbin_group_test(rays, sboxes, tmin, tmax, g)
+        c_list, valid, cnt = _extract_lists(
+            okt, jnp.arange(ns, dtype=jnp.int32), k)
+        return c_list, valid, cnt > k
+    k1 = min(CBIN_K1, max(1, (ns + fan - 1) // fan))
+    ns1 = (ns + fan - 1) // fan
+    big = jnp.float32(3e38)
+    pad = ns1 * fan - ns
+    lo_c = jnp.concatenate([sboxes[:, 0:3],
+                            jnp.full((pad, 3), big)]) if pad else \
+        sboxes[:, 0:3]
+    hi_c = jnp.concatenate([sboxes[:, 3:6],
+                            jnp.full((pad, 3), -big)]) if pad else \
+        sboxes[:, 3:6]
+    lo8 = lo_c.reshape(ns1, fan, 3)
+    hi8 = hi_c.reshape(ns1, fan, 3)
+    sb1 = jnp.concatenate([jnp.min(lo8, axis=1), jnp.max(hi8, axis=1)],
+                          axis=1)                           # [ns1, 6]
+    bounds = _cbin_ray_bounds(rays, tmax, g)
+    parts = []
+    for c0 in range(0, ns1, 1024):
+        s = sb1[c0:c0 + 1024]
+        parts.append(_interval_slab(bounds, s[None, :, 0:3],
+                                    s[None, :, 3:6], tmin))
+    okt1 = jnp.concatenate(parts, axis=1)                   # [ng, ns1]
+    c1, valid1, cnt1 = _extract_lists(
+        okt1, jnp.arange(ns1, dtype=jnp.int32), k1)
+    c1c = jnp.maximum(c1, 0)
+    # Child expansion: [ng, k1, fan] boxes via one row-gather per level.
+    ch_lo = lo8[c1c].reshape(ng, k1 * fan, 3)
+    ch_hi = hi8[c1c].reshape(ng, k1 * fan, 3)
+    ok2 = (_interval_slab(bounds, ch_lo, ch_hi, tmin)
+           & jnp.repeat(valid1, fan, axis=1))               # [ng, k1*fan]
+    ids2 = (c1c[:, :, None] * fan
+            + jnp.arange(fan, dtype=jnp.int32)[None, None, :]
+            ).reshape(ng, k1 * fan)
+    # _extract_lists wants shared ascending ids; here ids vary per group
+    # but stay ascending along the axis (c1 lists ascend), so the same
+    # rank trick works with a per-group gather of ids at the selected
+    # ranks.
+    mi = ok2.astype(jnp.int32)
+    rank = jnp.cumsum(mi, axis=1) - mi
+    cnt2 = jnp.sum(mi, axis=1)
+    r_k = jnp.where(ok2, rank, k).astype(jnp.int32)
+    sel = r_k[:, :, None] == jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    c_list = jnp.max(jnp.where(sel, ids2[:, :, None], -1), axis=1)
+    inc = (cnt1 > k1) | (cnt2 > k)
+    return c_list, c_list >= 0, inc
 
 
 def cbin_pairs(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
@@ -2443,14 +2551,22 @@ def cbin_pairs(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
     p_cap = CBIN_PAIR_MULT * n
     j_cap = p_cap // rt
 
-    okt = _cbin_group_test(rays, sboxes, tmin, tmax, g)     # [ng, ns]
-    cnt_g = jnp.sum(okt, axis=1, dtype=jnp.int32)           # [ng]
-    rank = jnp.cumsum(okt, axis=1, dtype=jnp.int32) - okt   # [ng, ns]
-    okt_k = okt & (rank < k)                         # survives per-group cap
-    cnt_cl = jnp.sum(okt_k, axis=0, dtype=jnp.int32)        # [ns]
+    c_list, valid, inc_lists = _cbin_lists(rays, sboxes, tmin, tmax, g, k)
+
+    # Cluster-major order: ONE stable key/value sort of the (group, k)
+    # pair ids. Stability keeps groups ascending within a cluster.
+    skey = jnp.where(valid, c_list, ns).reshape(-1)
+    pid = jnp.arange(ng * k, dtype=jnp.int32)
+    skey_s, sval = jax.lax.sort((skey, pid), num_keys=1)
+
+    # Per-cluster pair counts straight off the sorted keys (the k cap is
+    # already applied by the list extraction, so no dense recount):
+    # start_cl[c] = first sorted position of cluster c.
+    bounds = jnp.searchsorted(skey_s, jnp.arange(ns + 1, dtype=jnp.int32))
+    start_cl = bounds[:ns].astype(jnp.int32)
+    cnt_cl = (bounds[1:] - bounds[:ns]).astype(jnp.int32)   # [ns]
     jobs = (cnt_cl + qpj - 1) // qpj
     base_job = jnp.cumsum(jobs) - jobs                      # exclusive
-    start_cl = jnp.cumsum(cnt_cl) - cnt_cl
     total_jobs = jnp.sum(jobs)
     jtab = jnp.full((j_cap + 1,), -1, jnp.int32).at[
         jnp.where(jobs > 0, jnp.minimum(base_job, j_cap), j_cap)].set(
@@ -2458,21 +2574,6 @@ def cbin_pairs(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
     jtab = jax.lax.cummax(jtab)                             # forward fill
     jtab = jnp.where(jnp.arange(j_cap) < jnp.minimum(total_jobs, j_cap),
                      jtab, -1)
-
-    # Compact per-group cluster lists: c_list[g', j] = the j-th cluster
-    # (ascending) group g' pierces. One fused compare-reduce over
-    # [ng, ns, k]; beats lax.top_k 3x here (k is tiny, ns is padded).
-    c_iota = jnp.arange(ns, dtype=jnp.int32)
-    r_k = jnp.where(okt, rank, k)
-    sel = r_k[:, :, None] == jnp.arange(k, dtype=jnp.int32)[None, None, :]
-    c_list = jnp.max(jnp.where(sel, c_iota[None, :, None], -1), axis=1)
-    valid = c_list >= 0                                     # [ng, k]
-
-    # Cluster-major order: ONE stable key/value sort of the (group, k)
-    # pair ids. Stability keeps groups ascending within a cluster.
-    skey = jnp.where(valid, c_list, ns).reshape(-1)
-    pid = jnp.arange(ng * k, dtype=jnp.int32)
-    _, sval = jax.lax.sort((skey, pid), num_keys=1)
 
     # Expand sorted group-pairs to padded job slots with job-granular
     # slice gathers (j_cap-sized) — no slot-sized gather or scatter.
@@ -2502,7 +2603,8 @@ def cbin_pairs(rays: jnp.ndarray, sboxes: jnp.ndarray, tmin: float,
     # cluster's padded segment spilled past the pair budget (this also
     # covers job-table overflow: j_cap = p_cap / 256), stay incomplete.
     bad_c = (base_job + jobs) * rt > p_cap
-    inc_g = (cnt_g > k) | jnp.any(okt & bad_c[None, :], axis=1)
+    inc_g = inc_lists | jnp.any(
+        valid & bad_c[jnp.minimum(c_list, ns - 1)], axis=1)
     incomplete = jnp.repeat(inc_g, g)
     return pair_rays, jtab[:, None], row_tgt, incomplete, (ng, g, k)
 
@@ -2623,6 +2725,90 @@ def _cbin_reduce(res_t, res_i, row_tgt, n: int, ng: int, g: int, k: int):
     bt = bt.reshape(n)
     bi = bi.reshape(n)
     return bt[None, :], jnp.where(bt < T_FAR, bi, 0)[None, :]
+
+
+def _occluded_kernel_cbin(jobs_ref, rays_ref, tris_hbm, out_o,
+                          trisb, sems, *, j_cap, tmin):
+    """Any-hit twin of ``_closest_kernel_cbin``: each job ORs "blocking
+    hit in (tmin, tmax)" over its single supercluster for 256 pair
+    lanes; per-lane tmax rides ray row 6, refractive hits pass light."""
+    j = pl.program_id(0)
+    sc_rows = CLUSTER * SUPER
+    rt = rays_ref.shape[1]
+
+    def start(jj):
+        @pl.when(jobs_ref[jj, 0] >= 0)
+        def _():
+            _bin_dma_tris(jobs_ref, tris_hbm, trisb, sems, jj).start()
+
+    @pl.when(j == 0)
+    def _():
+        start(j)
+    @pl.when(j + 1 < j_cap)
+    def _():
+        start(j + 1)
+
+    c = jobs_ref[j, 0]
+
+    @pl.when(c >= 0)
+    def _():
+        _bin_dma_tris(jobs_ref, tris_hbm, trisb, sems, j).wait()
+        slot = jax.lax.rem(j, 2)
+        ray = _ray_rows(rays_ref)
+        t, refr, _, _ = _pe_block(ray, trisb, slot * sc_rows, sc_rows,
+                                  tmin)
+        blocking = (t < rays_ref[6:7, :]) & (refr < 0.5)
+        out_o[:, :] = jnp.max(jnp.where(blocking, 1, 0), axis=0,
+                              keepdims=True)
+
+    @pl.when(c < 0)
+    def _():
+        out_o[:, :] = jnp.zeros((1, rt), jnp.int32)
+
+
+@functools.partial(jax.named_call, name="pallas_occluded_cbin")
+def _occluded_call_cbin(pair_rays, tris, jobs, tmin: float):
+    """Sweep every (cluster, 256-ray batch) occlusion job; returns
+    per-pair blocked flags [1, P_cap] i32."""
+    tris = _stream_widen(tris)
+    p_cap = pair_rays.shape[1]
+    j_cap = jobs.shape[0]
+    sc_rows = CLUSTER * SUPER
+    kernel = functools.partial(_occluded_kernel_cbin, j_cap=j_cap,
+                               tmin=tmin)
+    return pl.pallas_call(
+        kernel,
+        grid=(j_cap,),
+        in_specs=[
+            pl.BlockSpec((j_cap, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_TILE_C), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # tris (HBM)
+        ],
+        out_specs=pl.BlockSpec((1, RAY_TILE_C), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, p_cap), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * sc_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=34 * p_cap * sc_rows, bytes_accessed=p_cap * 48,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(jobs, pair_rays, tris)
+
+
+def _cbin_reduce_occ(res_o, row_tgt, n: int, ng: int, g: int, k: int):
+    """Per-lane OR over the per-pair blocked flags (row-scatter like
+    ``_cbin_reduce``, max-folded over the k axis)."""
+    rr = res_o.reshape(-1, g)
+    oo = jnp.zeros((ng * k + 1, g), jnp.int32).at[
+        row_tgt].set(rr, mode="drop")[:ng * k].reshape(ng, k, g)
+    return jnp.max(oo, axis=1).reshape(n) > 0
 
 
 def _park_rays(rays: jnp.ndarray, park: jnp.ndarray) -> jnp.ndarray:
@@ -3345,7 +3531,8 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
 
 def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
                               tmax: jnp.ndarray,
-                              tmin: float = 0.01) -> jnp.ndarray:
+                              tmin: float = 0.01,
+                              allow_cbin: bool = True) -> jnp.ndarray:
     origins = as_v3(origins)
     dirs = as_v3(dirs)
     n = origins.x.shape[0]
@@ -3356,6 +3543,31 @@ def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
         tris, boxes, sboxes = pack_tris(scene), None, None
         tris, tb_single = _trim_single(scene, tris)
     else:
+        if (allow_cbin and os.environ.get("TPT_CBIN", "0") == "1"
+                and os.environ.get("TPT_CBIN_OCC", "1") == "1"):
+            # Cluster-binned any-hit: the same exact work lists as the
+            # closest-hit cbin path (per-lane tmax bounds the group
+            # interval test), with overflowed groups finished by this
+            # same function minus the cbin branch. A lane its jobs
+            # already blocked needs no completion pass (any-hit
+            # short-circuit).
+            rays = pack_rays(origins, dirs, tmax, n_pad)
+            tris, boxes, sboxes = pack_tris_clustered(scene)
+            pair_rays, jtab, row_tgt, incomplete, (ng, gsz, kcap) = \
+                cbin_pairs(rays, sboxes, tmin, rays[6])
+            oc = _occluded_call_cbin(pair_rays, tris, jtab, tmin)
+            occ_r = _cbin_reduce_occ(oc, row_tgt, n_pad, ng, gsz, kcap)
+            ovf = incomplete[:n] & ~occ_r[:n]
+            park_o = V3(jnp.where(ovf, origins.x, 3.0e7),
+                        jnp.where(ovf, origins.y, 3.0e7),
+                        jnp.where(ovf, origins.z, 3.0e7))
+            park_d = V3(jnp.where(ovf, dirs.x, 0.5773503),
+                        jnp.where(ovf, dirs.y, 0.5773503),
+                        jnp.where(ovf, dirs.z, 0.5773503))
+            fb = _intersect_occluded_tiled(
+                scene, park_o, park_d, jnp.where(ovf, tmax, 0.0), tmin,
+                allow_cbin=False)
+            return jnp.where(ovf, fb, occ_r[:n])
         rays = pack_rays(origins, dirs, tmax, n_pad)
         tris, boxes, sboxes = pack_tris_clustered(scene)
         key = _coherence_key(rays, boxes, sboxes)
