@@ -256,3 +256,30 @@ def test_refractive_sphere_transmits_light(mixed_scene, cam):
     # Sphere is around image center-left, rows ~28-40.
     patch = accum[26:40, 18:34]
     assert patch.mean() > 0.01
+
+
+def test_ladder_bitwise_identical(cornell_scene, cam, monkeypatch):
+    """The pixelq width ladder (TPT_LADDER) compacts live lanes into
+    narrower while_loops as the queue drains. Radiance is item-keyed
+    (counter RNG), each item is claimed and drained exactly once at any
+    ladder, and the drain sorts by item id — so the image AND the
+    path stats must be bitwise identical to the single-stage loop (only
+    the round count differs). 256^2 x 1 spp makes 8192 lanes, so the
+    8192 -> 4096 boundary is actually crossed."""
+    cfg = small_cfg(width=256, height=256, spp=1, max_depth=4,
+                    intersector="bruteforce")
+    monkeypatch.setenv("TPT_LADDER", "1")
+    render_frame.clear_cache()      # TPT_LADDER is read at trace time
+    a, _, sa = render_mean(cornell_scene, cam, cfg)
+    monkeypatch.setenv("TPT_LADDER", "1,2")
+    render_frame.clear_cache()
+    b, _, sb = render_mean(cornell_scene, cam, cfg)
+    np.testing.assert_array_equal(a, b)
+    assert float(sa.rays_traced) == float(sb.rays_traced)
+    assert float(sa.shadow_rays) == float(sb.shadow_rays)
+    np.testing.assert_array_equal(np.asarray(sa.done_histogram),
+                                  np.asarray(sb.done_histogram))
+    # The ladder narrows tail rounds, it does not add any: total round
+    # count stays within a couple of boundary-claim reshuffles.
+    assert abs(float(sb.wavefront_iterations)
+               - float(sa.wavefront_iterations)) <= 2

@@ -597,25 +597,54 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     # renders wide enough to fill the kernel grid.
     n_lanes = min(cfg.lanes, max(4096, total_items // int(os.environ.get("TPT_ITEMS_PER_LANE", 8))), total_items)
     spp = jnp.uint32(cfg.spp)
-    # Mean flushes/lane is items/lanes; the queue self-balances (lanes that
-    # draw cheap items finish more of them), so a small margin suffices —
-    # and overflow is correct anyway (the lane retires; items it would
-    # have claimed go to lanes that still have slots, so no sample is
-    # lost at ANY margin, and the counter RNG keys radiance by
-    # (pixel, sample), so the image is bitwise identical too). Drain
-    # updates scale with n_slots, so margin is pure overhead: measured
-    # (1024^2 x 16 spp Cornell) margin 6 = 127.8, 2 = 132.3, 0 = 133.9
-    # Mrays/s; 2 buys insurance for item-cost-skewed scenes at ~1%.
-    n_slots = max(4, (total_items + n_lanes - 1) // n_lanes
-                  + int(os.environ.get("TPT_SLOT_MARGIN", 2)))
-    slot_iota = jnp.arange(n_slots, dtype=jnp.uint32)[:, None]   # [S, 1]
+    # Width LADDER: the while_loop's width is static, so once the queue
+    # drains, the tail (the unluckiest still-running items) pays
+    # full-width cost per round — every dense per-round term (candidate
+    # builds, schedule builds, shade selects) runs over mostly-retired
+    # lanes. TPT_LADDER lists width divisors: when the live-lane count
+    # falls to the next stage's width, the loop exits, survivors compact
+    # into a narrower loop (fresh flush buffers; the finished buffers
+    # join the final drain), and tracing continues. Radiance is
+    # item-keyed (counter RNG), so images are bitwise identical at any
+    # ladder. Each stage retraces the bounce step at its width — more
+    # compile, same numerics.
+    divisors = [int(x) for x in os.environ.get(
+        "TPT_LADDER", "1,8").split(",") if x.strip()]
+    widths = []
+    for dv in sorted(set(max(1, d) for d in divisors)):
+        w = max(4096, n_lanes // dv)
+        w -= w % 256 if w > 4096 else 0
+        if (not widths or w < widths[-1]) and w <= n_lanes:
+            widths.append(w)
+    if not widths or widths[0] != n_lanes:
+        widths.insert(0, n_lanes)
+
+    def stage_slots(w):
+        # Mean flushes/lane is items/lanes; the queue self-balances
+        # (lanes that draw cheap items finish more of them), so a small
+        # margin suffices — and overflow is correct anyway (the lane
+        # retires; items it would have claimed go to lanes that still
+        # have slots, so no sample is lost at ANY margin, and the
+        # counter RNG keys radiance by (pixel, sample), so the image is
+        # bitwise identical too). Drain updates scale with n_slots, so
+        # margin is pure overhead: measured (1024^2 x 16 spp Cornell)
+        # margin 6 = 127.8, 2 = 132.3, 0 = 133.9 Mrays/s; 2 buys
+        # insurance for item-cost-skewed scenes at ~1%. Narrow stages
+        # cap at 64 slots (overflow retires correctly and the next
+        # stage re-claims).
+        return min(64, max(4, (total_items + w - 1) // w
+                           + int(os.environ.get("TPT_SLOT_MARGIN", 2))))
+
     # Empty slots carry filler ids past the real items, so the drain's
     # sort-by-id pushes them behind every real item row (see the drain
-    # below). Unique fillers keep the sort key total-ordered.
-    empty_ids = (total_items + jnp.arange(n_slots * n_lanes, dtype=jnp.int32)
-                 ).reshape(n_slots, n_lanes)
-    uf_empty = total_items + n_slots * n_lanes + jnp.arange(
-        n_lanes, dtype=jnp.int32)
+    # below). Unique fillers keep the sort key total-ordered; each
+    # stage's buffers get a disjoint filler range.
+    def stage_buffers(w, filler_base):
+        s = stage_slots(w)
+        empty_ids = (filler_base
+                     + jnp.arange(s * w, dtype=jnp.int32)).reshape(s, w)
+        uf_empty = filler_base + s * w + jnp.arange(w, dtype=jnp.int32)
+        return empty_ids, uf_empty, filler_base + s * w + w
 
     def item_pixel(g):
         return g % n, (g // n) * chunk                # (pixel slot, sample0)
@@ -641,6 +670,7 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     from .intersect import SLAB_UNKNOWN
     SLAB_NONE = jnp.int32(SLAB_UNKNOWN)
 
+    empty_ids0, uf_empty0, filler_next = stage_buffers(n_lanes, total_items)
     state0 = dict(
         g=g0, sample=sample0,
         origin=origin0, direction=dir0,
@@ -648,9 +678,9 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
         depth=jnp.zeros((n_lanes,), jnp.uint32),
         pending=V3.zeros((n_lanes,)),
         cnt=jnp.zeros((n_lanes,), jnp.uint32),
-        slot_g=empty_ids,
-        slot_rgb=V3.zeros((n_slots, n_lanes)),
-        uf_g=uf_empty,
+        slot_g=empty_ids0,
+        slot_rgb=V3.zeros((stage_slots(n_lanes), n_lanes)),
+        uf_g=uf_empty0,
         active=g0 < total,
         next_g=jnp.uint32(n_lanes),
         n_rays=jnp.zeros((), jnp.float32),
@@ -662,11 +692,11 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
         state0["pred"] = jnp.full((n_lanes,), SLAB_NONE)
         state0["cam_slab"] = jnp.full((n_lanes,), SLAB_NONE)
 
-    def cond(s):
-        return jnp.any(s["active"])
-
     def body(s):
         active = s["active"]
+        n_lanes = s["g"].shape[0]              # stage width (static)
+        n_slots = s["slot_g"].shape[0]
+        slot_iota = jnp.arange(n_slots, dtype=jnp.uint32)[:, None]
         g, sample = s["g"], s["sample"]
         j, chunk0 = item_pixel(g)
         pix = pixel_start + j
@@ -773,7 +803,52 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
                           jnp.where(has_new, SLAB_NONE, s["pred"])))
         return out_s
 
-    out = jax.lax.while_loop(cond, body, state0)
+    # Per-lane state that survives a ladder compaction (flush buffers do
+    # not: each stage drains its own).
+    carry_keys = ("g", "sample", "origin", "direction", "atten", "depth",
+                  "pending", "active") + (("pred", "cam_slab")
+                                          if use_pred else ())
+    drain_ids = []
+    drain_rgb = []
+    out = state0
+    for si, w in enumerate(widths):
+        last = si == len(widths) - 1
+        if si > 0:
+            # Compact live lanes to the front (stable, so determinism is
+            # preserved though not required: radiance is item-keyed) and
+            # start the narrower stage with fresh flush buffers. The old
+            # buffers — plus overflow-retired radiance still in lane
+            # registers — join the final drain; live lanes' uf rows are
+            # filler ids, so their in-flight ``pending`` is NOT drained
+            # here (it travels with the lane).
+            drain_ids += [out["slot_g"].reshape(-1), out["uf_g"]]
+            drain_rgb += [(out["slot_rgb"].x.reshape(-1), out["pending"].x),
+                          (out["slot_rgb"].y.reshape(-1), out["pending"].y),
+                          (out["slot_rgb"].z.reshape(-1), out["pending"].z)]
+            perm = jnp.argsort(~out["active"], stable=True)[:w]
+            state = {k: jax.tree.map(lambda a: a[perm], out[k])
+                     for k in carry_keys}
+            empty_ids, uf_empty, filler_next = stage_buffers(w, filler_next)
+            state.update(
+                cnt=jnp.zeros((w,), jnp.uint32),
+                slot_g=empty_ids,
+                slot_rgb=V3.zeros((stage_slots(w), w)),
+                uf_g=uf_empty,
+                next_g=out["next_g"], n_rays=out["n_rays"],
+                n_shadow=out["n_shadow"], hist=out["hist"],
+                iters=out["iters"])
+        else:
+            state = out
+        if last:
+            def cond(s):
+                return jnp.any(s["active"])
+        else:
+            next_w = widths[si + 1]
+
+            def cond(s, _nw=next_w):
+                alive = jnp.sum(s["active"].astype(jnp.int32))
+                return jnp.any(s["active"]) & (alive > _nw)
+        out = jax.lax.while_loop(cond, body, state)
 
     # Drain: every item id in [0, total_items) appears EXACTLY ONCE
     # across the flush slots and the retired lanes' registers (each item
@@ -784,12 +859,15 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     # g % n). No scatter at all: XLA lowers the scatter this replaces
     # to three sorts + three 14 ms permute fusions; doing the one sort
     # ourselves is ~6x cheaper (measured 52 -> 8 ms per frame).
-    idx = jnp.concatenate([out["slot_g"].reshape(-1), out["uf_g"]])
+    drain_rgb += [(out["slot_rgb"].x.reshape(-1), out["pending"].x),
+                  (out["slot_rgb"].y.reshape(-1), out["pending"].y),
+                  (out["slot_rgb"].z.reshape(-1), out["pending"].z)]
+    idx = jnp.concatenate(drain_ids + [out["slot_g"].reshape(-1),
+                                       out["uf_g"]])
     srt = jax.lax.sort(
-        (idx,
-         jnp.concatenate([out["slot_rgb"].x.reshape(-1), out["pending"].x]),
-         jnp.concatenate([out["slot_rgb"].y.reshape(-1), out["pending"].y]),
-         jnp.concatenate([out["slot_rgb"].z.reshape(-1), out["pending"].z])),
+        (idx,) + tuple(
+            jnp.concatenate([a for pair in drain_rgb[c::3] for a in pair])
+            for c in range(3)),
         num_keys=1)
     result = V3(*(srt[c][:total_items].reshape(n_chunks, n).sum(axis=0)
                   for c in (1, 2, 3)))
