@@ -607,9 +607,14 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     # join the final drain), and tracing continues. Radiance is
     # item-keyed (counter RNG), so images are bitwise identical at any
     # ladder. Each stage retraces the bounce step at its width — more
-    # compile, same numerics.
+    # compile, same numerics. Default OFF: it buys frames whose
+    # per-round cost is dominated by width-proportional dense passes
+    # (the 100k-tri clustered frame: 4.83 -> 5.05 Mrays/s at "1,8";
+    # tools/bench_big.py turns it on) but costs the Cornell headline
+    # ~4% (189.5 -> 181.9 — the lean-kernel tail is too short to repay
+    # the stage-boundary compaction and the extra stage's drain rows).
     divisors = [int(x) for x in os.environ.get(
-        "TPT_LADDER", "1,8").split(",") if x.strip()]
+        "TPT_LADDER", "1").split(",") if x.strip()]
     widths = []
     for dv in sorted(set(max(1, d) for d in divisors)):
         w = max(4096, n_lanes // dv)
