@@ -81,7 +81,20 @@ def main():
         "compile_s": round(compile_s, 1),
         "pred": os.environ.get("TPT_PRED", "1"),
         "sort_key": os.environ.get("TPT_SORT_KEY", "dir12"),
+        # Wavefront telemetry (rounds include every ladder stage; divide
+        # rays_per_frame by rounds x initial lanes for a rough occupancy).
+        "rounds_per_frame": round(sum(
+            float(s.wavefront_iterations) for s in frame_stats) / frames, 1),
+        "initial_lanes": _initial_lanes(cfg, size * size),
     }))
+
+
+def _initial_lanes(cfg, n_pixels: int) -> int:
+    # Mirrors _render_pixelq's sizing (render.py) for telemetry only.
+    chunk = max(1, min(cfg.spp, cfg.samples_per_item))
+    total_items = n_pixels * ((cfg.spp + chunk - 1) // chunk)
+    ipl = int(os.environ.get("TPT_ITEMS_PER_LANE", 8))
+    return min(cfg.lanes, max(4096, total_items // ipl), total_items)
 
 
 if __name__ == "__main__":
