@@ -624,28 +624,37 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     if not widths or widths[0] != n_lanes:
         widths.insert(0, n_lanes)
 
-    def stage_slots(w):
+    def stage_slots(w, prev_w=None):
         # Mean flushes/lane is items/lanes; the queue self-balances
         # (lanes that draw cheap items finish more of them), so a small
         # margin suffices — and overflow is correct anyway (the lane
-        # retires; items it would have claimed go to lanes that still
-        # have slots, so no sample is lost at ANY margin, and the
-        # counter RNG keys radiance by (pixel, sample), so the image is
-        # bitwise identical too). Drain updates scale with n_slots, so
-        # margin is pure overhead: measured (1024^2 x 16 spp Cornell)
-        # margin 6 = 127.8, 2 = 132.3, 0 = 133.9 Mrays/s; 2 buys
-        # insurance for item-cost-skewed scenes at ~1%. Narrow stages
-        # cap at 64 slots (overflow retires correctly and the next
-        # stage re-claims).
-        return min(64, max(4, (total_items + w - 1) // w
-                           + int(os.environ.get("TPT_SLOT_MARGIN", 2))))
+        # retires holding its DONE item in uf/pending; items it would
+        # have claimed go to lanes that still have slots, so no sample
+        # is lost at ANY margin, and the counter RNG keys radiance by
+        # (pixel, sample), so the image is bitwise identical too).
+        # Drain updates scale with n_slots, so margin is pure overhead:
+        # measured (1024^2 x 16 spp Cornell) margin 6 = 127.8, 2 =
+        # 132.3, 0 = 133.9 Mrays/s; 2 buys insurance for
+        # item-cost-skewed scenes at ~1%. Ladder stages after the first
+        # can only flush the previous stage's <= prev_w in-flight items
+        # (a lane goes idle only once the queue is empty, so stage
+        # boundaries happen with every item claimed), so their buffers
+        # size to prev_w / w + slack instead of total_items / w — the
+        # final drain sort stays ~items-sized instead of gaining
+        # millions of filler rows per stage.
+        margin = int(os.environ.get("TPT_SLOT_MARGIN", 2))
+        if prev_w is None:
+            per_lane = (total_items + w - 1) // w
+        else:
+            per_lane = prev_w // w + 2
+        return max(4, min(64, per_lane + margin))
 
     # Empty slots carry filler ids past the real items, so the drain's
     # sort-by-id pushes them behind every real item row (see the drain
     # below). Unique fillers keep the sort key total-ordered; each
     # stage's buffers get a disjoint filler range.
-    def stage_buffers(w, filler_base):
-        s = stage_slots(w)
+    def stage_buffers(w, filler_base, prev_w=None):
+        s = stage_slots(w, prev_w)
         empty_ids = (filler_base
                      + jnp.arange(s * w, dtype=jnp.int32)).reshape(s, w)
         uf_empty = filler_base + s * w + jnp.arange(w, dtype=jnp.int32)
@@ -833,11 +842,12 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
             perm = jnp.argsort(~out["active"], stable=True)[:w]
             state = {k: jax.tree.map(lambda a: a[perm], out[k])
                      for k in carry_keys}
-            empty_ids, uf_empty, filler_next = stage_buffers(w, filler_next)
+            empty_ids, uf_empty, filler_next = stage_buffers(
+                w, filler_next, prev_w=widths[si - 1])
             state.update(
                 cnt=jnp.zeros((w,), jnp.uint32),
                 slot_g=empty_ids,
-                slot_rgb=V3.zeros((stage_slots(w), w)),
+                slot_rgb=V3.zeros((stage_slots(w, widths[si - 1]), w)),
                 uf_g=uf_empty,
                 next_g=out["next_g"], n_rays=out["n_rays"],
                 n_shadow=out["n_shadow"], hist=out["hist"],
