@@ -48,7 +48,8 @@ from ..scene.arrays import SceneArrays, BSDF_REFRACTION
 from ..vec3 import V3, as_v3
 from .moller import Hit, T_FAR, DET_EPS
 
-RAY_TILE = 2048       # rays per grid program (dense small-scene kernels)
+RAY_TILE = int(os.environ.get("TPT_RAY_TILE", 2048))
+                      # rays per grid program (dense small-scene kernels)
 RAY_TILE_C = int(os.environ.get("TPT_RT_C", 256))
 SUBTILE_C = int(os.environ.get("TPT_SUBTILE", RAY_TILE_C))
                       # candidate-list granularity inside a clustered
@@ -2822,23 +2823,38 @@ def _park_rays(rays: jnp.ndarray, park: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(park[None, :], fill, rays)
 
 
-def _trim_rows(t_real: int, packed: jnp.ndarray):
+def _trim_rows(t_real: int, packed: jnp.ndarray, hb: int | None = None):
     """Trim a single-slab triangle buffer to the finest 8-aligned padding.
 
     Scene arrays pad to TRI_PAD (128) rows and ``pack_tris`` to TRI_BLOCK
     multiples, but the kernels only need the row count to split into
     equal 8-aligned blocks — the mixed Cornell box (428 tris) sweeps 432
-    rows instead of 512. Returns (trimmed buffer, block size)."""
+    rows instead of 512. Returns (trimmed buffer, block size).
+
+    ``hb`` caps the rows per block. The full (8-row-carry) kernels keep
+    256: their per-block intermediates sat at ~16.0 MB scoped VMEM with
+    512 blocks and OOM'd in fusion-heavy graphs (whitted). The lean and
+    occlusion kernels carry 2/1 rows, so they take TRI_BLOCK (512) —
+    the mixed Cornell then sweeps its 432 rows as ONE straight-line
+    block instead of a 2-iteration fori_loop, which Mosaic pipelines
+    ~7%% better end to end (measured 188.3 -> 201.5 Mrays/s on the
+    1024^2 x 16 spp headline; TPT_FINE_TB to ablate, 1024-wide ray
+    tiles at this block size LOSE: 185.2)."""
+    env = os.environ.get("TPT_FINE_TB")
+    if env:
+        hb = int(env)
+    elif hb is None:
+        hb = TRI_BLOCK // 2
     if not t_real or t_real >= packed.shape[0]:
-        return packed, min(TRI_BLOCK // 2, packed.shape[0])
-    hb = TRI_BLOCK // 2
+        return packed, min(hb, packed.shape[0])
     nb = -(-t_real // hb)                 # blocks needed at <=256 rows
     t_fine = min(-(-t_real // (8 * nb)) * 8 * nb, packed.shape[0])
     return packed[:t_fine], t_fine // nb
 
 
-def _trim_single(scene: SceneArrays, packed: jnp.ndarray):
-    return _trim_rows(scene.num_tris, packed)
+def _trim_single(scene: SceneArrays, packed: jnp.ndarray,
+                 hb: int | None = None):
+    return _trim_rows(scene.num_tris, packed, hb=hb)
 
 
 def _occ_subset(scene: SceneArrays):
