@@ -84,6 +84,21 @@ def test_whitted_golden(assets_dir):
     assert err < 0.01, f"whitted RMSE {err:.4f}"
 
 
+def test_curves_golden(assets_dir, cam):
+    """Scene-JSON swept-sphere curves render end-to-end and match the
+    committed golden (all four reference curve bases in the Cornell box;
+    cuda/GeometryData.h:95-127 + curve.h:312-443 exact normals)."""
+    golden = film.read_png(str(GOLDENS / "curves.png")).astype(np.float32)
+    scene = tpu_pt.load_scene(str(assets_dir / "cornell_curves.json"))
+    assert scene.curves is not None and scene.curves.count == 8
+    img = make_goldens.render_mode(scene, cam,
+                                   dict(use_importance_sampling=True,
+                                        use_direct_lighting=True))
+    ours = tpu_pt.image_to_host(img).astype(np.float32)
+    err = film.rmse(ours / 255.0, golden / 255.0)
+    assert err < 0.01, f"curves: RMSE {err:.4f}"
+
+
 def test_primitives_golden(assets_dir, cam):
     """Scene-JSON analytic primitives render end-to-end and match the
     committed golden (glass sphere shell + metal sphere + parallelogram

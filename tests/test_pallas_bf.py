@@ -410,11 +410,12 @@ def test_deep_render_cross_backend_agreement(mixed_scene):
     assert np.quantile(diff, 0.999) < 1e-3, f"p999 {np.quantile(diff, .999)}"
 
 
-def test_trim_single_block_arithmetic():
+def test_trim_single_block_arithmetic(monkeypatch):
     """_trim_single must return 8-aligned equal blocks covering the true
     triangle count for any count, and never exceed the packed rows."""
     import types
 
+    monkeypatch.delenv("TPT_FINE_TB", raising=False)
     for t_real in [1, 7, 8, 32, 428, 500, 512, 520, 2041, 4000, 8192]:
         rows512 = max(512, -(-t_real // 512) * 512)
         packed = jnp.zeros((rows512, 16), jnp.float32)
@@ -426,6 +427,36 @@ def test_trim_single_block_arithmetic():
         assert rows % tb == 0, (t_real, rows, tb)
         assert tb <= pallas_bf.TRI_BLOCK // 2
         assert tb % 8 == 0 or rows < 8, (t_real, tb)
+        # Lean/occlusion call sites pass hb=TRI_BLOCK: same invariants
+        # at the wider cap.
+        trimmed, tb = pallas_bf._trim_single(scene, packed,
+                                             hb=pallas_bf.TRI_BLOCK)
+        rows = trimmed.shape[0]
+        assert rows >= t_real and rows <= rows512
+        assert rows % tb == 0, (t_real, rows, tb)
+        assert tb <= pallas_bf.TRI_BLOCK
+        assert tb % 8 == 0 or rows < 8, (t_real, tb)
+
+
+def test_trim_rows_env_validation(monkeypatch):
+    """TPT_FINE_TB must be rejected unless a positive multiple of 8, and
+    must not affect full-carry (hb=None) call sites."""
+    import types
+
+    import pytest
+
+    scene = types.SimpleNamespace(num_tris=428)
+    packed = jnp.zeros((512, 16), jnp.float32)
+    for bad in ["0", "-8", "100"]:
+        monkeypatch.setenv("TPT_FINE_TB", bad)
+        with pytest.raises(ValueError):
+            pallas_bf._trim_single(scene, packed, hb=pallas_bf.TRI_BLOCK)
+        # hb=None (full-carry) ignores the knob entirely.
+        _, tb = pallas_bf._trim_single(scene, packed)
+        assert tb <= pallas_bf.TRI_BLOCK // 2
+    monkeypatch.setenv("TPT_FINE_TB", "64")
+    _, tb = pallas_bf._trim_single(scene, packed, hb=pallas_bf.TRI_BLOCK)
+    assert tb <= 64
 
 
 def test_trace_pixel_matches_renderer(mixed_scene):

@@ -227,3 +227,62 @@ class TestSceneJSON:
         occ = occluded(o2, d2, tmax)
         assert bool(occ[0]) is True      # metal sphere blocks
         assert bool(occ[1]) is False     # glass shell passes light
+
+
+class TestCurveSceneJSON:
+    """Scene JSON curves bound into the pipeline (VERDICT round-2 #4; the
+    reference's four round-curve geometry types,
+    ``cuda/GeometryData.h:95-127``, normals ``cuda/curve.h:312-443``)."""
+
+    def _scene(self, assets_dir):
+        import tpu_pt
+        return tpu_pt.load_scene(str(assets_dir / "cornell_curves.json"))
+
+    def test_load(self, assets_dir):
+        from tpu_pt.intersect.curves import (CURVE_LINEAR,
+                                             CURVE_QUADRATIC_BSPLINE,
+                                             CURVE_CUBIC_BSPLINE,
+                                             CURVE_CATMULLROM)
+        scene = self._scene(assets_dir)
+        assert scene.curves is not None
+        # Sliding-window segmentation: 6-pt cubic -> 3, 4-pt catmullrom
+        # -> 1, 3-pt linear -> 2, 4-pt quadratic -> 2.
+        assert scene.curves.count == 8
+        assert scene.curves.k0.shape == (8, 4)
+        assert len(scene.curves.occludes) == 8
+        assert all(scene.curves.occludes)   # no refractive curve material
+
+    def test_closest_combines_curves(self, assets_dir):
+        """A ray aimed at the linear rope segment hits it (id offset past
+        the padded triangle range); one missing every curve lands on the
+        back wall."""
+        import jax.numpy as jnp
+        from tpu_pt.config import RenderConfig
+        from tpu_pt.intersect import get_intersectors
+        from tpu_pt.vec3 import V3
+        scene = self._scene(assets_dir)
+        cfg = RenderConfig(width=8, height=8, spp=1, max_depth=2,
+                           intersector="bruteforce")
+        closest, occluded = get_intersectors(scene, cfg)
+        # Linear strand passes through (120, 484, 295) (midpoint of its
+        # first control segment) with radius 8; shoot from the front.
+        o = V3(jnp.array([120.0, 50.0]), jnp.array([484.0, 50.0]),
+               jnp.array([-400.0, -400.0]))
+        d = V3(jnp.array([0.0, 0.0]), jnp.array([0.0, 0.0]),
+               jnp.array([1.0, 1.0]))
+        hit = closest(o, d)
+        t_pad = scene.num_tris_padded
+        assert bool(hit.hit[0]) and int(hit.tri[0]) >= t_pad
+        assert 680.0 < float(hit.t[0]) < 695.5
+        # Surface normal faces the ray and is unit length.
+        n = np.array([float(hit.normal.x[0]), float(hit.normal.y[0]),
+                      float(hit.normal.z[0])])
+        np.testing.assert_allclose(np.linalg.norm(n), 1.0, atol=1e-4)
+        assert n[2] < 0.0
+        # Second ray misses every curve: back wall triangle.
+        assert bool(hit.hit[1]) and int(hit.tri[1]) < t_pad
+        # Occlusion: a segment through the rope is blocked; a clear
+        # segment is not.
+        occ = occluded(o, d, jnp.array([900.0, 100.0]))
+        assert bool(occ[0]) is True
+        assert bool(occ[1]) is False

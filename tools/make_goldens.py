@@ -79,6 +79,17 @@ def main():
     film.write_png(path, tpu_pt.image_to_host(img))
     print("wrote", path)
 
+    # Swept-sphere curves golden (scene JSON: all four reference curve
+    # bases rendered in the Cornell box; cuda/GeometryData.h:95-127 +
+    # curve.h:312-443 exact normals).
+    cscene = tpu_pt.load_scene(os.path.join(REPO, "assets",
+                                            "cornell_curves.json"))
+    img = render_mode(cscene, cam, dict(use_importance_sampling=True,
+                                        use_direct_lighting=True))
+    path = os.path.join(GOLDEN_DIR, "curves.png")
+    film.write_png(path, tpu_pt.image_to_host(img))
+    print("wrote", path)
+
     # Whitted-pipeline golden.
     import numpy as np
     from tpu_pt.scene.gltf import load_gltf

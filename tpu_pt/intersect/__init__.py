@@ -65,7 +65,8 @@ def get_fused_closest_nee(scene: SceneArrays, cfg: RenderConfig):
     the quirk occlusion mode keeps the two-kernel path."""
     if (not cfg.fused_nee or _resolve(scene, cfg) != "pallas"
             or scene.light is None or cfg.quirks.occlusion_first_hit_only
-            or (scene.prims is not None and scene.prims.count)):
+            or (scene.prims is not None and scene.prims.count)
+            or (scene.curves is not None and scene.curves.count)):
         return None    # the fused kernel knows nothing of analytic prims
     from . import pallas_bf
     if scene.num_tris_padded > pallas_bf.TRI_SLAB:
@@ -116,6 +117,49 @@ def _with_primitives(scene: SceneArrays, cfg: RenderConfig, closest_fn,
     return closest2, occluded2
 
 
+def _with_curves(scene: SceneArrays, cfg: RenderConfig, closest_fn,
+                 occluded_fn):
+    """Bind swept-sphere curves into the pipeline (min-t combine).
+
+    The reference carries its four round-curve types as first-class
+    geometry (``cuda/GeometryData.h:95-127``) with exact swept-sphere
+    surface normals in shading (``cuda/curve.h:312-443``); here the
+    tessellated rounded-cone intersector + exact post-hoc normals of
+    ``intersect.curves`` join the hit stream exactly like the analytic
+    primitives. Curve ids live past the primitive ids."""
+    from functools import wraps
+    from .curves import intersect_curves, occluded_curves
+    from .primitives import combine_hits
+    curves = scene.curves
+    offset = scene.num_tris_padded + (
+        scene.prims.count if scene.prims is not None else 0)
+
+    @wraps(closest_fn)
+    def closest2(o, d, pred=None, want_slab=False):
+        if want_slab:
+            hit, slab = closest_fn(o, d, pred=pred, want_slab=True)
+        else:
+            hit = (closest_fn(o, d, pred=pred, want_slab=False)
+                   if getattr(closest_fn, "supports_pred", False)
+                   else closest_fn(o, d))
+        ch = intersect_curves(curves, o, d, tmin=cfg.t_min,
+                              tmax=cfg.t_max, index_offset=offset)
+        if want_slab:
+            import jax.numpy as jnp
+            curve_wins = ch.t < hit.t
+            slab = jnp.where(curve_wins, SLAB_UNKNOWN, slab)
+            return combine_hits(hit, ch), slab
+        return combine_hits(hit, ch)
+
+    closest2.supports_pred = getattr(closest_fn, "supports_pred", False)
+
+    def occluded2(o, d, tmax):
+        return (occluded_fn(o, d, tmax)
+                | occluded_curves(curves, o, d, tmax, tmin=cfg.t_min))
+
+    return closest2, occluded2
+
+
 def get_intersectors(scene: SceneArrays, cfg: RenderConfig,
                      want_uv: bool = True):
     """Returns (closest_fn(o, d) -> Hit, occluded_fn(o, d, tmax) -> bool).
@@ -123,6 +167,11 @@ def get_intersectors(scene: SceneArrays, cfg: RenderConfig,
     ``want_uv=False`` lets the Pallas backend skip the barycentric output
     reduction (the OBJ path tracer shades flat normals only; the whitted
     pipeline needs u/v for vertex-attribute interpolation)."""
+    if scene.curves is not None and scene.curves.count:
+        base = scene.replace(curves=None)
+        closest_fn, occluded_fn = get_intersectors(base, cfg,
+                                                   want_uv=want_uv)
+        return _with_curves(scene, cfg, closest_fn, occluded_fn)
     if scene.prims is not None and scene.prims.count:
         base = scene.replace(prims=None)
         closest_fn, occluded_fn = get_intersectors(base, cfg,

@@ -28,6 +28,7 @@ triangles and analytic primitives by min-t.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -54,6 +55,11 @@ class CurveSegments:
     k2: jnp.ndarray
     k3: jnp.ndarray
     mat: jnp.ndarray     # [S] i32
+    # Per-segment "can occlude an NEE shadow ray" flags (static):
+    # refractive curves pass light, matching the occlusion convention of
+    # the primitives and the reference (``pathTracerPrograms.cu:672-681``).
+    # Empty = all occlude.
+    occludes: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def count(self) -> int:
@@ -78,8 +84,13 @@ def _to_power_basis(kind: int, q: np.ndarray):
             1.5 * (q1 - q2) + 0.5 * (q3 - q0))
 
 
-def make_curves(segments: list[dict]) -> CurveSegments:
-    """Build from dicts {kind, points [n, 3], radii [n], mat}."""
+def make_curves(segments: list[dict],
+                mat_bsdf: np.ndarray | None = None) -> CurveSegments:
+    """Build from dicts {kind, points [n, 3], radii [n], mat}.
+
+    ``mat_bsdf`` (host [M] ints) marks refractive materials so their
+    segments are excluded from NEE occlusion at build time (same contract
+    as ``primitives.make_primitives``)."""
     ks = [[], [], [], []]
     mat = []
     for d in segments:
@@ -89,10 +100,16 @@ def make_curves(segments: list[dict]) -> CurveSegments:
         for i, k in enumerate(_to_power_basis(int(d["kind"]), q)):
             ks[i].append(k[0])
         mat.append(d.get("mat", 0))
+    if mat_bsdf is not None:
+        from ..scene.arrays import BSDF_REFRACTION
+        occludes = tuple(bool(np.asarray(mat_bsdf)[m] != BSDF_REFRACTION)
+                         for m in mat)
+    else:
+        occludes = tuple(True for _ in mat)
     return CurveSegments(
         k0=jnp.asarray(np.stack(ks[0])), k1=jnp.asarray(np.stack(ks[1])),
         k2=jnp.asarray(np.stack(ks[2])), k3=jnp.asarray(np.stack(ks[3])),
-        mat=jnp.asarray(np.asarray(mat, np.int32)))
+        mat=jnp.asarray(np.asarray(mat, np.int32)), occludes=occludes)
 
 
 def _eval4(c: CurveSegments, s: int, u):
@@ -101,6 +118,31 @@ def _eval4(c: CurveSegments, s: int, u):
     k2, k3 = c.k2[s], c.k3[s]
     return ((k3[None] * u[..., None] + k2[None]) * u[..., None]
             + k1[None]) * u[..., None] + k0[None]
+
+
+def _horner4(k0, k1, k2, k3, u):
+    """Batched position4: k* [..., 4] with matching leading dims on u."""
+    u = u[..., None]
+    return ((k3 * u + k2) * u + k1) * u + k0
+
+
+def _piece_table(k0, k1, k2, k3):
+    """Tessellate segments into rounded-cone pieces, batched.
+
+    ``k*`` are [S, 4] power-basis rows; returns a dict of [S * PIECES]
+    piece arrays (endpoint positions/radii, start parameter, segment id)
+    consumed by the ``lax.scan`` intersection loops. One traced Horner
+    evaluation replaces the per-segment/per-piece Python unrolling that
+    made XLA compile minutes-long (64 inlined cone solves per call)."""
+    s_cnt = k0.shape[0]
+    us = jnp.asarray(np.linspace(0.0, 1.0, PIECES + 1, dtype=np.float32))
+    ends = _horner4(k0[:, None, :], k1[:, None, :], k2[:, None, :],
+                    k3[:, None, :], us[None, :])            # [S, P+1, 4]
+    pa = ends[:, :-1, :].reshape(s_cnt * PIECES, 4)
+    pb = ends[:, 1:, :].reshape(s_cnt * PIECES, 4)
+    seg = jnp.repeat(jnp.arange(s_cnt, dtype=jnp.int32), PIECES)
+    u0 = jnp.tile(us[:-1], s_cnt)
+    return dict(pa=pa, pb=pb, seg=seg, u0=u0)
 
 
 def _vel4(c: CurveSegments, s: int, u):
@@ -158,55 +200,106 @@ def _rounded_cone_t(o: V3, d: V3, pa, pb, ra, rb, tmin, tmax):
     return t, s_axis
 
 
-def _surface_normal(c: CurveSegments, s: int, u, ps: V3):
-    """Exact swept-sphere normal (``curve.h:333-443``, type 2)."""
-    p4 = _eval4(c, s, u)
+def _surface_normal_k(k0, k1, k2, k3, u, ps: V3):
+    """Exact swept-sphere normal (``curve.h:333-443``, type 2) from
+    per-lane power-basis rows ``k*`` [N, 4] at parameter ``u`` [N]."""
+    p4 = _horner4(k0, k1, k2, k3, u)
     p = V3(p4[..., 0], p4[..., 1], p4[..., 2])
     r = p4[..., 3]
-    d4 = _vel4(c, s, u)
+    uc = u[..., None]
+    d4 = (3 * k3 * uc + 2 * k2) * uc + k1
     d = V3(d4[..., 0], d4[..., 1], d4[..., 2])
     dr = d4[..., 3]
     dd = v3.dot(d, d)
     o1 = ps - p
     o1 = o1 - d * (v3.dot(o1, d) / jnp.maximum(dd, _EPS))
     o1 = o1 * (r / jnp.maximum(v3.length(o1), _EPS))
-    a3 = _acc3(c, s, u)
+    a3 = 6 * k3[..., :3] * uc + 2 * k2[..., :3]
     acc = V3(a3[..., 0], a3[..., 1], a3[..., 2])
     ddc = dd - v3.dot(acc, o1)
     return v3.normalize(o1 * ddc - d * (dr * r))
 
 
+def _surface_normal(c: CurveSegments, s: int, u, ps: V3):
+    """Per-segment wrapper over ``_surface_normal_k`` (tests)."""
+    b = jnp.broadcast_to
+    shape = u.shape + (4,)
+    return _surface_normal_k(b(c.k0[s], shape), b(c.k1[s], shape),
+                             b(c.k2[s], shape), b(c.k3[s], shape), u, ps)
+
+
 def intersect_curves(curves: CurveSegments, origins, dirs,
-                     tmin: float = 0.01, tmax: float = T_FAR) -> Hit:
-    """Closest hit over all curve segments for a flat ray wavefront."""
+                     tmin: float = 0.01, tmax: float = T_FAR,
+                     index_offset: int = 0) -> Hit:
+    """Closest hit over all curve segments for a flat ray wavefront.
+
+    One ``lax.scan`` over the tessellated piece table (segment-major,
+    piece-minor — the order fixes strict-`<` ties) keeps the compiled
+    graph size independent of the segment count; the winning segment's
+    exact normal is evaluated once per lane from gathered power-basis
+    rows (the segment table is tiny, so the gather is a handful of
+    rows)."""
     o = as_v3(origins)
     d = as_v3(dirs)
     n = o.x.shape[0]
-    best_t = jnp.full((n,), T_FAR, jnp.float32)
-    best_u = jnp.zeros((n,), jnp.float32)
-    best_seg = jnp.zeros((n,), jnp.int32)
-    us = np.linspace(0.0, 1.0, PIECES + 1).astype(np.float32)
-    for s in range(curves.count):
-        ends = np.asarray(_eval4(curves, s, jnp.asarray(us)))  # [P+1, 4]
-        for i in range(PIECES):
-            pa, pb = ends[i], ends[i + 1]
-            t, ax = _rounded_cone_t(o, d, pa[:3], pb[:3],
-                                    float(pa[3]), float(pb[3]), tmin, tmax)
-            u = us[i] + ax * (us[i + 1] - us[i])
-            better = t < best_t
-            best_t = jnp.where(better, t, best_t)
-            best_u = jnp.where(better, u, best_u)
-            best_seg = jnp.where(better, s, best_seg)
+    du = jnp.float32(1.0 / PIECES)
+    pieces = _piece_table(curves.k0, curves.k1, curves.k2, curves.k3)
+
+    def body(carry, piece):
+        best_t, best_u, best_seg = carry
+        pa, pb = piece["pa"], piece["pb"]
+        t, ax = _rounded_cone_t(o, d, pa[:3], pb[:3], pa[3], pb[3],
+                                tmin, tmax)
+        u = piece["u0"] + ax * du
+        better = t < best_t
+        return (jnp.where(better, t, best_t),
+                jnp.where(better, u, best_u),
+                jnp.where(better, piece["seg"], best_seg)), None
+
+    init = (jnp.full((n,), T_FAR, jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.int32))
+    (best_t, best_u, best_seg), _ = jax.lax.scan(body, init, pieces)
     hit = best_t < T_FAR
     ps = o + d * best_t
-    # Normal refined per segment (segment counts are small, like analytic
-    # primitives; each pass is dense over rays).
-    normal = V3.zeros((n,))
-    mat = jnp.zeros((n,), jnp.int32)
-    for s in range(curves.count):
-        nrm = _surface_normal(curves, s, best_u, ps)
-        on_s = hit & (best_seg == s)
-        normal = v3.where(on_s, nrm, normal)
-        mat = jnp.where(on_s, curves.mat[s], mat)
-    return Hit(t=best_t, tri=best_seg, hit=hit, normal=normal, mat=mat,
+    seg = jnp.where(hit, best_seg, 0)
+    normal = _surface_normal_k(
+        jnp.take(curves.k0, seg, axis=0), jnp.take(curves.k1, seg, axis=0),
+        jnp.take(curves.k2, seg, axis=0), jnp.take(curves.k3, seg, axis=0),
+        best_u, ps)
+    normal = v3.where(hit, normal, V3.zeros((n,)))
+    mat = jnp.where(hit, jnp.take(curves.mat, seg), 0)
+    return Hit(t=best_t, tri=best_seg + index_offset, hit=hit,
+               normal=normal, mat=mat,
                u=best_u, v=jnp.zeros((n,), jnp.float32))
+
+
+def occluded_curves(curves: CurveSegments, origins, dirs, tmax,
+                    tmin: float = 0.01) -> jnp.ndarray:
+    """Any-hit occlusion over the occluding (non-refractive) segments.
+
+    Same semantics as ``primitives.occluded_primitives``: a per-ray tmax
+    bounds the light distance; segments whose ``occludes`` flag is False
+    pass light (static build-time selection, so pass-through segments
+    cost nothing)."""
+    o = as_v3(origins)
+    d = as_v3(dirs)
+    n = o.x.shape[0]
+    if curves.occludes:
+        keep = np.asarray([bool(f) for f in curves.occludes])
+    else:
+        keep = np.ones((curves.count,), bool)
+    if not keep.any():
+        return jnp.zeros((n,), bool)
+    idx = np.nonzero(keep)[0]
+    pieces = _piece_table(curves.k0[idx], curves.k1[idx],
+                          curves.k2[idx], curves.k3[idx])
+
+    def body(occ, piece):
+        pa, pb = piece["pa"], piece["pb"]
+        t, _ = _rounded_cone_t(o, d, pa[:3], pb[:3], pa[3], pb[3],
+                               tmin, T_FAR)
+        return occ | (t < tmax), None
+
+    occ, _ = jax.lax.scan(body, jnp.zeros((n,), bool), pieces)
+    return occ

@@ -50,6 +50,11 @@ from .moller import Hit, T_FAR, DET_EPS
 
 RAY_TILE = int(os.environ.get("TPT_RAY_TILE", 2048))
                       # rays per grid program (dense small-scene kernels)
+if RAY_TILE <= 0 or RAY_TILE % 128:
+    raise ValueError(
+        f"TPT_RAY_TILE={RAY_TILE}: single-slab kernels tile rays as"
+        " [8, RAY_TILE] with 128-lane alignment — use a positive"
+        " multiple of 128")
 RAY_TILE_C = int(os.environ.get("TPT_RT_C", 256))
 SUBTILE_C = int(os.environ.get("TPT_SUBTILE", RAY_TILE_C))
                       # candidate-list granularity inside a clustered
@@ -1661,25 +1666,30 @@ def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
     n = origins.x.shape[0]
     n_pad = _pad_to(n, FUSED_RAY_TILE)
     rays = pack_rays(origins, dirs, lz1, n_pad, row7=lz2)
-    tris, tb = _trim_single(scene, pack_tris(scene))
+    packed = pack_tris(scene)
     light = jnp.zeros((1, 128), jnp.float32)
     light = light.at[0, 0:3].set(scene.light.corner)
     light = light.at[0, 3:6].set(scene.light.v1)
     light = light.at[0, 6:9].set(scene.light.v2)
     sub = _occ_subset(scene)
-    if sub is not None:
-        occ_tris, tb_occ = _trim_rows(sub[1], sub[0])
-    else:
-        occ_tris, tb_occ = tris, tb
+    # Lean kernels carry 2/1 rows, so they take full TRI_BLOCK blocks
+    # (measured 188.3 -> 201.5 Mrays/s, see _trim_rows); the full-carry
+    # fallback below re-trims at the VMEM-safe 256.
+    tris, tb = _trim_single(scene, packed, hb=TRI_BLOCK)
     if (tris.shape[0] <= LEAN_MAX_TRIS
             and os.environ.get("TPT_LEAN_FUSED", "1") == "1"):
+        if sub is not None:
+            occ_tris, tb_occ = _trim_rows(sub[1], sub[0], hb=TRI_BLOCK)
+        else:
+            occ_tris, tb_occ = tris, tb
         out_t, idx, occ = _closest_nee_call_lean(
             rays, tris, occ_tris, light, tris.shape[0],
             occ_tris.shape[0], tmin, tmax, tb=tb, tb_occ=tb_occ)
         hit = _lean_resolve(tris, out_t[0, :n], idx[0, :n], tris.shape[0])
         return hit, occ[0, :n] > 0
+    tris, tb = _trim_single(scene, packed)
     out, idx = _closest_nee_call(rays, tris, light, tris.shape[0], tmin,
-                                 tmax, tb=min(tb, TRI_BLOCK // 2))
+                                 tmax, tb=tb)
     return _hit_from_out(out, idx, n), out[7, :n] > 0.5
 
 
@@ -2832,19 +2842,25 @@ def _trim_rows(t_real: int, packed: jnp.ndarray, hb: int | None = None):
     rows instead of 512. Returns (trimmed buffer, block size).
 
     ``hb`` caps the rows per block. The full (8-row-carry) kernels keep
-    256: their per-block intermediates sat at ~16.0 MB scoped VMEM with
-    512 blocks and OOM'd in fusion-heavy graphs (whitted). The lean and
-    occlusion kernels carry 2/1 rows, so they take TRI_BLOCK (512) —
-    the mixed Cornell then sweeps its 432 rows as ONE straight-line
-    block instead of a 2-iteration fori_loop, which Mosaic pipelines
-    ~7%% better end to end (measured 188.3 -> 201.5 Mrays/s on the
-    1024^2 x 16 spp headline; TPT_FINE_TB to ablate, 1024-wide ray
-    tiles at this block size LOSE: 185.2)."""
-    env = os.environ.get("TPT_FINE_TB")
-    if env:
-        hb = int(env)
-    elif hb is None:
+    256 (hb=None): their per-block intermediates sat at ~16.0 MB scoped
+    VMEM with 512 blocks and OOM'd in fusion-heavy graphs (whitted). The
+    lean and occlusion kernels carry 2/1 rows, so their call sites pass
+    hb=TRI_BLOCK (512) — the mixed Cornell then sweeps its 432 rows as
+    ONE straight-line block instead of a 2-iteration fori_loop, which
+    Mosaic pipelines ~7%% better end to end (measured 188.3 -> 201.5
+    Mrays/s on the 1024^2 x 16 spp headline; TPT_FINE_TB ablates the
+    lean sites only — full-carry sites ignore it so the knob cannot
+    push them past the VMEM-safe 256; 1024-wide ray tiles at this block
+    size LOSE: 185.2)."""
+    if hb is None:
         hb = TRI_BLOCK // 2
+    else:
+        env = os.environ.get("TPT_FINE_TB")
+        if env:
+            hb = int(env)
+            if hb <= 0 or hb % 8:
+                raise ValueError(
+                    f"TPT_FINE_TB={env}: must be a positive multiple of 8")
     if not t_real or t_real >= packed.shape[0]:
         return packed, min(hb, packed.shape[0])
     nb = -(-t_real // hb)                 # blocks needed at <=256 rows
@@ -3331,17 +3347,21 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
         # Single-slab kernels take the wavefront's component rows
         # directly (no [8, N] pack copy — see ray_rows).
         rays = ray_rows(origins, dirs, n_pad)
-        tris, boxes, sboxes = pack_tris(scene), None, None
-        tris, tb_single = _trim_single(scene, tris)
+        packed, boxes, sboxes = pack_tris(scene), None, None
+        # Lean (t, id) kernels take full TRI_BLOCK blocks (see
+        # _trim_rows); the full-carry _closest_call below re-trims at
+        # the VMEM-safe 256.
+        tris, tb_lean = _trim_single(scene, packed, hb=TRI_BLOCK)
         if (not want_uv and tmax >= T_FAR
                 and tris.shape[0] <= LEAN_MAX_TRIS):
             # OBJ-path small scenes: lean (t, id) kernel + one-hot
             # attribute resolve (see _lean_sweep).
             out_t, idx = _closest_call_lean(rays, tris, tris.shape[0],
-                                            tmin, tb=tb_single)
+                                            tmin, tb=tb_lean)
             return with_slab(_lean_resolve(tris, out_t[0, :n], idx[0, :n],
                                            tris.shape[0]),
                              jnp.zeros((n,), jnp.int32))
+        tris, tb_single = _trim_single(scene, packed)
     else:
         rays = pack_rays(origins, dirs, None, n_pad)
         tris, boxes, sboxes = pack_tris_clustered(scene)
@@ -3535,7 +3555,9 @@ def intersect_occluded(scene: SceneArrays, origins: V3, dirs: V3,
         # Sweep only the precomputed occluder subset — one single-slab
         # pass even when the full scene takes the clustered path.
         rays = ray_rows(origins, dirs, n_pad, extras=(tmax,))
-        tris, tb_sub = _trim_rows(sub[1], sub[0])
+        # Occlusion kernels carry 1 row: full TRI_BLOCK blocks (see
+        # _trim_rows).
+        tris, tb_sub = _trim_rows(sub[1], sub[0], hb=TRI_BLOCK)
         occ = _occluded_call(rays, tris, tris.shape[0], tmin, tb=tb_sub)
         return occ[0, :n] > 0
     if (pack_tris(scene).shape[0] > TRI_SLAB
@@ -3557,7 +3579,7 @@ def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
     if single:
         rays = ray_rows(origins, dirs, n_pad, extras=(tmax,))
         tris, boxes, sboxes = pack_tris(scene), None, None
-        tris, tb_single = _trim_single(scene, tris)
+        tris, tb_single = _trim_single(scene, tris, hb=TRI_BLOCK)
     else:
         if (allow_cbin and os.environ.get("TPT_CBIN", "0") == "1"
                 and os.environ.get("TPT_CBIN_OCC", "1") == "1"):

@@ -72,6 +72,13 @@ class SceneArrays:
     # ``get_intersectors``; primitive ids live past ``num_tris_padded``.
     prims: object = None
 
+    # Optional swept-sphere curves (tpu_pt.intersect.curves.CurveSegments):
+    # the reference's four round-curve geometry types
+    # (``cuda/GeometryData.h:95-127``, normals ``cuda/curve.h:312-443``),
+    # declared in scene JSON and combined with triangle/primitive hits by
+    # min-t in ``get_intersectors``; curve ids live past the primitives.
+    curves: object = None
+
     # True (unpadded) triangle count, kept static so kernels can trim
     # their sweep range below the TRI_PAD granularity; 0 = unknown (use
     # the padded count).

@@ -20,7 +20,10 @@ Format (all paths relative to the JSON file)::
         {"type": "sphere_shell", "center": [...], "radius1": ri,
          "radius2": ro, "material": ...},
         {"type": "parallelogram", "anchor": [...], "v1": [...],
-         "v2": [...], "material": ...}
+         "v2": [...], "material": ...},
+        {"type": "curve", "basis": "linear" | "quadratic_bspline" |
+         "cubic_bspline" | "catmullrom", "points": [[x, y, z], ...],
+         "radii": [r, ...] | r, "material": ...}
       ],
       "light": {"corner": [...], "v1": [...], "v2": [...],
                 "emission": [...]}          // optional AreaLight override
@@ -44,6 +47,17 @@ from .objloader import (Material, ObjMesh, classify_bsdf, detect_area_light,
                         load_obj)
 
 _PRIM_TYPES = {"sphere": 0, "parallelogram": 1, "sphere_shell": 2}
+
+# Curve basis name -> (CURVE_* kind, control points per segment). A
+# strand of n points yields n - (cps - 1) sliding-window segments, the
+# standard curve-array vertex indexing (the reference's curve types,
+# ``cuda/GeometryData.h:95-127``).
+_CURVE_BASES = {
+    "linear": (0, 2),
+    "quadratic_bspline": (1, 3),
+    "cubic_bspline": (2, 4),
+    "catmullrom": (3, 4),
+}
 
 
 def load_scene_json(path: str, light: AreaLight | None = None,
@@ -85,7 +99,30 @@ def load_scene_json(path: str, light: AreaLight | None = None,
         return name_to_idx[ref]
 
     prim_dicts = []
+    curve_dicts = []
     for p in doc.get("primitives", []):
+        if p.get("type") == "curve":
+            basis = p.get("basis", "cubic_bspline")
+            if basis not in _CURVE_BASES:
+                raise ValueError(f"unknown curve basis {basis!r}")
+            ckind, cps = _CURVE_BASES[basis]
+            pts = np.asarray(p["points"], np.float32)
+            if pts.ndim != 2 or pts.shape[1] != 3 or pts.shape[0] < cps:
+                raise ValueError(
+                    f"curve needs >= {cps} [x,y,z] points for {basis}")
+            radii = p.get("radii", 0.1)
+            if np.ndim(radii) == 0:
+                radii = np.full((pts.shape[0],), float(radii), np.float32)
+            else:
+                radii = np.asarray(radii, np.float32)
+            if radii.shape[0] != pts.shape[0]:
+                raise ValueError("curve radii must match points")
+            m = mat_index(p.get("material", 0))
+            for s in range(pts.shape[0] - (cps - 1)):
+                curve_dicts.append(dict(kind=ckind,
+                                        points=pts[s:s + cps],
+                                        radii=radii[s:s + cps], mat=m))
+            continue
         kind = _PRIM_TYPES.get(p.get("type"))
         if kind is None:
             raise ValueError(f"unknown primitive type {p.get('type')!r}")
@@ -130,4 +167,8 @@ def load_scene_json(path: str, light: AreaLight | None = None,
         from ..intersect.primitives import make_primitives
         scene = scene.replace(
             prims=make_primitives(prim_dicts, mat_bsdf=host["mat_bsdf"]))
+    if curve_dicts:
+        from ..intersect.curves import make_curves
+        scene = scene.replace(
+            curves=make_curves(curve_dicts, mat_bsdf=host["mat_bsdf"]))
     return scene
