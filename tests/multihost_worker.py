@@ -59,6 +59,32 @@ def main() -> None:
                                np.asarray(out_stats.done_histogram))
     print(f"proc {pid}: multihost frame matches single-device", flush=True)
 
+    # Whitted pipeline over the same process-spanning mesh (the
+    # renderer dispatch is pipeline-agnostic, WorkDistribution.h parity).
+    gltf = os.path.join(REPO, "assets", "pbr_test.gltf")
+    if os.path.exists(gltf):
+        from tpu_pt.camera import Camera
+        from tpu_pt.scene.gltf import load_gltf
+        from tpu_pt.whitted import render_whitted_frame
+        ws = load_gltf(gltf)
+        wcam = CameraArrays.from_camera(Camera(
+            eye=np.array([6.0, 4.5, 7.0], np.float32),
+            lookat=np.array([0.0, 0.8, 0.0], np.float32), fov_y=40.0))
+        wcfg = tpu_pt.RenderConfig(width=16, height=16, spp=4, max_depth=3,
+                                   intersector="bruteforce")
+        wstep = dist.make_sharded_renderer(ws, wcfg, mesh)
+        w_accum, _, w_stats = wstep(wcam, 0,
+                                    dist.init_accum_sharded(wcfg, mesh))
+        w_full = dist.gather_frame(w_accum)
+        wref, _, wref_stats = render_whitted_frame(ws, wcam, wcfg, 0,
+                                                   init_accum(wcfg))
+        np.testing.assert_allclose(np.asarray(w_full), np.asarray(wref),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(float(wref_stats.rays_traced),
+                                   float(w_stats.rays_traced))
+        print(f"proc {pid}: multihost whitted frame matches single-device",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

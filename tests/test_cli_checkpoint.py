@@ -110,6 +110,27 @@ def test_cli_view_headless(tmp_path, assets_dir):
     assert film.read_png(str(out)).shape == (32, 32, 3)
 
 
+def test_cli_view_headless_gltf_whitted(tmp_path, assets_dir):
+    """``tpu-pt view scene.gltf`` drives the whitted integrator (the
+    reference's interactive pipeline for its SDK scenes,
+    ``cuda/whitted.cu:44-98``), headless exit included."""
+    if not (assets_dir / "pbr_test.gltf").exists():
+        import pathlib
+        repo = pathlib.Path(__file__).resolve().parent.parent
+        subprocess.run([sys.executable,
+                        str(repo / "tools" / "make_gltf_assets.py")],
+                       check=True)
+    out = tmp_path / "view_w.png"
+    r = _run_cli(["view", str(assets_dir / "pbr_test.gltf"),
+                  "-o", str(out), "--width", "32", "--height", "32",
+                  "--spp", "1", "--frames", "1", "--depth", "2",
+                  "--intersector", "bruteforce"], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    img = film.read_png(str(out))
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0
+
+
 def test_viewer_display_component():
     """TerminalDisplay renders half-blocks with ANSI colors (no tty)."""
     from tpu_pt.viewer import TerminalDisplay

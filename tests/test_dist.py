@@ -138,3 +138,44 @@ def test_accum_stays_sharded(cornell_scene, cam):
     out, _, _ = step(cam, 0, accum_s)
     shard_shapes = {s.data.shape for s in out.addressable_shards}
     assert shard_shapes == {(cfg.height // 8, cfg.width, 3)}
+
+
+@pytest.mark.parametrize("n_tile,n_spp", [(4, 2), (2, 4)])
+def test_sharded_whitted_matches_single_device(cam, n_tile, n_spp,
+                                               assets_dir):
+    """The whitted integrator shards over the same (tile, spp) mesh as
+    the path tracer (make_sharded_renderer dispatches on the scene type
+    — the reference's multi-GPU scaffold is pipeline-agnostic,
+    WorkDistribution.h:34-90). Exact same paths; fp-add reordering only."""
+    import pathlib
+    import subprocess
+    import sys
+    if not (assets_dir / "pbr_test.gltf").exists():
+        repo = pathlib.Path(__file__).resolve().parent.parent
+        subprocess.run([sys.executable,
+                        str(repo / "tools" / "make_gltf_assets.py")],
+                       check=True)
+    from tpu_pt.scene.gltf import load_gltf
+    from tpu_pt.whitted import render_whitted_frame
+    from tpu_pt.camera import Camera
+    ws = load_gltf(str(assets_dir / "pbr_test.gltf"))
+    wcam = CameraArrays.from_camera(Camera(
+        eye=np.array([6.0, 4.5, 7.0], np.float32),
+        lookat=np.array([0.0, 0.8, 0.0], np.float32), fov_y=40.0))
+    cfg = cfg_small(spp=8, intersector="bruteforce")
+    accum = init_accum(cfg)
+    ref_accum, _, ref_stats = render_whitted_frame(ws, wcam, cfg, 0, accum)
+
+    mesh = dist.device_mesh(n_tile=n_tile, n_spp=n_spp)
+    step = dist.make_sharded_renderer(ws, cfg, mesh)
+    accum_s = dist.init_accum_sharded(cfg, mesh)
+    out_accum, _, out_stats = step(wcam, 0, accum_s)
+
+    np.testing.assert_allclose(np.asarray(ref_accum), np.asarray(out_accum),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(ref_stats.rays_traced),
+                               float(out_stats.rays_traced))
+    np.testing.assert_allclose(float(ref_stats.shadow_rays),
+                               float(out_stats.shadow_rays))
+    np.testing.assert_allclose(np.asarray(ref_stats.done_histogram),
+                               np.asarray(out_stats.done_histogram))

@@ -218,6 +218,22 @@ def build(out_dir: str):
     with open(os.path.join(out_dir, "pbr_test.gltf"), "w") as f:
         json.dump(doc, f)
 
+    # Variant with analytic primitives declared in the document extras
+    # (whitted custom-primitive parity: Scene.cpp:1368-1450 binds
+    # sphere/shell/parallelogram programs into the whitted SBT; tpu_pt
+    # reads them from the asset itself).
+    doc_prims = json.loads(json.dumps(doc))
+    doc_prims["extras"] = dict(tpu_pt_primitives=[
+        dict(type="sphere", center=[-1.2, 0.5, 1.4], radius=0.5,
+             material=2),                      # metallic sphere
+        dict(type="sphere_shell", center=[1.3, 0.6, 1.2],
+             radius1=0.45, radius2=0.6, material=1),
+        dict(type="parallelogram", anchor=[-2.0, 0.01, -1.8],
+             v1=[1.2, 0.0, 0.0], v2=[0.0, 0.0, 1.2], material=1),
+    ])
+    with open(os.path.join(out_dir, "pbr_prims.gltf"), "w") as f:
+        json.dump(doc_prims, f)
+
     # GLB variant: same doc, binary chunk instead of data URI.
     doc_glb = json.loads(json.dumps(doc))
     doc_glb["buffers"] = [dict(byteLength=len(blob))]

@@ -108,16 +108,16 @@ def device_mesh(n_tile: int | None = None, n_spp: int | None = None,
 
 
 def _render_block(scene, cam, cfg_local: RenderConfig, frame_idx, n_spp,
-                  pixels_per_tile, accum_block):
+                  pixels_per_tile, wavefront_fn, accum_block):
     """Per-device body: render this device's pixel rows with its sample
     shard, psum sample means over the spp axis, fold into the accumulator."""
     spp_shard = jax.lax.axis_index("spp")
     tile_shard = jax.lax.axis_index("tile")
     offset = spp_shard.astype(jnp.uint32) * jnp.uint32(cfg_local.spp)
     pixel_start = tile_shard.astype(jnp.uint32) * jnp.uint32(pixels_per_tile)
-    rad, stats = render_wavefront(scene, cam, cfg_local, pixel_start,
-                                  pixels_per_tile, frame_idx,
-                                  sample_offset=offset)
+    rad, stats = wavefront_fn(scene, cam, cfg_local, pixel_start,
+                              pixels_per_tile, frame_idx,
+                              sample_offset=offset)
     # Mean of per-shard means == global mean (equal shard sizes).
     rad = jax.lax.psum(rad, "spp") / n_spp
     stats = jax.tree.map(lambda x: jax.lax.psum(x, ("tile", "spp")), stats)
@@ -129,13 +129,27 @@ def _render_block(scene, cam, cfg_local: RenderConfig, frame_idx, n_spp,
     return new_accum, frame_u8, stats
 
 
-def make_sharded_renderer(scene: SceneArrays, cfg: RenderConfig, mesh: Mesh):
+def make_sharded_renderer(scene, cfg: RenderConfig, mesh: Mesh,
+                          wavefront_fn=None):
     """Compile a progressive frame step sharded over ``mesh``.
 
     Returns ``step(cam, frame_idx, accum) -> (accum, frame_u8, stats)`` where
     ``accum`` is [H, W, 3] sharded over rows. Use :func:`init_accum_sharded`
     to create it.
+
+    ``scene`` is a ``SceneArrays`` (path tracer) or a ``WhittedScene``
+    (direct-lighting pipeline) — the integrator dispatches on the scene
+    type; the reference's multi-GPU scaffold is likewise
+    pipeline-agnostic (``sutil/WorkDistribution.h:34-90``). Pass
+    ``wavefront_fn`` explicitly to override (same signature as
+    ``render.render_wavefront``).
     """
+    if wavefront_fn is None:
+        if isinstance(scene, SceneArrays):
+            wavefront_fn = render_wavefront
+        else:
+            from .whitted import render_whitted_wavefront
+            wavefront_fn = render_whitted_wavefront
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
     assert cfg.height % n_tile == 0, (cfg.height, n_tile)
@@ -149,7 +163,7 @@ def make_sharded_renderer(scene: SceneArrays, cfg: RenderConfig, mesh: Mesh):
 
     def step(cam: CameraArrays, frame_idx, accum):
         body = partial(_render_block, scene, cam, cfg_local, frame_idx,
-                       n_spp, pixels_per_tile)
+                       n_spp, pixels_per_tile, wavefront_fn)
         # check_vma=False: the intersection scans init their carries from
         # constants, which JAX 0.9's varying-manual-axes analysis rejects
         # inside shard_map; the math is shard-local either way.

@@ -469,6 +469,43 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
     from ..intersect.lbvh import with_bvh
     geom = with_bvh(geom, host=host)
 
+    # Analytic primitives from the document's application-specific
+    # ``extras`` (valid glTF 2.0: extras carry arbitrary JSON). The
+    # reference binds sphere / sphere-shell / parallelogram intersection
+    # programs into its whitted SBT from hardcoded sample setup
+    # (``sutil/Scene.cpp:1368-1450``, ``cuda/geometry.cu:38-144``,
+    # ``cuda/sphere.cu:37-97``); here the same capability is reachable
+    # from the asset itself:
+    #   "extras": {"tpu_pt_primitives": [
+    #     {"type": "sphere", "center": [x,y,z], "radius": r,
+    #      "material": <glTF material index>}, ...]}
+    # Primitive hits shade with their analytic normal and carry the glTF
+    # material; KIND_GLASS primitives pass shadow rays (the refractive
+    # non-occluding convention both pipelines share).
+    extra_prims = doc.get("extras", {}).get("tpu_pt_primitives", [])
+    if extra_prims:
+        from ..intersect import primitives as _prims
+        kind_map = {"sphere": _prims.PRIM_SPHERE,
+                    "parallelogram": _prims.PRIM_PARALLELOGRAM,
+                    "sphere_shell": _prims.PRIM_SPHERE_SHELL}
+        specs = []
+        for p in extra_prims:
+            d = dict(kind=kind_map[p["type"]],
+                     mat=int(p.get("material", 0)))
+            if p["type"] == "sphere":
+                d.update(center=p["center"], radius=p["radius"])
+            elif p["type"] == "sphere_shell":
+                d.update(center=p["center"], radius1=p["radius1"],
+                         radius2=p["radius2"])
+            else:
+                d.update(anchor=p["anchor"], v1=p["v1"], v2=p["v2"])
+            specs.append(d)
+        # occludes: glass primitives pass light (reference convention).
+        fake_bsdf = np.where(tables["kind"] == KIND_GLASS,
+                             BSDF_REFRACTION, BSDF_DIFFUSE)
+        geom = geom.replace(prims=_prims.make_primitives(
+            specs, mat_bsdf=fake_bsdf))
+
     return WhittedScene(
         geom=geom,
         vtx_attr=jnp.asarray(vtx_attr),

@@ -104,13 +104,36 @@ def run_viewer(scene_path: str, args) -> int:
     from tpu_pt.render import (CameraArrays, render_frame, init_accum,
                                image_to_host)
 
-    scene = tpu_pt.load_scene(scene_path)
     cfg = tpu_pt.RenderConfig(
         width=args.width, height=args.height, spp=args.spp,
         max_depth=args.depth, use_direct_lighting=args.direct_lighting,
         use_importance_sampling=args.importance_sampling,
         intersector=args.intersector, scheduler=args.scheduler)
-    camera = tpu_pt.cornell_default_camera(aspect=args.width / args.height)
+    whitted = scene_path.lower().endswith((".gltf", ".glb"))
+    if whitted:
+        # glTF scenes view through the whitted integrator — the
+        # reference's interactive pipeline for its SDK scenes
+        # (``cuda/whitted.cu:44-98``); the path tracer stays the OBJ /
+        # scene-JSON viewer.
+        from tpu_pt.camera import Camera
+        from tpu_pt.scene.gltf import load_gltf
+        from tpu_pt.whitted import render_whitted_frame
+        scene = load_gltf(scene_path)
+        v = np.asarray(scene.geom.tri_v0)[np.asarray(scene.geom.tri_valid)]
+        lo, hi = v.min(axis=0), v.max(axis=0)
+        c = 0.5 * (lo + hi)
+        ext = float(np.linalg.norm(hi - lo))
+        camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext,
+                        lookat=c, fov_y=40.0,
+                        aspect=args.width / args.height)
+        render_fn = render_whitted_frame
+        move_step = 0.05 * ext
+    else:
+        scene = tpu_pt.load_scene(scene_path)
+        camera = tpu_pt.cornell_default_camera(
+            aspect=args.width / args.height)
+        render_fn = render_frame
+        move_step = 50.0
     trackball = Trackball(camera)
     display = TerminalDisplay()
 
@@ -157,10 +180,10 @@ def run_viewer(scene_path: str, args) -> int:
                 trackball.zoom(-1)
                 refresh = True
             elif key == "w":
-                trackball.move_forward(+50.0)
+                trackball.move_forward(+move_step)
                 refresh = True
             elif key == "s":
-                trackball.move_forward(-50.0)
+                trackball.move_forward(-move_step)
                 refresh = True
 
             if refresh:
@@ -174,8 +197,8 @@ def run_viewer(scene_path: str, args) -> int:
 
             cam = CameraArrays.from_camera(camera)
             t0 = time.perf_counter()
-            accum, img, stats = render_frame(scene, cam, cfg, frame_idx,
-                                             accum)
+            accum, img, stats = render_fn(scene, cam, cfg, frame_idx,
+                                          accum)
             jax.block_until_ready(img)
             dt = time.perf_counter() - t0
             frame_idx += 1
