@@ -124,6 +124,35 @@ def test_sort_key_invariance(mixed_scene, rays, monkeypatch, key):
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
 
 
+def test_inkernel_build_matches_outside(mixed_scene, rays, monkeypatch):
+    """The in-kernel candidate build (TPT_INKB ablation, default off —
+    measured dead end, see pallas_bf._inkb) must agree
+    with the XLA-side ``super_candidates`` schedule on every consumed
+    field — the lists are the same SET, only near-first vs box-index
+    ordered, and guard="none" sweeps are order-insensitive."""
+    o, d = rays
+    tmax = jnp.full((o.shape[0],), 500.0)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 384)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 8)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    monkeypatch.setenv("TPT_INKB", "0")
+    ref = pallas_bf.intersect_closest(mixed_scene, o, d)
+    ref_lean = pallas_bf.intersect_closest(mixed_scene, o, d,
+                                           want_uv=False)
+    ref_occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    monkeypatch.setenv("TPT_INKB", "1")
+    out = pallas_bf.intersect_closest(mixed_scene, o, d)
+    out_lean = pallas_bf.intersect_closest(mixed_scene, o, d,
+                                           want_uv=False)
+    occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    for a, b in ((ref, out), (ref_lean, out_lean)):
+        np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+        np.testing.assert_array_equal(np.asarray(a.mat), np.asarray(b.mat))
+    np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
+
+
 def test_lean_single_matches_full(mixed_scene, rays):
     """want_uv=False routes small scenes through the lean (t, id) kernel
     + one-hot attribute resolve; every consumed field must match the

@@ -18,6 +18,9 @@ asserts the images match bitwise:
   6. sharded (1,1) mesh step                vs  plain render_frame
   7. prediction-ordered scheduling          vs  dir12 ordering
   8. rotated chain (per-tile slab order)    vs  fixed chain order
+  9. in-kernel candidate build (TPT_INKB=1) vs  XLA-side schedule
+ 10. whitted one-hot attribute select       vs  table gather
+ 11. whitted sharded (1,1) mesh step        vs  plain whitted frame
 
 Each variant toggles via env, so every render runs in a fresh
 subprocess. Exit code 0 = all equivalences hold. Runtime ~4 min on a
@@ -40,6 +43,27 @@ sys.path.insert(0, %(repo)r)
 import jax, tpu_pt
 from tpu_pt.render import CameraArrays, render_frame, init_accum
 
+if %(whitted)s:
+    from tpu_pt.camera import Camera
+    from tpu_pt.scene.gltf import load_gltf
+    from tpu_pt.whitted import render_whitted_frame
+    scene = load_gltf(%(scene)r)
+    cam = CameraArrays.from_camera(Camera(
+        eye=np.array([6.0, 4.5, 7.0], np.float32),
+        lookat=np.array([0.0, 0.8, 0.0], np.float32), fov_y=40.0))
+    cfg = tpu_pt.RenderConfig(width=128, height=128, spp=4, max_depth=6,
+                              background=(0.1, 0.15, 0.25))
+    if %(sharded)s:
+        from tpu_pt import dist
+        mesh = dist.device_mesh(1, 1)
+        step = dist.make_sharded_renderer(scene, cfg, mesh)
+        accum = dist.init_accum_sharded(cfg, mesh)
+        accum, img, stats = step(cam, 0, accum)
+    else:
+        accum = init_accum(cfg)
+        accum, img, stats = render_whitted_frame(scene, cam, cfg, 0, accum)
+    np.save(%(out)r, np.asarray(img))
+    raise SystemExit(0)
 scene = tpu_pt.load_scene(%(scene)r)
 cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
 cfg = tpu_pt.RenderConfig(width=128, height=128, spp=4, max_depth=6,
@@ -59,9 +83,11 @@ np.save(%(out)r, np.asarray(img))
 """
 
 
-def render(out, scene, env=None, fused=False, sharded=False):
+def render(out, scene, env=None, fused=False, sharded=False,
+           whitted=False):
     code = CHILD % dict(repo=REPO, scene=scene, out=out,
-                        fused=repr(fused), sharded=repr(sharded))
+                        fused=repr(fused), sharded=repr(sharded),
+                        whitted=repr(whitted))
     e = {**os.environ, **(env or {})}
     r = subprocess.run([sys.executable, "-c", code], env=e,
                        capture_output=True, text=True, timeout=1200)
@@ -104,6 +130,8 @@ def main():
           base, render(p("shard"), cornell, sharded=True))
 
     bbase = render(p("bbase"), big)
+    check("in-kernel candidate build == XLA-side schedule (big scene)",
+          bbase, render(p("binkb1"), big, {"TPT_INKB": "1"}))
     check("clustered lean == non-lean (big scene)",
           bbase, render(p("blean0"), big, {"TPT_LEAN_BIG": "0"}))
     check("guard none == guard super (big scene)",
@@ -117,6 +145,18 @@ def main():
     check("streamed unguarded == chained slabs (big scene)",
           bbase, render(p("bstreamng"), big, {"TPT_STREAM": "1",
                                               "TPT_STREAM_GUARD": "0"}))
+
+    gltf = os.path.join(REPO, "assets", "pbr_test.gltf")
+    if not os.path.exists(gltf):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools",
+                                     "make_gltf_assets.py")], check=True)
+    wbase = render(p("wbase"), gltf, whitted=True)
+    check("whitted one-hot attr select == gather (glTF)",
+          wbase, render(p("wsel0"), gltf, {"TPT_WSELECT": "0"},
+                        whitted=True))
+    check("whitted sharded (1,1) mesh == plain frame (glTF)",
+          wbase, render(p("wshard"), gltf, whitted=True, sharded=True))
 
     print("all equivalences hold" if not fails
           else f"{fails} equivalence(s) BROKEN")

@@ -613,6 +613,99 @@ def _tile_octant(ray, rt):
     return vote(ray[3]) + 2 * vote(ray[4]) + 4 * vote(ray[5])
 
 
+# In-kernel candidate-list build: the round-3 answer to the big-scene
+# schedule-build barrier (the exact-list sweep was proven ~5x cheaper than
+# tile-union sweeps, but every XLA-shaped dense schedule build costs
+# >= 2 ms/round against a ~0.3 ms budget — ARCHITECTURE.md cbin row).
+# ``super_candidates_exact``'s dense [N, NS] slab pass materializes
+# multi-MB [N, NS] temporaries in HBM every slab x round x schedule; HERE
+# the same per-(tile, supercluster) tests run inside the sweep kernel
+# itself, where the [NS, RT] intermediates are VMEM-register-local and
+# the per-tile list costs ~nothing next to one candidate's tri sweep.
+# Compaction without a sort (Mosaic has no cheap sublane sort and the
+# default guard="none" sweep is order-insensitive — it visits every
+# listed candidate unconditionally, so only SET membership matters, plus
+# equal-t tie-breaking, see _inkb note in intersect_closest):
+#   pos  = ltri @ any          (strictly-lower-triangular matmul = the
+#                               exclusive prefix count of pierced boxes)
+#   sel  = onehot(pos)         ([NS, NSP] lane-iota compare, no transpose)
+#   list = sel^T @ ids         (one [NS, NSP] x [NS, 1] contraction)
+# Both matmuls are integer-exact: operands are 0/1 flags and box ids
+# <= INKB_MAX_SC - 1 = 255, exactly representable even after a bf16
+# split. The table layout matches super_candidates row-for-row, so the
+# sweep loop is unchanged — it just reads VMEM scratch instead of an
+# HBM-built operand.
+INKB_MAX_SC = 256     # ids above 255 lose bf16 exactness in the matmuls
+
+
+def _inkb(n_sc: int) -> bool:
+    """In-kernel candidate build applies: guard none, supercluster count
+    within the exact-matmul bound, and TPT_INKB=1.
+
+    MEASURED DEAD END on the 100k-tri frame (kept as ablation, default
+    off): 4.47 vs 5.05 Mrays/s, compile 135 -> 476 s. The hypothesis was
+    that the XLA-side ``super_candidates`` build materializes expensive
+    dense passes; in fact the tiled path's per-slab [N, NS_slab] exact
+    test is element-count-identical to the per-tile in-kernel test
+    ([tiles, RT, NS] covers the same pairs), XLA fuses it into ~1 ms/
+    round, and moving it in-kernel only serializes it against each
+    tile's sweeps (and bloats Mosaic compile 3.5x). The schedule-build
+    cost that matters is the O(N x NS_total) ALL-pairs test itself —
+    cutting it needs hierarchy (test parent boxes first), not a change
+    of venue. The >= 2 ms/round barrier quoted in round 2 was cbin's
+    per-RAY list build, a different (finer) schedule."""
+    return (os.environ.get("TPT_INKB", "0") == "1"
+            and _guard_mode() == "none" and n_sc <= INKB_MAX_SC)
+
+
+def _build_cand_table(ray, sboxes_ref, n_sc, tmin, tmax_row, out_ref,
+                      base, ns1):
+    """Build one subtile's candidate work list in VMEM.
+
+    ``ray``: 6-tuple of [1, R] rows. ``sboxes_ref``: [NS, 8] supercluster
+    AABBs. ``tmax_row``: scalar or [1, R] per-ray bound (chained prior t /
+    occlusion tmax). Writes ``out_ref[base, 0] = count`` and
+    ``out_ref[base + 1 + k, 0]`` = k-th pierced supercluster id (box-index
+    order; dead rows 0). Same membership semantics as
+    ``super_candidates_exact``: ok = (tn <= tf) & (tf > tmin) &
+    (tn < tmax)."""
+    ox, oy, oz, dx, dy, dz = ray
+    eps = jnp.float32(1e-12)
+    big = jnp.float32(3e38)
+    nsp = ns1 - 1
+    tn = None
+    for oa, da, a in ((ox, dx, 0), (oy, dy, 1), (oz, dz, 2)):
+        inv = 1.0 / jnp.where(jnp.abs(da) > eps, da,
+                              jnp.where(da >= 0, eps, -eps))
+        t0 = (sboxes_ref[:, a:a + 1] - oa) * inv          # [NS, R]
+        t1 = (sboxes_ref[:, a + 3:a + 4] - oa) * inv
+        lo_, hi_ = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        if tn is None:
+            tn, tf = lo_, hi_
+        else:
+            tn, tf = jnp.maximum(tn, lo_), jnp.minimum(tf, hi_)
+    ok = (tn <= tf) & (tf > tmin) & (tn < tmax_row)       # [NS, R]
+    anyb = jnp.any(ok, axis=1, keepdims=True)             # [NS, 1]
+    any_f = anyb.astype(jnp.float32)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (n_sc, n_sc), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (n_sc, n_sc), 1)
+    ltri = (c_i < r_i).astype(jnp.float32)
+    pos = jax.lax.dot_general(ltri, any_f, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    # Mosaic's tpu.iota is integer-only; compare in i32 (pos is an exact
+    # small integer by construction).
+    slot = jnp.where(anyb, pos.astype(jnp.int32), jnp.int32(nsp))
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (n_sc, nsp), 1)
+           == slot).astype(jnp.float32)                   # [NS, NSP]
+    ids = jax.lax.broadcasted_iota(
+        jnp.int32, (n_sc, 1), 0).astype(jnp.float32)
+    ordered = jax.lax.dot_general(sel, ids, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    out_ref[base:base + 1, 0:1] = jnp.sum(
+        any_f, dtype=jnp.float32).astype(jnp.int32).reshape(1, 1)
+    out_ref[base + 1:base + ns1, 0:1] = ordered.astype(jnp.int32)
+
+
 def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
                    boxes_ref=None, sboxes_ref=None, cand_ref=None,
                    corder_ref=None, want_uv=True, init=None,
@@ -1021,6 +1114,121 @@ def _closest_kernel_chained_lean(rays_ref, tris_ref, boxes_ref, sboxes_ref,
         out_ref[0:1, lo:hi] = best_t
         i_ref[0:1, lo:hi] = jnp.where(best_t < T_FAR,
                                       best_i.astype(jnp.int32), 0)
+
+
+def _closest_kernel_clustered_b(rays_ref, tris_ref, boxes_ref, sboxes_ref,
+                                out_ref, i_ref, cand_ref, *, n_tri, tmin,
+                                tmax, ns1, want_uv=True):
+    """Clustered closest-hit, candidate lists built IN-KERNEL (guard
+    "none"; ``cand_ref`` is VMEM scratch, see ``_build_cand_table``)."""
+    rt = rays_ref.shape[1]
+    n_sc = n_tri // (CLUSTER * SUPER)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        _build_cand_table(ray, sboxes_ref, n_sc, tmin, tmax, cand_ref,
+                          si * ns1, ns1)
+        best = _closest_sweep(ray, tris_ref, hi - lo,
+                              n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
+                              boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+                              cand_ref=cand_ref, corder_ref=None,
+                              want_uv=want_uv, guard="none",
+                              cand_base=si * ns1)
+        _write_closest_lanes(out_ref, i_ref, best, lo, hi)
+
+
+def _closest_kernel_chained_b(rays_ref, tris_ref, boxes_ref, sboxes_ref,
+                              pout_ref, pidx_ref, out_ref, i_ref,
+                              cand_ref, *, n_tri, tmin, tmax, ns1,
+                              want_uv=True):
+    """Chained clustered closest-hit with in-kernel candidate build: the
+    per-ray prior t (previous slabs' running best) narrows this slab's
+    list right in the kernel — the schedule sees exactly the bound the
+    sweep will use, with no XLA-side rebuild."""
+    rt = rays_ref.shape[1]
+    n_sc = n_tri // (CLUSTER * SUPER)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        prior_t = pout_ref[0:1, lo:hi]
+        _build_cand_table(ray, sboxes_ref, n_sc, tmin, prior_t, cand_ref,
+                          si * ns1, ns1)
+        init = (prior_t,
+                pidx_ref[0:1, lo:hi].astype(jnp.float32),
+                pout_ref[1:2, lo:hi], pout_ref[2:3, lo:hi],
+                pout_ref[3:4, lo:hi], pout_ref[4:5, lo:hi],
+                pout_ref[5:6, lo:hi], pout_ref[6:7, lo:hi])
+        best = _closest_sweep(ray, tris_ref, hi - lo,
+                              n_tri // CLUSTER, tmin, tmax, tb=CLUSTER,
+                              boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+                              cand_ref=cand_ref, corder_ref=None,
+                              want_uv=want_uv, init=init, guard="none",
+                              cand_base=si * ns1)
+        _write_closest_lanes(out_ref, i_ref, best, lo, hi)
+
+
+def _closest_kernel_clustered_lean_b(rays_ref, tris_ref, boxes_ref,
+                                     sboxes_ref, out_ref, i_ref, cand_ref,
+                                     *, n_tri, tmin, tmax, ns1, base=0):
+    """Lean clustered closest-hit with in-kernel candidate build."""
+    rt = rays_ref.shape[1]
+    n_sc = n_tri // (CLUSTER * SUPER)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        _build_cand_table(ray, sboxes_ref, n_sc, tmin, tmax, cand_ref,
+                          si * ns1, ns1)
+        best_t, best_i = _closest_sweep(
+            ray, tris_ref, hi - lo, n_tri // CLUSTER, tmin, tmax,
+            tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+            cand_ref=cand_ref, corder_ref=None, guard="none",
+            lean=True, lean_base=base, cand_base=si * ns1)
+        out_ref[0:1, lo:hi] = best_t
+        i_ref[0:1, lo:hi] = jnp.where(best_t < T_FAR,
+                                      best_i.astype(jnp.int32), 0)
+
+
+def _closest_kernel_chained_lean_b(rays_ref, tris_ref, boxes_ref,
+                                   sboxes_ref, pout_ref, pidx_ref,
+                                   out_ref, i_ref, cand_ref, *, n_tri,
+                                   tmin, tmax, ns1, base=0):
+    """Lean chained clustered closest-hit with in-kernel candidate
+    build (prior (t, global id) seeds both the list bound and the
+    sweep carry)."""
+    rt = rays_ref.shape[1]
+    n_sc = n_tri // (CLUSTER * SUPER)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        prior_t = pout_ref[0:1, lo:hi]
+        _build_cand_table(ray, sboxes_ref, n_sc, tmin, prior_t, cand_ref,
+                          si * ns1, ns1)
+        init = (prior_t, pidx_ref[0:1, lo:hi].astype(jnp.float32))
+        best_t, best_i = _closest_sweep(
+            ray, tris_ref, hi - lo, n_tri // CLUSTER, tmin, tmax,
+            tb=CLUSTER, boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+            cand_ref=cand_ref, corder_ref=None, guard="none",
+            lean=True, lean_base=base, init=init, cand_base=si * ns1)
+        out_ref[0:1, lo:hi] = best_t
+        i_ref[0:1, lo:hi] = jnp.where(best_t < T_FAR,
+                                      best_i.astype(jnp.int32), 0)
+
+
+def _occluded_kernel_clustered_b(rays_ref, tris_ref, boxes_ref,
+                                 sboxes_ref, occ_ref, cand_ref, *,
+                                 n_tri, tmin, ns1):
+    """Clustered any-hit occlusion with in-kernel candidate build: the
+    per-ray tmax row (0 for already-occluded / parked rays) bounds the
+    list exactly as the XLA-side build did."""
+    rt = rays_ref.shape[1]
+    n_sc = n_tri // (CLUSTER * SUPER)
+    for si, (lo, hi) in enumerate(_sub_slices(rt)):
+        ray = tuple(rays_ref[k:k + 1, lo:hi] for k in range(6))
+        tmax = rays_ref[6:7, lo:hi]
+        _build_cand_table(ray, sboxes_ref, n_sc, tmin, tmax, cand_ref,
+                          si * ns1, ns1)
+        occ = _occlusion_sweep(ray, tris_ref, tmax, hi - lo,
+                               n_tri // CLUSTER, tmin, tb=CLUSTER,
+                               boxes_ref=boxes_ref, sboxes_ref=sboxes_ref,
+                               cand_ref=cand_ref, corder_ref=None,
+                               guard="none", cand_base=si * ns1)
+        occ_ref[0:1, lo:hi] = (occ > 0.0).astype(jnp.int32)
 
 
 def _closest_kernel_rotated_lean(sid_ref, rays_ref, tris_ref, boxes_ref,
@@ -1741,7 +1949,14 @@ def _tri_slabs(tris, boxes=None, sboxes=None):
     for s in range(0, tris.shape[0], slab):
         bx = boxes[s // CLUSTER:s // CLUSTER + bc]
         sbx = sboxes[s // (CLUSTER * SUPER):s // (CLUSTER * SUPER) + sc]
-        out.append((s, tris[s:s + slab], bx, sbx, octant_orders(bx)))
+        # The in-kernel-build path never reads the octant order table
+        # (guard "none"); skip its per-slab argsort in the traced graph.
+        # (TPT_GUARD_OCC can re-enable guards for occlusion only, which
+        # keeps the table as a kernel operand there.)
+        occ_g = os.environ.get("TPT_GUARD_OCC") or _guard_mode()
+        corder = (None if (_inkb(sc) and occ_g == "none")
+                  else octant_orders(bx))
+        out.append((s, tris[s:s + slab], bx, sbx, corder))
     return out
 
 
@@ -1982,13 +2197,76 @@ def _guard_mode() -> str:
 def _closest_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                             n_tri: int, tmin: float, tmax: float,
                             want_uv: bool = True, prior=None,
-                            lean: bool = False, base: int = 0):
+                            lean: bool = False, base: int = 0,
+                            build: bool = False):
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)   # work-list rows
     sub_per = RAY_TILE_C // min(SUBTILE_C, RAY_TILE_C)
     guard = _guard_mode()
     out_rows = 1 if lean else 8
+    if build:
+        # Candidate lists built in-kernel (see _build_cand_table): the
+        # cand/corder operands drop; a VMEM scratch holds the table.
+        assert cand is None and corder is None
+        if prior is None:
+            if lean:
+                kernel = functools.partial(
+                    _closest_kernel_clustered_lean_b, n_tri=n_tri,
+                    tmin=tmin, tmax=tmax, ns1=ns1, base=base)
+            else:
+                kernel = functools.partial(
+                    _closest_kernel_clustered_b, n_tri=n_tri, tmin=tmin,
+                    tmax=tmax, ns1=ns1, want_uv=want_uv)
+            extra_in, extra_specs = (), ()
+        else:
+            if lean:
+                kernel = functools.partial(
+                    _closest_kernel_chained_lean_b, n_tri=n_tri,
+                    tmin=tmin, tmax=tmax, ns1=ns1, base=base)
+            else:
+                kernel = functools.partial(
+                    _closest_kernel_chained_b, n_tri=n_tri, tmin=tmin,
+                    tmax=tmax, ns1=ns1, want_uv=want_uv)
+            extra_in = prior
+            extra_specs = (
+                pl.BlockSpec((out_rows, RAY_TILE_C), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tri // CLUSTER, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tri // (CLUSTER * SUPER), 8),
+                             lambda i: (0, 0), memory_space=pltpu.VMEM),
+                *extra_specs,
+            ],
+            out_specs=[
+                pl.BlockSpec((out_rows, RAY_TILE_C), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((out_rows, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((sub_per * ns1, 1), jnp.int32)],
+            cost_estimate=pl.CostEstimate(
+                flops=40 * n_pad * n_tri, bytes_accessed=n_pad * 48,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
+            interpret=_interpret(),
+        )(rays, tris, boxes, sboxes, *extra_in)
     if prior is None:
         if lean:
             kernel = functools.partial(_closest_kernel_clustered_lean,
@@ -2132,7 +2410,8 @@ def _closest_call_rotated(tile_slab, rays, tris_pad, boxes_pad,
 
 @functools.partial(jax.named_call, name="pallas_occluded_c")
 def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
-                             n_tri: int, tmin: float):
+                             n_tri: int, tmin: float,
+                             build: bool = False):
     n_pad = rays.shape[1]
     grid = (n_pad // RAY_TILE_C,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)
@@ -2143,6 +2422,34 @@ def _occluded_call_clustered(rays, tris, boxes, sboxes, cand, corder,
                          f"got {occ_guard!r}")
     if occ_guard == "both" and SUPER == 1:
         occ_guard = "super"
+    if build:
+        assert cand is None and corder is None
+        kernel = functools.partial(_occluded_kernel_clustered_b,
+                                   n_tri=n_tri, tmin=tmin, ns1=ns1)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, RAY_TILE_C), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tri, 16), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tri // CLUSTER, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tri // (CLUSTER * SUPER), 8),
+                             lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, RAY_TILE_C), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((sub_per * ns1, 1), jnp.int32)],
+            cost_estimate=pl.CostEstimate(
+                flops=40 * n_pad * n_tri, bytes_accessed=n_pad * 48,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
+            interpret=_interpret(),
+        )(rays, tris, boxes, sboxes)
     kernel = functools.partial(_occluded_kernel_clustered, n_tri=n_tri,
                                tmin=tmin, ns1=ns1,
                                guard=occ_guard or _guard_mode())
@@ -3504,15 +3811,23 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
             # prior t narrows this slab's candidate lists, and the
             # kernel seeds its carry with the prior rows so the best-t
             # cluster tests cull from step one (no outside merge).
-            slab_tmax = tmax if best_out is None else best_out[0]
-            cand = super_candidates(rays, sbx, min(SUBTILE_C, RAY_TILE_C),
-                                    tmin, slab_tmax)
             prior = None if best_out is None else (best_out, best_idx)
-            out, idx = _closest_call_clustered(rays, slab, bx, sbx,
-                                               cand, corder,
-                                               slab.shape[0], tmin, tmax,
-                                               want_uv=want_uv, prior=prior,
-                                               lean=lean, base=s)
+            if _inkb(sbx.shape[0]):
+                # Candidate lists built inside the kernel (VMEM-local;
+                # no XLA-side dense pass, argsort, or table traffic).
+                out, idx = _closest_call_clustered(
+                    rays, slab, bx, sbx, None, None, slab.shape[0],
+                    tmin, tmax, want_uv=want_uv, prior=prior, lean=lean,
+                    base=s, build=True)
+            else:
+                slab_tmax = tmax if best_out is None else best_out[0]
+                cand = super_candidates(rays, sbx,
+                                        min(SUBTILE_C, RAY_TILE_C),
+                                        tmin, slab_tmax)
+                out, idx = _closest_call_clustered(
+                    rays, slab, bx, sbx, cand, corder, slab.shape[0],
+                    tmin, tmax, want_uv=want_uv, prior=prior, lean=lean,
+                    base=s)
         best_out, best_idx = out, idx
     if not single:
         if lean:
@@ -3631,12 +3946,19 @@ def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
                 rays = jnp.concatenate(
                     [rays[0:6], jnp.where(occ > 0, 0.0, rays[6:7]),
                      rays[7:8]], axis=0)
-            cand = super_candidates(rays, sbx,
-                                    min(SUBTILE_C, RAY_TILE_C), tmin,
-                                    rays[6:7, :])
-            o = _occluded_call_clustered(rays, slab, bx, sbx,
-                                         cand, corder,
-                                         slab.shape[0], tmin)
+            occ_g = os.environ.get("TPT_GUARD_OCC") or _guard_mode()
+            if (_inkb(sbx.shape[0]) and occ_g == "none"):
+                o = _occluded_call_clustered(rays, slab, bx, sbx,
+                                             None, None,
+                                             slab.shape[0], tmin,
+                                             build=True)
+            else:
+                cand = super_candidates(rays, sbx,
+                                        min(SUBTILE_C, RAY_TILE_C), tmin,
+                                        rays[6:7, :])
+                o = _occluded_call_clustered(rays, slab, bx, sbx,
+                                             cand, corder,
+                                             slab.shape[0], tmin)
         occ = o if occ is None else jnp.maximum(occ, o)
     if not single:
         occ = _unsort(perm, (occ[0],))[0][None, :]

@@ -21,6 +21,7 @@ into the attenuation.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -157,8 +158,12 @@ def _select_rows(tbl: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 
 def _tri_rows(ws: WhittedScene, hit):
     """Per-triangle attribute row for the hit tris: vtx_attr[:, 0:16] ++
-    tri_tangent[:, 16:19], ONE one-hot select for both consumers."""
+    tri_tangent[:, 16:19], ONE one-hot select for both consumers.
+    ``TPT_WSELECT=0`` ablates back to the gather (on-device A/B in
+    tools/verify_tpu.py)."""
     tbl = jnp.concatenate([ws.vtx_attr, ws.tri_tangent], axis=1)
+    if os.environ.get("TPT_WSELECT", "1") == "0":
+        return tbl[jnp.clip(hit.tri, 0, tbl.shape[0] - 1)]
     return _select_rows(tbl, hit.tri)
 
 
