@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from tpu_pt import rng
-from tpu_pt.intersect import moller, pallas_bf
+from tpu_pt.intersect import moller, pallas_ablations, pallas_bf
 from tpu_pt.render import CameraArrays, camera_rays
 import tpu_pt
 from tpu_pt.vec3 import V3
@@ -204,8 +204,8 @@ def test_binned_matches_reference(mixed_scene, rays, monkeypatch):
     monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 128)
     monkeypatch.setattr(pallas_bf, "CLUSTER", 32)
     monkeypatch.setattr(pallas_bf, "SUPER", 2)
-    out = pallas_bf.intersect_closest_binned(mixed_scene, o, d, k=2)
-    occ = pallas_bf.intersect_occluded_binned(mixed_scene, o, d, tmax, k=2)
+    out = pallas_ablations.intersect_closest_binned(mixed_scene, o, d, k=2)
+    occ = pallas_ablations.intersect_occluded_binned(mixed_scene, o, d, tmax, k=2)
     np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
     np.testing.assert_allclose(np.asarray(ref.t), np.asarray(out.t),
                                rtol=1e-6)
@@ -379,15 +379,15 @@ def test_cbin_matches_chained(mixed_scene, rays, monkeypatch, pair_mult,
     ref = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
     ref_occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
     monkeypatch.setenv("TPT_CBIN", "1")
-    monkeypatch.setattr(pallas_bf, "CBIN_PAIR_MULT", pair_mult)
-    monkeypatch.setattr(pallas_bf, "CBIN_K_OUT", k_out)
-    monkeypatch.setattr(pallas_bf, "CBIN_GROUP", group)
+    monkeypatch.setattr(pallas_ablations, "CBIN_PAIR_MULT", pair_mult)
+    monkeypatch.setattr(pallas_ablations, "CBIN_K_OUT", k_out)
+    monkeypatch.setattr(pallas_ablations, "CBIN_GROUP", group)
     # lvl=2 with fan 2 exercises the two-level parent/child expansion
     # on the tiny test scene (4 superclusters -> 2 parents); the k_out=3
     # case starves the child cap so two-level overflow completion runs.
-    monkeypatch.setattr(pallas_bf, "CBIN_LVL", lvl)
-    monkeypatch.setattr(pallas_bf, "CBIN_FAN", 2)
-    monkeypatch.setattr(pallas_bf, "CBIN_K1", 3)
+    monkeypatch.setattr(pallas_ablations, "CBIN_LVL", lvl)
+    monkeypatch.setattr(pallas_ablations, "CBIN_FAN", 2)
+    monkeypatch.setattr(pallas_ablations, "CBIN_K1", 3)
     out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
     occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
     np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(out.hit))
@@ -508,3 +508,25 @@ def test_trace_pixel_matches_renderer(mixed_scene):
     np.testing.assert_allclose(
         total, np.asarray(radiance)[y * 16 + x], rtol=1e-5, atol=1e-7)
     assert "d0:" in debug.format_trace(recs)
+
+
+def test_grp_matches_tiled(mixed_scene, rays, monkeypatch):
+    """The transposed-group path (TPT_GRP: per-8-ray candidate lists,
+    rays in sublanes x cluster tris in lanes) must produce the same hits
+    and occlusion as the tiled clustered path — the lists are exact
+    per-group supersets of each ray's needs, so min-t results agree."""
+    o, d = rays
+    tmax = jnp.full((o.shape[0],), 500.0)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 384)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 8)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    ref = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    ref_occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    monkeypatch.setenv("TPT_GRP", "1")
+    out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))
+    np.testing.assert_array_equal(np.asarray(ref.mat), np.asarray(out.mat))
+    np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
