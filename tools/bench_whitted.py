@@ -41,8 +41,9 @@ def main():
     spp = int(os.environ.get("BENCH_W_SPP", 8 if on_tpu else 2))
     depth = int(os.environ.get("BENCH_W_DEPTH", 8))
     frames = int(os.environ.get("BENCH_W_FRAMES", 4 if on_tpu else 2))
+    sched = os.environ.get("BENCH_W_SCHED", "pixelq")
     cfg = tpu_pt.RenderConfig(width=size, height=size, spp=spp,
-                              max_depth=depth,
+                              max_depth=depth, scheduler=sched,
                               background=(0.1, 0.15, 0.25))
     camera = Camera(eye=np.array([6.0, 4.5, 7.0], np.float32),
                     lookat=np.array([0.0, 0.8, 0.0], np.float32),
@@ -76,6 +77,7 @@ def main():
         "rays_per_frame": int(total_rays / frames),
         "iters_per_frame": round(float(
             frame_stats[-1].wavefront_iterations), 1),
+        "scheduler": sched,
     }))
 
 
