@@ -1575,6 +1575,20 @@ def _closest_call(rays, tris, n_tri: int, tmin: float, tmax: float,
     )(*rays, tris)
 
 
+
+def _single_slab_params(tb: int):
+    """Scoped-VMEM budget for the single-slab kernels: [tb, RAY_TILE]
+    intermediates fit the 16 MB default up to ~448 rows; full TRI_BLOCK
+    blocks need ~18 MB (the Cornell-monkey OOM), but raising the limit
+    unconditionally costs ~3% on scenes that fit (looser limit = less
+    aggressive pipelining — measured 199.1 -> 193.7 Mrays/s on the
+    headline), so the headroom is granted only when needed."""
+    if tb > 448:
+        return dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT))
+    return {}
+
+
 @functools.partial(jax.named_call, name="pallas_closest_lean")
 def _closest_call_lean(rays, tris, n_tri: int, tmin: float,
                        tb: int = TRI_BLOCK):
@@ -1602,11 +1616,7 @@ def _closest_call_lean(rays, tris, n_tri: int, tmin: float,
         cost_estimate=pl.CostEstimate(
             flops=28 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
-        # TRI_BLOCK-row blocks x RAY_TILE lanes need ~18 MB scoped VMEM
-        # (over the 16 MB default) as soon as the scene has >= TRI_BLOCK
-        # rows — the Cornell-monkey scene OOM'd here at hb=TRI_BLOCK.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT),
+        **_single_slab_params(tb),
         interpret=_interpret(),
     )(*rays, tris)
 
@@ -1733,10 +1743,7 @@ def _occluded_call(rays, tris, n_tri: int, tmin: float,
         cost_estimate=pl.CostEstimate(
             flops=34 * n_pad * n_tri, bytes_accessed=n_pad * 48,
             transcendentals=0),
-        # Same VMEM headroom as _closest_call_lean (TRI_BLOCK-row blocks
-        # x RAY_TILE lanes overflow the 16 MB scoped default).
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT),
+        **_single_slab_params(tb),
         interpret=_interpret(),
     )(*rays, tris)
 
@@ -1779,6 +1786,7 @@ def _closest_nee_call_lean(rays, tris, occ_tris, light, n_tri: int,
         cost_estimate=pl.CostEstimate(
             flops=40 * n_pad * (n_tri + n_occ), bytes_accessed=n_pad * 52,
             transcendentals=0),
+        **_single_slab_params(max(tb, tb_occ)),
         interpret=_interpret(),
     )(rays, tris, occ_tris, light)
 
