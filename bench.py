@@ -84,7 +84,7 @@ def main():
     mrays = total_rays / dt / 1e6
     ms_per_frame = dt / frames * 1e3
 
-    print(json.dumps({
+    payload = {
         "metric": f"Mrays/s/chip, {size}x{size} {scene_name}, "
                   f"{depth} bounces, {spp} spp, IS+NEE on",
         "value": round(mrays, 3),
@@ -93,7 +93,11 @@ def main():
         "backend": backend,
         "ms_per_frame": round(ms_per_frame, 2),
         "rays_per_frame": int(rays_per_frame),
-    }))
+    }
+    print(json.dumps(payload))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import perflib
+    perflib.record("headline_cornell", payload)
 
 
 if __name__ == "__main__":

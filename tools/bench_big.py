@@ -69,7 +69,7 @@ def main():
                      for s in frame_stats)
     rays_per_frame = total_rays / frames
     mrays = total_rays / dt / 1e6
-    print(json.dumps({
+    payload = {
         "metric": f"Mrays/s/chip, {size}x{size} big scene "
                   f"({scene.num_tris_padded} padded tris), {depth} bounces, "
                   f"{spp} spp, IS+NEE on",
@@ -86,7 +86,13 @@ def main():
         "rounds_per_frame": round(sum(
             float(s.wavefront_iterations) for s in frame_stats) / frames, 1),
         "initial_lanes": _initial_lanes(cfg, size * size),
-    }))
+    }
+    print(json.dumps(payload))
+    import perflib
+    base = os.path.basename(obj)
+    key = {"big_mesh.obj": "big_100k", "huge_mesh.obj": "big_1m"}.get(
+        base, f"big_{os.path.splitext(base)[0]}")
+    perflib.record(key, payload)
 
 
 def _initial_lanes(cfg, n_pixels: int) -> int:

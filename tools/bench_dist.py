@@ -79,7 +79,7 @@ def main():
     total_rays = sum(float(s.rays_traced) + float(s.shadow_rays)
                      for s in frame_stats)
     mrays = total_rays / dt / 1e6
-    print(json.dumps({
+    payload = {
         "metric": f"Mrays/s, {w}x{h} Cornell tile-sharded over "
                   f"{mesh.shape['tile']}x{mesh.shape['spp']} (tile, spp) "
                   f"mesh, 8 bounces, {spp} spp, IS+NEE on",
@@ -90,7 +90,10 @@ def main():
         "ms_per_frame": round(dt / frames * 1e3, 2),
         "rays_per_frame": int(total_rays / frames),
         "compile_s": round(compile_s, 1),
-    }))
+    }
+    print(json.dumps(payload))
+    import perflib
+    perflib.record("dist_4k", payload)
 
 
 if __name__ == "__main__":

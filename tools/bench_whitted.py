@@ -67,7 +67,7 @@ def main():
     total_rays = sum(float(s.rays_traced) + float(s.shadow_rays)
                      for s in frame_stats)
     mrays = total_rays / dt / 1e6
-    print(json.dumps({
+    payload = {
         "metric": f"whitted Mrays/s/chip, {size}x{size} pbr_test, "
                   f"depth {depth}, {spp} spp",
         "value": round(mrays, 3),
@@ -78,7 +78,10 @@ def main():
         "iters_per_frame": round(float(
             frame_stats[-1].wavefront_iterations), 1),
         "scheduler": sched,
-    }))
+    }
+    print(json.dumps(payload))
+    import perflib
+    perflib.record("whitted_pbr", payload)
 
 
 if __name__ == "__main__":

@@ -7,7 +7,10 @@ TPU-native equivalent of the reference's accumulation + presentation path:
 - image save (``sutil::saveImage``, ``sutil/sutil.cpp:542``) as PNG/PPM,
   implemented dependency-free (zlib PNG encoder)
 - OpenEXR float HDR read/write (the reference vendors tinyexr for this,
-  ``support/tinyexr``) — uncompressed scanline subset, FLOAT/HALF.
+  ``support/tinyexr``) — scanline images, NO_COMPRESSION/ZIPS/ZIP,
+  FLOAT/HALF channels. Deliberately a subset of tinyexr: PIZ/RLE,
+  tiled and multi-part files are NOT read — enough for the renderer's
+  own HDR round-trips, not for arbitrary third-party EXRs.
 
 The accumulation buffer is a device-resident float32 [H, W, 3] array; callers
 donate it across frames so progressive rendering never round-trips to host.
