@@ -342,3 +342,80 @@ def test_whitted_primitives_from_gltf_extras(gltf_assets, pbr_camera):
     # scene (they occlude geometry and cast point-light shadows).
     changed = (np.abs(img - refi).max(axis=-1) > 1e-3).mean()
     assert changed > 0.05
+
+
+def test_whitted_curves_from_gltf_extras(gltf_assets, pbr_camera):
+    """glTF document extras can declare swept-sphere curves
+    (tpu_pt_curves, the mirror of tpu_pt_primitives) — the reference's
+    round-curve geometry types (GeometryData.h:95-127) reachable from a
+    glTF asset, shading with the exact swept-sphere normal
+    (curve.h:312-443) through the whitted pipeline, and matching the
+    committed golden."""
+    from tpu_pt import film
+    from tpu_pt.scene.gltf import load_gltf
+    from tpu_pt.whitted import render_whitted_frame
+    ws = load_gltf(str(gltf_assets / "pbr_prims.gltf"))
+    # 5-point cubic b-spline -> 2 sliding-window segments,
+    # 4-point catmullrom -> 1.
+    assert ws.geom.curves is not None and ws.geom.curves.count == 3
+    cfg = tpu_pt.RenderConfig(width=128, height=128, spp=8, max_depth=8,
+                              background=(0.1, 0.15, 0.25),
+                              intersector="bruteforce")
+    accum = init_accum(cfg)
+    img = None
+    for f in range(2):
+        accum, img, _ = render_whitted_frame(ws, pbr_camera, cfg, f, accum)
+    golden = film.read_png(
+        str(REPO / "tests" / "goldens" / "whitted-prims-curves.png")
+    ).astype(np.float32)
+    ours = tpu_pt.image_to_host(img).astype(np.float32)
+    err = film.rmse(ours / 255.0, golden / 255.0)
+    assert err < 0.01, f"whitted prims+curves: RMSE {err:.4f}"
+
+
+def _instanced_gltf(tmp_path, n_instances: int) -> str:
+    """Minimal valid glTF: one triangle mesh instanced n times."""
+    import base64
+    import json
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    blob = pos.tobytes()
+    doc = dict(
+        asset=dict(version="2.0"),
+        scene=0,
+        scenes=[dict(nodes=list(range(n_instances)))],
+        nodes=[dict(mesh=0, translation=[float(i), 0.0, 0.0])
+               for i in range(n_instances)],
+        meshes=[dict(primitives=[dict(attributes=dict(POSITION=0))])],
+        accessors=[dict(bufferView=0, componentType=5126, count=3,
+                        type="VEC3")],
+        bufferViews=[dict(buffer=0, byteOffset=0, byteLength=len(blob))],
+        buffers=[dict(byteLength=len(blob),
+                      uri="data:application/octet-stream;base64,"
+                          + base64.b64encode(blob).decode())],
+    )
+    path = tmp_path / f"instanced_{n_instances}.gltf"
+    path.write_text(json.dumps(doc))
+    return str(path)
+
+
+def test_instancing_flatten_guardrail(tmp_path):
+    """Instance flattening is bounded: a 500-instance scene whose
+    world-space expansion crosses the bound raises a clear error naming
+    the amplification (the reference keeps an IAS, Scene.cpp:1134-1213;
+    tpu_pt deliberately flattens — the guardrail makes the O(instances
+    x mesh) memory trade explicit instead of detonating)."""
+    from tpu_pt.scene.gltf import load_gltf
+    path = _instanced_gltf(tmp_path, 500)
+    with pytest.raises(ValueError, match="instance flattening"):
+        load_gltf(path, max_flat_tris=100)
+    # Raising the bound loads the same file: 500 world-space triangles.
+    ws = load_gltf(path, max_flat_tris=1000)
+    assert int(np.asarray(ws.geom.tri_valid).sum()) == 500
+    # The env knob raises the bound too.
+    import os
+    os.environ["TPT_MAX_FLAT_TRIS"] = "1000"
+    try:
+        ws2 = load_gltf(path)
+        assert int(np.asarray(ws2.geom.tri_valid).sum()) == 500
+    finally:
+        del os.environ["TPT_MAX_FLAT_TRIS"]

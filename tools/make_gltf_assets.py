@@ -231,6 +231,19 @@ def build(out_dir: str):
         dict(type="parallelogram", anchor=[-2.0, 0.01, -1.8],
              v1=[1.2, 0.0, 0.0], v2=[0.0, 0.0, 1.2], material=1),
     ])
+    # Swept-sphere curves in the same extras channel (GeometryData.h
+    # round-curve parity from a glTF asset): a cubic-b-spline arc over
+    # the scene and a catmullrom strand near the ground.
+    doc_prims["extras"]["tpu_pt_curves"] = [
+        dict(basis="cubic_bspline",
+             points=[[-2.2, 0.3, 0.0], [-1.2, 1.8, 0.6], [1.2, 1.9, 0.6],
+                     [2.2, 0.4, 0.0], [2.8, 0.2, -0.5]],
+             radii=0.12, material=2),
+        dict(basis="catmullrom",
+             points=[[-1.5, 0.15, 2.2], [-0.5, 0.35, 2.4],
+                     [0.5, 0.15, 2.3], [1.5, 0.4, 2.2]],
+             radii=[0.05, 0.14, 0.14, 0.05], material=0),
+    ]
     with open(os.path.join(out_dir, "pbr_prims.gltf"), "w") as f:
         json.dump(doc_prims, f)
 

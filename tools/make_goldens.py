@@ -112,6 +112,18 @@ def main():
                    tpu_pt.image_to_host(img))
     print("wrote whitted-pbr.png")
 
+    # glTF-extras primitives + curves through the whitted pipeline
+    # (Scene.cpp:1368-1450 SBT binding of the custom-primitive and curve
+    # programs, declared from the asset itself).
+    ws2 = load_gltf(os.path.join(REPO, "assets", "pbr_prims.gltf"))
+    accum = init_accum(cfg)
+    img = None
+    for f in range(2):
+        accum, img, _ = render_whitted_frame(ws2, wcam, cfg, f, accum)
+    film.write_png(os.path.join(GOLDEN_DIR, "whitted-prims-curves.png"),
+                   tpu_pt.image_to_host(img))
+    print("wrote whitted-prims-curves.png")
+
 
 if __name__ == "__main__":
     main()

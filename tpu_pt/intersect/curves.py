@@ -46,6 +46,44 @@ CURVE_CATMULLROM = 3
 PIECES = 8          # rounded-cone pieces per segment
 _EPS = 1e-12
 
+# Basis name -> (CURVE_* kind, control points per segment). A strand of
+# n points yields n - (cps - 1) sliding-window segments — the standard
+# curve-array vertex indexing the reference's four curve types use
+# (``cuda/GeometryData.h:95-127``). Shared by every loader that accepts
+# curve declarations (scene JSON, glTF extras).
+CURVE_BASES = {
+    "linear": (CURVE_LINEAR, 2),
+    "quadratic_bspline": (CURVE_QUADRATIC_BSPLINE, 3),
+    "cubic_bspline": (CURVE_CUBIC_BSPLINE, 4),
+    "catmullrom": (CURVE_CATMULLROM, 4),
+}
+
+
+def expand_curve_spec(spec: dict, mat: int) -> list[dict]:
+    """One loader curve declaration -> per-segment dicts for make_curves.
+
+    ``spec`` carries ``basis`` (default cubic_bspline), ``points``
+    ([n, 3]) and ``radii`` (scalar or [n]); validation errors name the
+    offending field. Returns sliding-window segment dicts
+    {kind, points, radii, mat}."""
+    basis = spec.get("basis", "cubic_bspline")
+    if basis not in CURVE_BASES:
+        raise ValueError(f"unknown curve basis {basis!r}")
+    ckind, cps = CURVE_BASES[basis]
+    pts = np.asarray(spec["points"], np.float32)
+    if pts.ndim != 2 or pts.shape[1] != 3 or pts.shape[0] < cps:
+        raise ValueError(f"curve needs >= {cps} [x,y,z] points for {basis}")
+    radii = spec.get("radii", 0.1)
+    if np.ndim(radii) == 0:
+        radii = np.full((pts.shape[0],), float(radii), np.float32)
+    else:
+        radii = np.asarray(radii, np.float32)
+    if radii.shape[0] != pts.shape[0]:
+        raise ValueError("curve radii must match points")
+    return [dict(kind=ckind, points=pts[s:s + cps], radii=radii[s:s + cps],
+                 mat=mat)
+            for s in range(pts.shape[0] - (cps - 1))]
+
 
 @struct.dataclass
 class CurveSegments:

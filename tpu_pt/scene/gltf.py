@@ -262,10 +262,40 @@ def _decode_image(g: _Gltf, img: dict) -> np.ndarray:
     return rgba
 
 
-def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
-    """Load a .gltf/.glb file into a world-space WhittedScene."""
+# Bytes of table rows created per FLATTENED triangle (measured on
+# big_mesh.obj, 99,968 padded rows: SceneArrays v0/e1/e2/normal/valid/
+# mat_id 53 B + host staging copy 53 B + vtx_attr 64 B + tri_tangent
+# 12 B + packed single-slab 64 B + clustered pack & boxes ~70 B +
+# occ/cluster index 8 B). Used by the instancing guardrail to state the
+# cost of the flatten in the error message.
+_BYTES_PER_FLAT_TRI = 324
+
+# Default flattened-triangle bound: ~1.3 GB of triangle tables. The
+# deliberate design divergence from the reference's IAS (instances
+# flattened to world space, module docstring) makes memory scale
+# O(instances x mesh); past this bound that trade stops being sane and
+# the loader refuses instead of detonating. Override with the
+# ``max_flat_tris`` argument or ``TPT_MAX_FLAT_TRIS``.
+_MAX_FLAT_TRIS_DEFAULT = 4_000_000
+
+
+def load_gltf(path: str, default_lights: bool = True,
+              max_flat_tris: int | None = None) -> WhittedScene:
+    """Load a .gltf/.glb file into a world-space WhittedScene.
+
+    Instances are flattened (pre-transformed to world space) — see the
+    module docstring. ``max_flat_tris`` bounds the flattened triangle
+    count (default ``TPT_MAX_FLAT_TRIS`` env or 4M, ~1.3 GB of tables);
+    a scene whose instancing expands past the bound raises ValueError
+    naming the amplification instead of silently exhausting memory.
+    The reference keeps per-instance transforms in an IAS over shared
+    meshes (``sutil/Scene.cpp:1134-1213``) and has no such bound."""
+    if max_flat_tris is None:
+        max_flat_tris = int(os.environ.get("TPT_MAX_FLAT_TRIS",
+                                           _MAX_FLAT_TRIS_DEFAULT))
     g = _Gltf(path)
     doc = g.doc
+    mesh_uses: dict = {}      # mesh idx -> instance count (guardrail)
 
     tris_v = []        # [T, 3, 3] world-space triangle vertices
     tris_n = []        # [T, 3, 3] world-space vertex normals
@@ -319,6 +349,7 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
         node = doc["nodes"][node_idx]
         xform = parent @ _node_matrix(node)
         if "mesh" in node:
+            mesh_uses[node["mesh"]] = mesh_uses.get(node["mesh"], 0) + 1
             emit_mesh(node["mesh"], xform)
         light_ref = node.get("extensions", {}).get(
             "KHR_lights_punctual", {}).get("light")
@@ -340,6 +371,21 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
         walk(r, ml.mat4_identity())
 
     assert tris_v, f"no triangle geometry in {path}"
+    flat_tris = sum(int(t.shape[0]) for t in tris_v)
+    if flat_tris > max_flat_tris:
+        n_inst = sum(mesh_uses.values())
+        worst = max(mesh_uses.values(), default=1)
+        raise ValueError(
+            f"{os.path.basename(path)}: instance flattening expands to "
+            f"{flat_tris:,} world-space triangles "
+            f"(~{flat_tris * _BYTES_PER_FLAT_TRI / 1e9:.1f} GB of tables; "
+            f"{n_inst} mesh instances over {len(mesh_uses)} meshes, most-"
+            f"instanced mesh used {worst}x) — past the {max_flat_tris:,}-"
+            f"triangle bound. tpu_pt flattens instances instead of "
+            f"keeping an IAS (scene/gltf.py module docstring), so memory "
+            f"scales O(instances x mesh size). Raise the bound via "
+            f"load_gltf(max_flat_tris=...) or TPT_MAX_FLAT_TRIS if the "
+            f"memory cost is acceptable.")
     tv = np.concatenate(tris_v)
     tn = np.concatenate(tris_n)
     tuv = np.concatenate(tris_uv)
@@ -505,6 +551,30 @@ def load_gltf(path: str, default_lights: bool = True) -> WhittedScene:
                              BSDF_REFRACTION, BSDF_DIFFUSE)
         geom = geom.replace(prims=_prims.make_primitives(
             specs, mat_bsdf=fake_bsdf))
+
+    # Swept-sphere curves from the document extras — the mirror of
+    # ``tpu_pt_primitives`` for the reference's four round-curve types
+    # (``cuda/GeometryData.h:95-127``; shading normals ``cuda/curve.h:
+    # 312-443``):
+    #   "extras": {"tpu_pt_curves": [
+    #     {"basis": "linear" | "quadratic_bspline" | "cubic_bspline" |
+    #      "catmullrom", "points": [[x,y,z], ...],
+    #      "radii": r | [r, ...], "material": <glTF material index>}]}
+    # Curve hits shade with the exact swept-sphere normal (they carry no
+    # vertex attributes, so the whitted shader takes its analytic-normal
+    # branch); KIND_GLASS curves pass shadow rays. NOTE the scale
+    # ceiling: ``intersect_curves`` sweeps ALL rays against ALL S x 8
+    # tessellated pieces per bounce (``intersect/curves.py``) — fine for
+    # decorative strands, wrong for 10k-segment hair assets.
+    extra_curves = doc.get("extras", {}).get("tpu_pt_curves", [])
+    if extra_curves:
+        from ..intersect.curves import expand_curve_spec, make_curves
+        fake_bsdf = np.where(tables["kind"] == KIND_GLASS,
+                             BSDF_REFRACTION, BSDF_DIFFUSE)
+        segs = []
+        for c in extra_curves:
+            segs.extend(expand_curve_spec(c, int(c.get("material", 0))))
+        geom = geom.replace(curves=make_curves(segs, mat_bsdf=fake_bsdf))
 
     return WhittedScene(
         geom=geom,

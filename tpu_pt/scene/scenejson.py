@@ -48,17 +48,6 @@ from .objloader import (Material, ObjMesh, classify_bsdf, detect_area_light,
 
 _PRIM_TYPES = {"sphere": 0, "parallelogram": 1, "sphere_shell": 2}
 
-# Curve basis name -> (CURVE_* kind, control points per segment). A
-# strand of n points yields n - (cps - 1) sliding-window segments, the
-# standard curve-array vertex indexing (the reference's curve types,
-# ``cuda/GeometryData.h:95-127``).
-_CURVE_BASES = {
-    "linear": (0, 2),
-    "quadratic_bspline": (1, 3),
-    "cubic_bspline": (2, 4),
-    "catmullrom": (3, 4),
-}
-
 
 def load_scene_json(path: str, light: AreaLight | None = None,
                     auto_light: bool = True,
@@ -102,26 +91,9 @@ def load_scene_json(path: str, light: AreaLight | None = None,
     curve_dicts = []
     for p in doc.get("primitives", []):
         if p.get("type") == "curve":
-            basis = p.get("basis", "cubic_bspline")
-            if basis not in _CURVE_BASES:
-                raise ValueError(f"unknown curve basis {basis!r}")
-            ckind, cps = _CURVE_BASES[basis]
-            pts = np.asarray(p["points"], np.float32)
-            if pts.ndim != 2 or pts.shape[1] != 3 or pts.shape[0] < cps:
-                raise ValueError(
-                    f"curve needs >= {cps} [x,y,z] points for {basis}")
-            radii = p.get("radii", 0.1)
-            if np.ndim(radii) == 0:
-                radii = np.full((pts.shape[0],), float(radii), np.float32)
-            else:
-                radii = np.asarray(radii, np.float32)
-            if radii.shape[0] != pts.shape[0]:
-                raise ValueError("curve radii must match points")
-            m = mat_index(p.get("material", 0))
-            for s in range(pts.shape[0] - (cps - 1)):
-                curve_dicts.append(dict(kind=ckind,
-                                        points=pts[s:s + cps],
-                                        radii=radii[s:s + cps], mat=m))
+            from ..intersect.curves import expand_curve_spec
+            curve_dicts.extend(
+                expand_curve_spec(p, mat_index(p.get("material", 0))))
             continue
         kind = _PRIM_TYPES.get(p.get("type"))
         if kind is None:
