@@ -419,3 +419,43 @@ def test_instancing_flatten_guardrail(tmp_path):
         assert int(np.asarray(ws2.geom.tri_valid).sum()) == 500
     finally:
         del os.environ["TPT_MAX_FLAT_TRIS"]
+
+
+def test_mxu_texture_sampler_matches_gather(pbr_scene):
+    """The per-bounce MXU bilinear pass (_sample_all_textures +
+    _tex_lookup) matches the 4-tap gather sampler to fp association on
+    every texture, wrap mode, and out-of-range UV, srgb on and off —
+    including the oversized-texture gather fallback path."""
+    from tpu_pt import whitted as wh
+    ws = pbr_scene
+    k_tex = len(ws.textures)
+    assert k_tex >= 2
+    n = 1024
+    r = np.random.default_rng(7)
+    uu = jnp.asarray(r.uniform(-1.5, 2.5, n).astype(np.float32))
+    vv = jnp.asarray(r.uniform(-1.5, 2.5, n).astype(np.float32))
+    tex_id = jnp.asarray((np.arange(n) % (k_tex + 1)) - 1, jnp.int32)
+
+    for srgb in (True, False):
+        g_rgb, g_a = wh._sample_textures(ws, tex_id, uu, vv, srgb=srgb)
+        m_rgb, m_a = wh._tex_lookup(wh._sample_all_textures(ws, uu, vv),
+                                    tex_id, srgb=srgb)
+        np.testing.assert_allclose(np.asarray(m_rgb.to_array()),
+                                   np.asarray(g_rgb.to_array()),
+                                   rtol=0, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(m_a), np.asarray(g_a),
+                                   rtol=0, atol=3e-5)
+    # Force every texture through the oversized-texture fallback.
+    old = wh._WTEX_MAX_TEXELS
+    try:
+        wh._WTEX_MAX_TEXELS = 1
+        f_rgb, f_a = wh._tex_lookup(wh._sample_all_textures(ws, uu, vv),
+                                    tex_id)
+    finally:
+        wh._WTEX_MAX_TEXELS = old
+    g_rgb, g_a = wh._sample_textures(ws, tex_id, uu, vv)
+    np.testing.assert_allclose(np.asarray(f_rgb.to_array()),
+                               np.asarray(g_rgb.to_array()),
+                               rtol=0, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(g_a),
+                               rtol=0, atol=3e-5)

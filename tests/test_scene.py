@@ -286,3 +286,76 @@ class TestCurveSceneJSON:
         occ = occluded(o, d, jnp.array([900.0, 100.0]))
         assert bool(occ[0]) is True
         assert bool(occ[1]) is False
+
+
+def test_occluder_subset_point_light_endpoints():
+    """Whitted POINT lights extend the occluder hull test's endpoint
+    set: a ground plane with a light BELOW it is a real occluder of
+    surface->light segments and must survive the cull, while the same
+    plane with all endpoints above it is correctly culled (the round-4
+    fix: load_gltf used the Cornell quad's endpoints only, silently
+    mis-culling for out-of-hull point lights)."""
+    from tpu_pt.scene.arrays import nee_occluder_index
+
+    # Geometry: a ground quad at y=0 and a small box ABOVE it.
+    v0 = np.array([[-5, 0, -5], [-5, 0, -5],
+                   [0.0, 1.0, 0.0], [0.0, 2.0, 0.0]], np.float32)
+    e1 = np.array([[10, 0, 0], [0, 0, 10],
+                   [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], np.float32)
+    e2 = np.array([[0, 0, 10], [10, 0, 0],
+                   [0.0, 0.0, 1.0], [0.0, 0.0, 1.0]], np.float32)
+    valid = np.ones(4, bool)
+    refr = np.zeros(4, bool)
+    # Area light far above (its quad endpoints are above the plane too).
+    light = (np.array([0, 8, 0], np.float64),
+             np.array([1, 0, 0], np.float64),
+             np.array([0, 0, 1], np.float64))
+
+    idx, n_occ = nee_occluder_index(v0, e1, e2, valid, refr, light)
+    ground_in = {0, 1} & set(idx[:n_occ].tolist())
+    assert not ground_in, "plane with everything above it must be culled"
+
+    # A point light BELOW the plane: segments from above-ground surfaces
+    # to it cross y=0, so the ground tris must now survive.
+    idx2, n2 = nee_occluder_index(
+        v0, e1, e2, valid, refr, light,
+        extra_endpoints=np.array([[0.0, -3.0, 0.0]], np.float32))
+    assert {0, 1} <= set(idx2[:n2].tolist())
+
+
+def test_gltf_occluder_subset_includes_point_lights(tmp_path):
+    """load_gltf recomputes the occluder subset with its point-light
+    positions as endpoints: a light under the floor keeps the floor in
+    the subset (shadows stay correct on the subset-sweeping backends)."""
+    import base64
+    import json
+    from tpu_pt.scene.gltf import load_gltf
+
+    # Floor quad at y=0 plus a small triangle above it; light below.
+    pos = np.array([[-5, 0, -5], [5, 0, -5], [5, 0, 5],
+                    [-5, 0, -5], [5, 0, 5], [-5, 0, 5],
+                    [0, 1, 0], [1, 1, 0], [0, 1, 1]], np.float32)
+    blob = pos.tobytes()
+    doc = dict(
+        asset=dict(version="2.0"), scene=0,
+        scenes=[dict(nodes=[0, 1])],
+        nodes=[dict(mesh=0),
+               dict(translation=[0.0, -3.0, 0.0],
+                    extensions=dict(KHR_lights_punctual=dict(light=0)))],
+        meshes=[dict(primitives=[dict(attributes=dict(POSITION=0))])],
+        accessors=[dict(bufferView=0, componentType=5126, count=9,
+                        type="VEC3")],
+        bufferViews=[dict(buffer=0, byteOffset=0, byteLength=len(blob))],
+        buffers=[dict(byteLength=len(blob),
+                      uri="data:application/octet-stream;base64,"
+                          + base64.b64encode(blob).decode())],
+        extensions=dict(KHR_lights_punctual=dict(lights=[
+            dict(type="point", color=[1, 1, 1], intensity=2.0)])),
+        extensionsUsed=["KHR_lights_punctual"],
+    )
+    path = tmp_path / "light_below.gltf"
+    path.write_text(json.dumps(doc))
+    ws = load_gltf(str(path))
+    occ = set(np.asarray(ws.geom.occ_index)[
+        : ws.geom.num_occluders].tolist())
+    assert {0, 1} <= occ, "floor must stay an occluder for the low light"

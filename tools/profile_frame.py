@@ -38,23 +38,40 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import numpy as np
     import tpu_pt
     from tpu_pt.render import CameraArrays, render_frame, init_accum
 
-    scene = tpu_pt.load_scene(args.scene)
-    cfg = tpu_pt.RenderConfig(width=args.width, height=args.height,
-                              spp=args.spp, max_depth=args.depth,
-                              use_direct_lighting=True,
-                              use_importance_sampling=True)
-    cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
+    whitted = args.scene.endswith((".gltf", ".glb"))
+    if whitted:
+        # glTF scenes profile the whitted pipeline (bench_whitted's
+        # camera/config family) — the round-3 VERDICT's missing profile.
+        from tpu_pt.camera import Camera
+        from tpu_pt.scene.gltf import load_gltf
+        from tpu_pt.whitted import render_whitted_frame as render_fn
+        scene = load_gltf(args.scene)
+        cam = CameraArrays.from_camera(Camera(
+            eye=np.array([6.0, 4.5, 7.0], np.float32),
+            lookat=np.array([0.0, 0.8, 0.0], np.float32), fov_y=40.0))
+        cfg = tpu_pt.RenderConfig(width=args.width, height=args.height,
+                                  spp=args.spp, max_depth=args.depth,
+                                  background=(0.1, 0.15, 0.25))
+    else:
+        scene = tpu_pt.load_scene(args.scene)
+        render_fn = render_frame
+        cfg = tpu_pt.RenderConfig(width=args.width, height=args.height,
+                                  spp=args.spp, max_depth=args.depth,
+                                  use_direct_lighting=True,
+                                  use_importance_sampling=True)
+        cam = CameraArrays.from_camera(tpu_pt.cornell_default_camera())
     accum = init_accum(cfg)
     from tpu_pt.profiling import device_barrier
-    accum, img, _ = render_frame(scene, cam, cfg, 0, accum)
+    accum, img, _ = render_fn(scene, cam, cfg, 0, accum)
     device_barrier(img)      # block_until_ready can lie over the tunnel
 
     tracedir = tempfile.mkdtemp(prefix="tpt_trace_")
     with jax.profiler.trace(tracedir):
-        accum, img, _ = render_frame(scene, cam, cfg, 1, accum)
+        accum, img, _ = render_fn(scene, cam, cfg, 1, accum)
         device_barrier(img)
 
     paths = sorted(glob.glob(os.path.join(
@@ -80,7 +97,8 @@ def main():
               "device timeline)", file=sys.stderr)
         return 1
     frame = next((us for nm, us in dur.items()
-                  if nm.startswith("jit_render_frame")), None)
+                  if nm.startswith(("jit_render_frame",
+                                    "jit_render_whitted_frame"))), None)
     if frame:
         print(f"frame total: {frame / 1e3:9.2f} ms")
     print(f"{'total ms':>10}  {'calls':>6}  op")

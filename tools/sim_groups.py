@@ -62,7 +62,13 @@ def main():
 
     tmin = 0.01
     base = None
-    for g in (256, 128, 32, 8):
+    groups = [int(x) for x in os.environ.get(
+        "SIM_GROUPS", "256,128,32,8,1").split(",")]
+    # g=1 is the per-RAY exact list — the denominator of the round-4
+    # roofline section's redundancy factor (swept elements at the
+    # production g=256 tile unions / elements a per-ray-exact sweep
+    # would touch).
+    for g in groups:
         prior = np.full((n_pad,), 1e16, np.float32)
         entries = 0
         for si, s in enumerate(starts):

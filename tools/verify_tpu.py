@@ -21,6 +21,14 @@ asserts the images match bitwise:
   9. in-kernel candidate build (TPT_INKB=1) vs  XLA-side schedule
  10. whitted one-hot attribute select       vs  table gather
  11. whitted sharded (1,1) mesh step        vs  plain whitted frame
+ 12. prims scene: lean + one-hot resolve    vs  in-sweep selects
+ 13. curves scene: lean + one-hot resolve   vs  in-sweep selects
+
+Cases 12-13 are the only on-TPU coverage of the ``_with_primitives`` /
+``_with_curves`` min-t combine paths (round-3 VERDICT weak #5): the
+prim/curve jnp combine sits on top of two independent triangle paths
+that must agree bitwise at whole-frame scale, inside the very fused
+graphs where ``--xla_allow_excess_precision`` once bit.
 
 Each variant toggles via env, so every render runs in a fresh
 subprocess. Exit code 0 = all equivalences hold. Runtime ~4 min on a
@@ -145,6 +153,15 @@ def main():
     check("streamed unguarded == chained slabs (big scene)",
           bbase, render(p("bstreamng"), big, {"TPT_STREAM": "1",
                                               "TPT_STREAM_GUARD": "0"}))
+
+    prims = os.path.join(REPO, "assets", "cornell_prims.json")
+    pbase = render(p("pbase"), prims)
+    check("prims combine: lean resolve == in-sweep selects",
+          pbase, render(p("plean0"), prims, {"TPT_LEAN_MAX": "0"}))
+    curves = os.path.join(REPO, "assets", "cornell_curves.json")
+    cbase = render(p("cbase"), curves)
+    check("curves combine: lean resolve == in-sweep selects",
+          cbase, render(p("clean0"), curves, {"TPT_LEAN_MAX": "0"}))
 
     gltf = os.path.join(REPO, "assets", "pbr_test.gltf")
     if not os.path.exists(gltf):

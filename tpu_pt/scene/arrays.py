@@ -194,7 +194,8 @@ def _device_light(light: AreaLight) -> AreaLight:
 
 def nee_occluder_index(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                        valid: np.ndarray, refractive: np.ndarray,
-                       light_cvv: tuple, pad_align: int = 8):
+                       light_cvv: tuple, pad_align: int = 8,
+                       extra_endpoints: np.ndarray | None = None):
     """Indices of every triangle that can occlude an NEE shadow segment.
 
     NEE shadow rays (``pathTracerPrograms.cu:1003-1026``) are segments from
@@ -220,8 +221,12 @@ def nee_occluder_index(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     scene-build cost for identical classifications (verified on every
     asset scene).
 
-    ``light_cvv`` is the host-side (corner, v1, v2) triple. Returns
-    (occ_index int32 [O_pad] padded to ``pad_align``, n_occ).
+    ``light_cvv`` is the host-side (corner, v1, v2) triple.
+    ``extra_endpoints`` ([P, 3]) adds further possible segment
+    endpoints — the whitted pipeline's POINT light positions, which may
+    sit outside the scene AABB (a light below a ground plane makes that
+    plane a real occluder the AABB+quad set alone would wrongly cull).
+    Returns (occ_index int32 [O_pad] padded to ``pad_align``, n_occ).
     """
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
@@ -245,6 +250,11 @@ def nee_occluder_index(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
     lc, lv1, lv2 = (np.asarray(x, np.float32) for x in light_cvv)
     endpoints = np.concatenate(
         [corners, [lc, lc + lv1, lc + lv2, lc + lv1 + lv2]], axis=0)
+    if extra_endpoints is not None and len(extra_endpoints):
+        endpoints = np.concatenate(
+            [endpoints,
+             np.asarray(extra_endpoints, np.float32).reshape(-1, 3)],
+            axis=0)
 
     eps = 1e-4 * float(np.linalg.norm(hi - lo)) + 1e-12
     dist = endpoints @ n.T - d0[None, :]                      # [12, T]

@@ -512,6 +512,22 @@ def load_gltf(path: str, default_lights: bool = True,
         lights_color = [np.array([0.8, 0.8, 0.8], np.float32),
                         np.array([0.4, 0.4, 0.4], np.float32)]
 
+    if lights_pos:
+        # The occluder subset computed inside build_scene_arrays used
+        # only the (path-tracer) area-light quad as segment endpoints;
+        # whitted shadow segments end at the POINT lights, which can sit
+        # outside the scene AABB (a light below a ground plane makes the
+        # plane a real occluder). Recompute with both endpoint sets so
+        # ONE subset is valid for both pipelines.
+        from .arrays import _host_light, nee_occluder_index
+        refr = host["mat_bsdf"][host["mat_id"]] == BSDF_REFRACTION
+        occ_index, n_occ = nee_occluder_index(
+            host["v0"], host["e1"], host["e2"], host["valid"], refr,
+            _host_light(default_cornell_light()),
+            extra_endpoints=np.asarray(lights_pos, np.float32))
+        geom = geom.replace(occ_index=jnp.asarray(occ_index),
+                            num_occluders=n_occ)
+
     from ..intersect.lbvh import with_bvh
     geom = with_bvh(geom, host=host)
 
