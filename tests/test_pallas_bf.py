@@ -530,3 +530,24 @@ def test_grp_matches_tiled(mixed_scene, rays, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))
     np.testing.assert_array_equal(np.asarray(ref.mat), np.asarray(out.mat))
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
+
+
+def test_grp_bundled_matches_tiled(mixed_scene, rays, monkeypatch):
+    """TPT_GRP=2 (bundled-lockstep group kernels) is a pure scheduling
+    restructure of TPT_GRP=1 — identical hits/occlusion to the tiled
+    path (masked lockstep steps never accept, visit order per group is
+    unchanged)."""
+    o, d = rays
+    tmax = jnp.full((o.shape[0],), 500.0)
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 384)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 8)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    ref = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    ref_occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    monkeypatch.setenv("TPT_GRP", "2")
+    out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    occ = pallas_bf.intersect_occluded(mixed_scene, o, d, tmax)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))
+    np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))

@@ -1307,6 +1307,137 @@ def _grp_occluded(ray, tmax, tris_g_ref, cand_ref, cbase, n_sc, tmin):
                              jnp.zeros((tmax.shape[0], 1), jnp.float32))
 
 
+# Bundled-lockstep variant (TPT_GRP=2): the serial grp kernel walks one
+# group's candidate fori_loop to completion before the next — a ~40-op
+# dependency chain of single-tile [8, 128] ops with a DYNAMIC trip
+# count, which Mosaic can neither unroll nor overlap (the measured 13x
+# per-element cost of the 1.43 Mrays/s dead end). Here GRP_BUNDLE
+# groups advance their lists in LOCKSTEP inside ONE fori_loop running
+# to the bundle's max list length: each iteration issues GRP_BUNDLE
+# independent intersection DAGs (groups only meet at their own [8, 1]
+# min-carries), so the VPU has bundle-many chains to interleave.
+# Price (tools/sim_groups cache, dir12 order, 100k frame): lockstep
+# runs 8-group bundles 2.95x the exact g=8 entries — still 0.25x the
+# 256-tile union elements the production path sweeps.
+GRP_BUNDLE = 8
+
+
+def _grp_bundle_closest(rays_t_ref, tris_g_ref, cand_ref, out_ref, i_ref,
+                        b0, nb, ns1, n_sc, tmin, base, prior=None):
+    """One bundle (groups b0..b0+nb-1) in candidate lockstep."""
+    rows = []
+    for g in range(b0, b0 + nb):
+        lo = g * 8
+        ray = tuple(rays_t_ref[lo:lo + 8, k:k + 1] for k in range(6))
+        if prior is None:
+            init = (jnp.full((8, 1), T_FAR, jnp.float32),
+                    jnp.zeros((8, 1), jnp.float32))
+        else:
+            pout_ref, pidx_ref = prior
+            init = (pout_ref[lo:lo + 8, 0:1],
+                    pidx_ref[lo:lo + 8, 0:1].astype(jnp.float32))
+        nc = jnp.clip(cand_ref[g * ns1, 0], 0, n_sc)
+        rows.append((ray, g * ns1, nc, init))
+    kmax = rows[0][2]
+    for _, _, nc, _ in rows[1:]:
+        kmax = jnp.maximum(kmax, nc)
+
+    def step(k, carry):
+        out = []
+        for (ray, cbase, nc, _), (best_t, best_i) in zip(rows, carry):
+            live = k < nc
+            sb = cand_ref[cbase + 1 + k, 0]
+            for j in range(SUPER):
+                c = sb * SUPER + j
+                blk = tris_g_ref[pl.ds(c * 16, 16), :]
+                t, _ = _grp_t(ray, blk, tmin)
+                blk_t = jnp.min(t, axis=1, keepdims=True)      # [8, 1]
+                lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                cnd = jnp.where(t == blk_t, lane, _BIG_IDX)
+                blk_l = jnp.min(cnd, axis=1, keepdims=True)
+                blk_i = (blk_l + (c * CLUSTER + base)).astype(jnp.float32)
+                better = live & (blk_t < best_t)
+                best_t = jnp.where(better, blk_t, best_t)
+                best_i = jnp.where(better, blk_i, best_i)
+            out.append((best_t, best_i))
+        return tuple(out)
+
+    carry = jax.lax.fori_loop(0, kmax, step,
+                              tuple(init for _, _, _, init in rows))
+    for (g, (best_t, best_i)) in zip(range(b0, b0 + nb), carry):
+        lo = g * 8
+        out_ref[lo:lo + 8, 0:1] = best_t
+        i_ref[lo:lo + 8, 0:1] = jnp.where(
+            best_t < T_FAR, best_i.astype(jnp.int32), 0)
+
+
+def _closest_kernel_grp_bundled(rays_t_ref, tris_g_ref, cand_ref, out_ref,
+                                i_ref, *, n_tri, tmin, ns1, base=0):
+    n_sc = n_tri // (CLUSTER * SUPER)
+    n_grp = rays_t_ref.shape[0] // 8
+    for b0 in range(0, n_grp, GRP_BUNDLE):
+        _grp_bundle_closest(rays_t_ref, tris_g_ref, cand_ref, out_ref,
+                            i_ref, b0, min(GRP_BUNDLE, n_grp - b0), ns1,
+                            n_sc, tmin, base)
+
+
+def _closest_kernel_grp_bundled_chained(rays_t_ref, tris_g_ref, cand_ref,
+                                        pout_ref, pidx_ref, out_ref,
+                                        i_ref, *, n_tri, tmin, ns1,
+                                        base=0):
+    n_sc = n_tri // (CLUSTER * SUPER)
+    n_grp = rays_t_ref.shape[0] // 8
+    for b0 in range(0, n_grp, GRP_BUNDLE):
+        _grp_bundle_closest(rays_t_ref, tris_g_ref, cand_ref, out_ref,
+                            i_ref, b0, min(GRP_BUNDLE, n_grp - b0), ns1,
+                            n_sc, tmin, base, prior=(pout_ref, pidx_ref))
+
+
+def _occluded_kernel_grp_bundled(rays_t_ref, tris_g_ref, cand_ref,
+                                 occ_ref, *, n_tri, tmin, ns1):
+    n_sc = n_tri // (CLUSTER * SUPER)
+    n_grp = rays_t_ref.shape[0] // 8
+    for b0 in range(0, n_grp, GRP_BUNDLE):
+        nb = min(GRP_BUNDLE, n_grp - b0)
+        rows = []
+        for g in range(b0, b0 + nb):
+            lo = g * 8
+            ray = tuple(rays_t_ref[lo:lo + 8, k:k + 1] for k in range(6))
+            tmax = rays_t_ref[lo:lo + 8, 6:7]
+            nc = jnp.clip(cand_ref[g * ns1, 0], 0, n_sc)
+            rows.append((ray, tmax, g * ns1, nc))
+        kmax = rows[0][3]
+        for _, _, _, nc in rows[1:]:
+            kmax = jnp.maximum(kmax, nc)
+
+        def step(k, carry):
+            out = []
+            for (ray, tmax, cbase, nc), occ in zip(rows, carry):
+                live = k < nc
+                sb = cand_ref[cbase + 1 + k, 0]
+                for j in range(SUPER):
+                    c = sb * SUPER + j
+                    blk = tris_g_ref[pl.ds(c * 16, 16), :]
+                    t, refr = _grp_t(ray, blk, tmin)
+                    blocking = (t < tmax) & (refr < 0.5)
+                    hit = jnp.max(jnp.where(blocking, 1.0, 0.0), axis=1,
+                                  keepdims=True)
+                    occ = jnp.where(live, jnp.maximum(occ, hit), occ)
+                out.append(occ)
+            return tuple(out)
+
+        carry = jax.lax.fori_loop(
+            0, kmax, step,
+            tuple(jnp.zeros((8, 1), jnp.float32) for _ in rows))
+        for g, occ in zip(range(b0, b0 + nb), carry):
+            lo = g * 8
+            occ_ref[lo:lo + 8, 0:1] = (occ > 0.0).astype(jnp.int32)
+
+
+def _grp_bundled() -> bool:
+    return os.environ.get("TPT_GRP", "0") == "2"
+
+
 def _closest_kernel_grp(rays_t_ref, tris_g_ref, cand_ref, out_ref, i_ref,
                         *, n_tri, tmin, ns1, base=0):
     n_sc = n_tri // (CLUSTER * SUPER)
@@ -1363,13 +1494,17 @@ def _closest_call_grp(rays_t, tris_g, cand, n_tri: int, tmin: float,
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)
     gpp = GRP_RT // 8          # groups (lists) per program
     if prior is None:
-        kernel = functools.partial(_closest_kernel_grp, n_tri=n_tri,
-                                   tmin=tmin, ns1=ns1, base=base)
+        kernel = functools.partial(
+            _closest_kernel_grp_bundled if _grp_bundled()
+            else _closest_kernel_grp,
+            n_tri=n_tri, tmin=tmin, ns1=ns1, base=base)
         extra_in, extra_specs = (), ()
     else:
-        kernel = functools.partial(_closest_kernel_grp_chained,
-                                   n_tri=n_tri, tmin=tmin, ns1=ns1,
-                                   base=base)
+        kernel = functools.partial(
+            _closest_kernel_grp_bundled_chained if _grp_bundled()
+            else _closest_kernel_grp_chained,
+            n_tri=n_tri, tmin=tmin, ns1=ns1,
+            base=base)
         extra_in = prior
         extra_specs = (
             pl.BlockSpec((GRP_RT, 1), lambda i: (i, 0),
@@ -1414,8 +1549,10 @@ def _occluded_call_grp(rays_t, tris_g, cand, n_tri: int, tmin: float):
     grid = (n_pad // GRP_RT,)
     ns1 = _pad_to(1 + n_tri // (CLUSTER * SUPER), 8)
     gpp = GRP_RT // 8
-    kernel = functools.partial(_occluded_kernel_grp, n_tri=n_tri,
-                               tmin=tmin, ns1=ns1)
+    kernel = functools.partial(
+        _occluded_kernel_grp_bundled if _grp_bundled()
+        else _occluded_kernel_grp,
+        n_tri=n_tri, tmin=tmin, ns1=ns1)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -2650,7 +2787,7 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
     # dense sweep elements to ~8.6% of the 256-ray tile unions
     # (tools/sim_groups.py) — see the grp kernel section comment.
     grp = (not single and lean and not stream and not rot and not cbin
-           and os.environ.get("TPT_GRP", "0") == "1")
+           and os.environ.get("TPT_GRP", "0") in ("1", "2"))
     if grp:
         rays_t = jnp.transpose(rays, (1, 0))              # [n_pad, 8]
         out_c = idx_c = None
@@ -2806,7 +2943,7 @@ def _intersect_occluded_tiled(scene: SceneArrays, origins: V3, dirs: V3,
             return occ[0, :n] > 0
     occ = None
     grp_occ = (not single
-               and os.environ.get("TPT_GRP", "0") == "1"
+               and os.environ.get("TPT_GRP", "0") in ("1", "2")
                and os.environ.get("TPT_STREAM", "0") != "1")
     if grp_occ:
         # Transposed-group any-hit chain (see the grp section comment).
