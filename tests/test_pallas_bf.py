@@ -153,13 +153,18 @@ def test_inkernel_build_matches_outside(mixed_scene, rays, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
 
 
-def test_lean_single_matches_full(mixed_scene, rays):
-    """want_uv=False routes small scenes through the lean (t, id) kernel
-    + one-hot attribute resolve; every consumed field must match the
-    full in-sweep-select kernel exactly (u/v are documented as zeros)."""
+def test_lean_single_matches_full(mixed_scene, rays, monkeypatch):
+    """Small scenes route through the lean (t, id) kernel + one-hot
+    attribute resolve (want_uv included since round 4, barycentrics
+    recovered from the resolved edge-function rows); every consumed
+    field must match the full in-sweep-select kernel (TPT_LEAN_UV=0)
+    exactly, u/v to fp association."""
     o, d = rays
+    monkeypatch.setenv("TPT_LEAN_UV", "0")
     full = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=True)
+    monkeypatch.setenv("TPT_LEAN_UV", "1")
     lean = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=False)
+    lean_uv = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=True)
     np.testing.assert_array_equal(np.asarray(full.hit), np.asarray(lean.hit))
     np.testing.assert_array_equal(np.asarray(full.tri), np.asarray(lean.tri))
     np.testing.assert_array_equal(np.asarray(full.t), np.asarray(lean.t))
@@ -169,6 +174,14 @@ def test_lean_single_matches_full(mixed_scene, rays):
             np.asarray(getattr(full.normal, c)),
             np.asarray(getattr(lean.normal, c)))
     assert not np.asarray(lean.u).any() and not np.asarray(lean.v).any()
+    # The lean-uv variant agrees with the in-kernel winner reduces to
+    # fp association (same formula, association may differ post-fusion).
+    np.testing.assert_array_equal(np.asarray(full.tri),
+                                  np.asarray(lean_uv.tri))
+    np.testing.assert_allclose(np.asarray(lean_uv.u), np.asarray(full.u),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lean_uv.v), np.asarray(full.v),
+                               rtol=0, atol=1e-5)
 
 
 def test_lean_clustered_matches_full(mixed_scene, rays, monkeypatch):

@@ -101,6 +101,19 @@ def main():
                                     "jit_render_whitted_frame"))), None)
     if frame:
         print(f"frame total: {frame / 1e3:9.2f} ms")
+    # Family totals: every op groups under its name stem (`fusion.283`
+    # -> `fusion`, `pallas_closest_c.336` -> `pallas_closest_c`), so
+    # the closest/occlusion/XLA split of a frame is one line each
+    # even when the chained slabs emit dozens of per-slab kernels.
+    fam = collections.Counter()
+    for nm, us in dur.items():
+        if nm.startswith("jit_") or nm.startswith("while"):
+            continue
+        fam[nm.rsplit(".", 1)[0]] += us
+    print("-- families --")
+    for nm, us in fam.most_common(12):
+        pct = f" ({us / frame * 100:4.1f}%)" if frame else ""
+        print(f"{us / 1e3:10.2f}  {nm[:60]}{pct}")
     print(f"{'total ms':>10}  {'calls':>6}  op")
     for nm, us in dur.most_common(args.top):
         if nm.startswith("jit_") or nm.startswith("while"):

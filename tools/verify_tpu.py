@@ -23,6 +23,12 @@ asserts the images match bitwise:
  11. whitted sharded (1,1) mesh step        vs  plain whitted frame
  12. prims scene: lean + one-hot resolve    vs  in-sweep selects
  13. curves scene: lean + one-hot resolve   vs  in-sweep selects
+ 14. whitted lean-uv resolve (default)      ~=  full-carry kernel
+     (near-equal: u/v association differs; the case exists because the
+     full-carry kernel's unmasked u/v select-reduces summed 0 * NaN on
+     TPU for two rounds — dark point lights — while every CPU test and
+     TPU-vs-TPU bitwise case held; a whole-image tolerance against the
+     INDEPENDENT uv path is the guard that would have caught it)
 
 Cases 12-13 are the only on-TPU coverage of the ``_with_primitives`` /
 ``_with_curves`` min-t combine paths (round-3 VERDICT weak #5): the
@@ -125,6 +131,18 @@ def main():
             print(f"      maxdiff {d.max()}  pixels {int((d.sum(-1) > 0).sum())}")
             fails += 1
 
+    def check_close(name, a, b, max_u8=2, max_frac=0.05):
+        """Near-equality for pairs that are the same math in different
+        fp association (u8 images: a few +-1 pixels allowed)."""
+        nonlocal fails
+        d = np.abs(a.astype(int) - b.astype(int))
+        frac = float((d.sum(-1) > 0).mean())
+        ok = d.max() <= max_u8 and frac <= max_frac
+        print(f"{'PASS' if ok else 'FAIL'}  {name} "
+              f"(maxdiff {d.max()}, {frac:.3%} pixels)")
+        if not ok:
+            fails += 1
+
     p = lambda n: os.path.join(tmp, n + ".npy")
 
     base = render(p("base"), cornell)
@@ -174,6 +192,9 @@ def main():
                         whitted=True))
     check("whitted sharded (1,1) mesh == plain frame (glTF)",
           wbase, render(p("wshard"), gltf, whitted=True, sharded=True))
+    check_close("whitted lean-uv resolve ~= full-carry kernel (glTF)",
+                wbase, render(p("wleanuv0"), gltf, {"TPT_LEAN_UV": "0"},
+                              whitted=True))
 
     print("all equivalences hold" if not fails
           else f"{fails} equivalence(s) BROKEN")

@@ -733,8 +733,20 @@ def _closest_sweep(ray, tris_ref, rt, nb, tmin, tmax, tb=TRI_BLOCK,
         # from flat geometric normals, so its kernels skip the two
         # [TB, RT] select-reduces (~5% of the sweep).
         if want_uv:
-            blk_u = jnp.sum(sel * u, axis=0, keepdims=True)
-            blk_v = jnp.sum(sel * v, axis=0, keepdims=True)
+            # Mask non-hit rows BEFORE the select-reduce: the guard-free
+            # plane test leaves u/v of self-rejected rows inf/NaN on TPU
+            # (exploding approximate reciprocal), and 0 * NaN = NaN
+            # poisons the sum for every block containing a degenerate
+            # row. t is already T_FAR-masked, so t < T_FAR is the hit
+            # test. (Interpret mode divides exactly and stays finite —
+            # the round-2..3 whitted-on-TPU shading-normal bug this
+            # masks fixes was invisible to every CPU test; see the
+            # verify_tpu lean-uv case.)
+            ok = t < T_FAR
+            blk_u = jnp.sum(sel * jnp.where(ok, u, 0.0), axis=0,
+                            keepdims=True)
+            blk_v = jnp.sum(sel * jnp.where(ok, v, 0.0), axis=0,
+                            keepdims=True)
         else:
             blk_u, blk_v = bu, bv
         # Triangle id: identity-packed scenes use the block iota directly
@@ -1758,8 +1770,8 @@ def _closest_call_lean(rays, tris, n_tri: int, tmin: float,
     )(*rays, tris)
 
 
-def _lean_resolve(tris, t, tri, n_tri: int):
-    """(normal, material) for the winning tri ids via one-hot matmul.
+def _lean_resolve(tris, t, tri, n_tri: int, uv_from=None):
+    """(normal, material[, u, v]) for winning tri ids via one-hot matmul.
 
     ``tris`` is the trimmed packed table the kernel swept, so row order
     matches the returned ids. A 0/1 one-hot times an f32 table is exact
@@ -1767,8 +1779,22 @@ def _lean_resolve(tris, t, tri, n_tri: int):
     measured bitwise-equal to the in-kernel selects; a hand-rolled
     3x bf16 table-split variant is also exact but ~3% slower end to
     end, XLA fuses the HIGHEST passes better). Misses (id 0) are zeroed
-    to match ``_hit_from_out``."""
-    tbl = jnp.concatenate([tris[:, 0:3], tris[:, 14:15]], axis=1)  # [T, 4]
+    to match ``_hit_from_out``.
+
+    ``uv_from`` = (origins V3, dirs V3) additionally recovers the
+    winner's barycentrics OUTSIDE the kernel: the resolve also selects
+    the row's edge-function form (wu, cu, wv, cv — ``pack_tris`` cols
+    4:12) and evaluates ``u = wu . (o + t d) + cu`` exactly as
+    ``_pe_block`` does per candidate. This lets want_uv consumers (the
+    whitted pipeline) ride the lean (t, id) kernel instead of the
+    8-row full-carry kernel, whose in-sweep winner-attribute machinery
+    is most of its cost at small scenes."""
+    if uv_from is not None:
+        tbl = jnp.concatenate([tris[:, 0:3], tris[:, 4:12],
+                               tris[:, 14:15]], axis=1)        # [T, 12]
+    else:
+        tbl = jnp.concatenate([tris[:, 0:3], tris[:, 14:15]],
+                              axis=1)                          # [T, 4]
     # Exact selection in ONE default-precision MXU pass: the 0/1 one-hot
     # is bf16-exact, and the f32 table rides as three Dekker-split bf16
     # parts CONCATENATED column-wise ([T, 12]) — one matmul, one fused
@@ -1788,16 +1814,28 @@ def _lean_resolve(tris, t, tri, n_tri: int):
     p1 = r1.astype(jnp.bfloat16)
     p2 = (r1 - jax.lax.optimization_barrier(p1).astype(jnp.float32)
           ).astype(jnp.bfloat16)
-    parts = jnp.concatenate([p0, p1, p2], axis=1)                # [T, 12]
+    w = tbl.shape[1]
+    parts = jnp.concatenate([p0, p1, p2], axis=1)               # [T, 3w]
     sel = jnp.matmul(onehot, parts,
-                     preferred_element_type=jnp.float32)         # [N, 12]
-    rows = sel[:, 0:4] + sel[:, 4:8] + sel[:, 8:12]
+                     preferred_element_type=jnp.float32)        # [N, 3w]
+    rows = sel[:, 0:w] + sel[:, w:2 * w] + sel[:, 2 * w:3 * w]
     hit = t < T_FAR
     rows = jnp.where(hit[:, None], rows, 0.0)
+    if uv_from is None:
+        return Hit(t=t, tri=tri, hit=hit,
+                   normal=V3(rows[:, 0], rows[:, 1], rows[:, 2]),
+                   mat=jnp.round(rows[:, 3]).astype(jnp.int32),
+                   u=jnp.zeros_like(t), v=jnp.zeros_like(t))
+    o, d = uv_from
+    px = o.x + t * d.x
+    py = o.y + t * d.y
+    pz = o.z + t * d.z
+    u = rows[:, 3] * px + rows[:, 4] * py + rows[:, 5] * pz + rows[:, 6]
+    v = rows[:, 7] * px + rows[:, 8] * py + rows[:, 9] * pz + rows[:, 10]
     return Hit(t=t, tri=tri, hit=hit,
                normal=V3(rows[:, 0], rows[:, 1], rows[:, 2]),
-               mat=jnp.round(rows[:, 3]).astype(jnp.int32),
-               u=jnp.zeros_like(t), v=jnp.zeros_like(t))
+               mat=jnp.round(rows[:, 11]).astype(jnp.int32),
+               u=jnp.where(hit, u, 0.0), v=jnp.where(hit, v, 0.0))
 
 
 # One-hot resolve cost scales with the triangle count (construction +
@@ -2643,14 +2681,20 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
         # _trim_rows); the full-carry _closest_call below re-trims at
         # the VMEM-safe 256.
         tris, tb_lean = _trim_single(scene, packed, hb=TRI_BLOCK)
-        if (not want_uv and tmax >= T_FAR
+        lean_ok = (not want_uv
+                   or os.environ.get("TPT_LEAN_UV", "1") == "1")
+        if (lean_ok and tmax >= T_FAR
                 and tris.shape[0] <= LEAN_MAX_TRIS):
-            # OBJ-path small scenes: lean (t, id) kernel + one-hot
-            # attribute resolve (see _lean_sweep).
+            # Small scenes: lean (t, id) kernel + one-hot attribute
+            # resolve (see _lean_sweep). want_uv consumers (whitted)
+            # get barycentrics from the resolved edge-function rows
+            # instead of in-kernel winner reduces (TPT_LEAN_UV=0
+            # ablates back to the 8-row full-carry kernel).
             out_t, idx = _closest_call_lean(rays, tris, tris.shape[0],
                                             tmin, tb=tb_lean)
-            return with_slab(_lean_resolve(tris, out_t[0, :n], idx[0, :n],
-                                           tris.shape[0]),
+            return with_slab(_lean_resolve(
+                tris, out_t[0, :n], idx[0, :n], tris.shape[0],
+                uv_from=(origins, dirs) if want_uv else None),
                              jnp.zeros((n,), jnp.int32))
         tris, tb_single = _trim_single(scene, packed)
     else:

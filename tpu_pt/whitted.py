@@ -268,15 +268,16 @@ def _sample_all_textures(ws: WhittedScene, uu, vv):
 
         texels = sum_w (A @ T)[n, w, :] * B[n, w]
 
-    — one [N, H] x [H, W*4*K] HIGHEST-precision matmul interpolates
-    along y for ALL K textures of the group at once, and a [N, W, 4K]
-    weighted reduce finishes x. Since the up-to-four texture consumers
-    of a bounce (base color, normal map, metallic-roughness, emissive)
-    all sample at the SAME UV, this runs ONCE per bounce and each
-    consumer is a masked select (``_tex_lookup``). HIGHEST keeps the
-    products f32-exact, so results match the gather path to fp
-    association (goldens hold at their 1%% RMSE budget; ``TPT_WTEX=0``
-    renders the gather baseline for A/B)."""
+    — one [N, H] x [H, W*4*K] matmul (three exact default-precision
+    bf16 passes: integer-valued 255*texel table x Dekker-split weight
+    rows) interpolates along y for ALL K textures of the group at
+    once, and a minor-dim-split [N, W, 4K] weighted reduce finishes x.
+    Since the up-to-four texture consumers of a bounce (base color,
+    normal map, metallic-roughness, emissive) all sample at the SAME
+    UV, this runs ONCE per bounce and each consumer is a masked select
+    (``_tex_lookup``). Products are f32-exact, so results match the
+    gather path to fp association (goldens hold at their 1%% RMSE
+    budget; ``TPT_WTEX=0`` renders the gather baseline for A/B)."""
     n = uu.shape[0]
     groups: dict = {}
     for k, tex in enumerate(ws.textures):
@@ -305,11 +306,27 @@ def _sample_all_textures(ws: WhittedScene, uu, vv):
             continue
         a = _bilinear_rows(_wrap_coord(vv, wrap_t) * (h - 1), h)
         b = _bilinear_rows(_wrap_coord(uu, wrap_s) * (w - 1), w)
+        k_g = len(ks)
+        # Column layout [k, w, c] (texture-major; a [w, k, c] layout
+        # that makes the x-finish a minor-dim split was measured WORSE
+        # on hardware — 27 ms of relayout vs 9.7 — XLA transposes the
+        # b broadcast instead).
         tbl = jnp.concatenate(
             [ws.textures[k].reshape(h, w * 4) for k in ks], axis=1)
-        s = jnp.matmul(a, tbl, precision=jax.lax.Precision.HIGHEST)
-        c = jnp.sum(s.reshape(n, len(ks), w, 4)
-                    * b[:, None, :, None], axis=2)        # [N, K, 4]
+        # Texels are u8-origin (every loader decodes images as n/255,
+        # scene/gltf._decode_image), so 255 * texel is an INTEGER
+        # 0..255 — exactly representable in bf16. One bf16 table part
+        # x a 3-part Dekker split of the f32 weight rows gives exact
+        # products in THREE default-precision MXU passes (HIGHEST
+        # spends six); the 1/255 repair costs one f32 rounding.
+        t255 = jax.lax.optimization_barrier(
+            (tbl * 255.0).astype(jnp.bfloat16))
+        s = jnp.zeros((n, w * k_g * 4), jnp.float32)
+        for ap in _split3(a):
+            s = s + jnp.matmul(ap, t255,
+                               preferred_element_type=jnp.float32)
+        c = jnp.sum(s.reshape(n, k_g, w, 4) * b[:, None, :, None],
+                    axis=2) * jnp.float32(1.0 / 255.0)    # [N, K, 4]
         for j, k in enumerate(ks):
             texels[k] = c[:, j]
     return texels
