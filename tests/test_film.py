@@ -111,6 +111,47 @@ def test_exr_roundtrip_zip(tmp_path):
     assert os.path.getsize(str(tmp_path / "zip.exr")) < os.path.getsize(p0)
 
 
+def test_exr_roundtrip_rle(tmp_path):
+    """RLE-compressed EXR (ImfRle.cpp scheme: shared ZIP predictor +
+    run-length packing) round-trips bit-exactly, shrinks flat content,
+    and survives incompressible blocks (stored raw)."""
+    import os
+    flat = np.full((19, 23, 3), 0.25, np.float32)
+    flat[4:9, 6:12] = 0.75                   # long byte runs
+    p = str(tmp_path / "rle.exr")
+    film.write_exr(p, flat, compression="rle")
+    np.testing.assert_array_equal(film.read_exr(p), flat)
+    p0 = str(tmp_path / "flatnone.exr")
+    film.write_exr(p0, flat)
+    assert os.path.getsize(p) < os.path.getsize(p0)
+    rng = np.random.RandomState(13)
+    noisy = rng.rand(7, 11, 3).astype(np.float32) * 1e3
+    p2 = str(tmp_path / "rlenoise.exr")
+    film.write_exr(p2, noisy, compression="rle")
+    np.testing.assert_array_equal(film.read_exr(p2), noisy)
+    # Half-float channels through the same path.
+    p3 = str(tmp_path / "rlehalf.exr")
+    film.write_exr(p3, flat, half=True, compression="rle")
+    np.testing.assert_allclose(film.read_exr(p3), flat, rtol=1e-3)
+
+
+def test_exr_rle_stream_decoder():
+    """The RLE block decoder accepts any conformant stream shape, not
+    just our encoder's output: hand-built runs and literal spans."""
+    payload = np.arange(64, dtype=np.uint8).tobytes()
+    enc = film._exr_predict(payload)
+    # Alternate 1-byte literals and 1-length runs over the predicted
+    # bytes — a pathological but valid OpenEXR RLE stream.
+    stream = bytearray()
+    for b in enc.tobytes():
+        if b % 2:
+            stream += bytes([0, b])          # run of 1 (count-1 = 0)
+        else:
+            stream += bytes([255, b])        # literal span of 1
+    out = film._exr_rle_decode(bytes(stream), len(payload))
+    assert out == payload
+
+
 def test_exr_zip_incompressible_block(tmp_path):
     """Blocks that deflate larger are stored raw and still read back."""
     rng = np.random.RandomState(11)

@@ -7,10 +7,11 @@ TPU-native equivalent of the reference's accumulation + presentation path:
 - image save (``sutil::saveImage``, ``sutil/sutil.cpp:542``) as PNG/PPM,
   implemented dependency-free (zlib PNG encoder)
 - OpenEXR float HDR read/write (the reference vendors tinyexr for this,
-  ``support/tinyexr``) — scanline images, NO_COMPRESSION/ZIPS/ZIP,
-  FLOAT/HALF channels. Deliberately a subset of tinyexr: PIZ/RLE,
-  tiled and multi-part files are NOT read — enough for the renderer's
-  own HDR round-trips, not for arbitrary third-party EXRs.
+  ``support/tinyexr``) — scanline images, NO_COMPRESSION/RLE/ZIPS/ZIP,
+  FLOAT/HALF channels. Deliberately a subset of tinyexr: PIZ, tiled
+  and multi-part files are NOT read — enough for the renderer's own
+  HDR round-trips plus the common third-party scanline files, not for
+  arbitrary EXRs.
 
 The accumulation buffer is a device-resident float32 [H, W, 3] array; callers
 donate it across frames so progressive rendering never round-trips to host.
@@ -247,11 +248,13 @@ def write_ppm(path: str, rgb_u8: np.ndarray) -> None:
 
 _EXR_MAGIC = 20000630
 _EXR_PT_UINT, _EXR_PT_HALF, _EXR_PT_FLOAT = 0, 1, 2
-_EXR_COMP = {"none": 0, "zips": 2, "zip": 3}   # lines/block: 1, 1, 16
+_EXR_COMP = {"none": 0, "rle": 1, "zips": 2, "zip": 3}  # lines/blk 1,1,1,16
 
 
-def _exr_zip_encode(data: bytes) -> bytes:
-    """OpenEXR ZIP pre-pass (reorder halves + byte delta) then deflate."""
+def _exr_predict(data: bytes) -> np.ndarray:
+    """Shared OpenEXR compressor pre-pass: reorder bytes into two
+    halves, then delta-encode (+128 bias). ZIP deflates the result; RLE
+    run-length-packs it."""
     arr = np.frombuffer(data, np.uint8)
     half = (arr.size + 1) // 2
     reordered = np.empty(arr.size, np.uint8)
@@ -260,13 +263,11 @@ def _exr_zip_encode(data: bytes) -> bytes:
     enc = reordered.copy()
     enc[1:] -= reordered[:-1]
     enc[1:] += 128                                # uint8 wraps mod 256
-    return zlib.compress(enc.tobytes(), 6)
+    return enc
 
 
-def _exr_zip_decode(data: bytes) -> bytes:
-    """Inverse of :func:`_exr_zip_encode`: inflate, undo delta (a modular
-    cumsum), interleave the two halves back."""
-    enc = np.frombuffer(zlib.decompress(data), np.uint8).copy()
+def _exr_unpredict(enc: np.ndarray) -> bytes:
+    enc = enc.copy()
     enc[1:] += 128                                # undo the +128 bias: -128
     rec = np.cumsum(enc, dtype=np.uint8)
     half = (rec.size + 1) // 2
@@ -276,15 +277,71 @@ def _exr_zip_decode(data: bytes) -> bytes:
     return out.tobytes()
 
 
+def _exr_zip_encode(data: bytes) -> bytes:
+    """OpenEXR ZIP pre-pass (reorder halves + byte delta) then deflate."""
+    return zlib.compress(_exr_predict(data).tobytes(), 6)
+
+
+def _exr_zip_decode(data: bytes) -> bytes:
+    """Inverse of :func:`_exr_zip_encode`: inflate, undo delta (a modular
+    cumsum), interleave the two halves back."""
+    return _exr_unpredict(np.frombuffer(zlib.decompress(data), np.uint8))
+
+
+def _exr_rle_encode(data: bytes) -> bytes:
+    """OpenEXR RLE (ImfRle.cpp scheme): the ZIP pre-pass, then runs of
+    >= 3 equal bytes stored as (count - 1, byte) with count <= 128 and
+    literal spans as (-len, bytes...) with len <= 127."""
+    src = _exr_predict(data)
+    out = bytearray()
+    i, n = 0, src.size
+    while i < n:
+        run = 1
+        while i + run < n and src[i + run] == src[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(int(src[i]))
+            i += run
+        else:
+            j = i
+            while (j < n and j - i < 127
+                   and not (j + 2 < n and src[j] == src[j + 1]
+                            and src[j] == src[j + 2])):
+                j += 1
+            out.append(256 - (j - i))             # -len as two's complement
+            out.extend(src[i:j].tobytes())
+            i = j
+    return bytes(out)
+
+
+def _exr_rle_decode(data: bytes, expect: int) -> bytes:
+    """Inverse of :func:`_exr_rle_encode` (accepts any conformant
+    OpenEXR RLE stream, not just our encoder's)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c >= 128:                              # negative: literal span
+            ln = 256 - c
+            out.extend(data[i:i + ln])
+            i += ln
+        else:                                     # run of c + 1 bytes
+            out.extend(data[i:i + 1] * (c + 1))
+            i += 1
+    return _exr_unpredict(np.frombuffer(bytes(out), np.uint8))
+
+
 def write_exr(path: str, rgb: np.ndarray, half: bool = False,
               compression: str = "none") -> None:
     """Write a linear float RGB image as a scanline EXR.
 
     ``rgb`` is [H, W, 3] float; ``half`` selects HALF (float16) channels;
-    ``compression`` is ``"none"``, ``"zips"`` (ZIP, 1 scanline/block) or
-    ``"zip"`` (ZIP, 16 scanlines/block). Channels are stored B, G, R
-    (alphabetical, as EXR requires). Incompressible blocks are stored raw,
-    as the OpenEXR format prescribes.
+    ``compression`` is ``"none"``, ``"rle"``, ``"zips"`` (ZIP, 1
+    scanline/block) or ``"zip"`` (ZIP, 16 scanlines/block). Channels are
+    stored B, G, R (alphabetical, as EXR requires). Incompressible
+    blocks are stored raw, as the OpenEXR format prescribes.
     """
     img = np.asarray(rgb, np.float32)
     if img.ndim != 3 or img.shape[2] != 3:
@@ -323,7 +380,10 @@ def write_exr(path: str, rgb: np.ndarray, half: bool = False,
         y = b * lines_per_block
         rows = bgr[y:y + lines_per_block]
         raw = b"".join(row.tobytes(order="F") for row in rows)
-        if comp:
+        if comp == 1:
+            z = _exr_rle_encode(raw)
+            payloads.append(z if len(z) < len(raw) else raw)
+        elif comp:
             z = _exr_zip_encode(raw)
             payloads.append(z if len(z) < len(raw) else raw)
         else:
@@ -342,8 +402,9 @@ def write_exr(path: str, rgb: np.ndarray, half: bool = False,
 
 def read_exr(path: str) -> np.ndarray:
     """Read a scanline EXR written by ``write_exr`` (or any single-part
-    FLOAT/HALF RGB file with NO_COMPRESSION, ZIPS or ZIP compression —
-    the tinyexr-parity subset). Returns [H, W, 3] float32 (R, G, B)."""
+    FLOAT/HALF RGB file with NO_COMPRESSION, RLE, ZIPS or ZIP
+    compression — the tinyexr-parity subset). Returns [H, W, 3]
+    float32 (R, G, B)."""
     with open(path, "rb") as f:
         buf = f.read()
     magic, version = struct.unpack_from("<ii", buf, 0)
@@ -367,9 +428,11 @@ def read_exr(path: str) -> np.ndarray:
     pos += 1
 
     comp = attrs["compression"][1][0]
-    if comp not in (0, 2, 3):
+    if comp not in (0, 1, 2, 3):
         raise ValueError(f"unsupported EXR compression {comp} "
-                         "(NO_COMPRESSION/ZIPS/ZIP only)")
+                         "(NO_COMPRESSION/RLE/ZIPS/ZIP only; PIZ and "
+                         "tiled/multi-part files are out of scope — "
+                         "module docstring)")
     lines_per_block = 16 if comp == 3 else 1
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
@@ -396,7 +459,8 @@ def read_exr(path: str) -> np.ndarray:
         raw_size = lines * line_bytes
         data = buf[off + 8:off + 8 + nbytes]
         if comp and nbytes < raw_size:        # raw-stored blocks pass through
-            data = _exr_zip_decode(data)
+            data = (_exr_rle_decode(data, raw_size) if comp == 1
+                    else _exr_zip_decode(data))
         p = 0
         for li in range(lines):
             for cname, ptype in chans:        # stored alphabetically
