@@ -200,7 +200,7 @@ def _write_image(path, host_img_u8, accum=None):
     elif path.endswith(".exr"):
         if accum is None:
             raise ValueError("EXR output needs the HDR accumulation buffer")
-        film.write_exr(path, np.asarray(accum)[::-1])
+        film.write_exr(path, np.asarray(accum)[::-1], compression="zip")
     else:
         film.write_png(path, host_img_u8)
 

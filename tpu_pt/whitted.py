@@ -131,13 +131,16 @@ def _select_rows(tbl: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     t, w = tbl.shape
     n = ids.shape[0]
     if t <= _DIRECT_SELECT_MAX:
+        # ONE default-precision pass over the three Dekker parts
+        # CONCATENATED column-wise: the [N, T] one-hot operand is read
+        # once instead of three times (the _lean_resolve trick — at
+        # this output width the [N, 3w] intermediate is cheap).
         oh = (ids[:, None] == jnp.arange(t, dtype=ids.dtype)[None, :]
               ).astype(jnp.bfloat16)
-        out = jnp.zeros((n, w), jnp.float32)
-        for p in _split3(tbl):
-            out = out + jnp.matmul(oh, p,
-                                   preferred_element_type=jnp.float32)
-        return out
+        parts = jnp.concatenate(_split3(tbl), axis=1)          # [T, 3w]
+        sel = jnp.matmul(oh, parts,
+                         preferred_element_type=jnp.float32)   # [N, 3w]
+        return sel[:, 0:w] + sel[:, w:2 * w] + sel[:, 2 * w:3 * w]
     lo_b = _LO_BLOCK
     h = (t + lo_b - 1) // lo_b
     if h * lo_b != t:
