@@ -595,7 +595,17 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     # buffers and drain sort swamp the halved round count
     # (TPT_ITEMS_PER_LANE to reproduce). The 4096 floor keeps tiny
     # renders wide enough to fill the kernel grid.
-    n_lanes = min(cfg.lanes, max(4096, total_items // int(os.environ.get("TPT_ITEMS_PER_LANE", 8))), total_items)
+    # Default items/lane is integrator-specific: the path tracer's
+    # measured optimum is 8 (sweep in the ladder notes); the whitted
+    # step's per-round cost is dominated by width-proportional dense
+    # passes (texture matmul, attribute selects, shading), so HALVING
+    # the wavefront and doubling rounds wins — measured 44.6 -> 52.8
+    # Mrays/s at 16 on the 512^2 pbr frame (8 = 44.6, 4 = 32.9).
+    ipl_default = 16 if bounce_fn is not None else 8
+    n_lanes = min(cfg.lanes,
+                  max(4096, total_items // int(
+                      os.environ.get("TPT_ITEMS_PER_LANE", ipl_default))),
+                  total_items)
     spp = jnp.uint32(cfg.spp)
     # Width LADDER: the while_loop's width is static, so once the queue
     # drains, the tail (the unluckiest still-running items) pays
@@ -613,8 +623,15 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     # tools/bench_big.py turns it on) but costs the Cornell headline
     # ~4% (189.5 -> 181.9 — the lean-kernel tail is too short to repay
     # the stage-boundary compaction and the extra stage's drain rows).
+    # Ladder default is integrator-specific too: whitted's short paths
+    # leave a drained-queue tail whose full-width rounds are pure dense
+    # cost (measured 53.1 -> 55.1 Mrays/s at "1,8" on the 512^2 pbr
+    # frame); the path tracer's Cornell tail is too short to repay the
+    # boundary compaction (189.5 -> 181.9, ladder notes), so it stays
+    # off there.
+    ladder_default = "1,8" if bounce_fn is not None else "1"
     divisors = [int(x) for x in os.environ.get(
-        "TPT_LADDER", "1").split(",") if x.strip()]
+        "TPT_LADDER", ladder_default).split(",") if x.strip()]
     widths = []
     for dv in sorted(set(max(1, d) for d in divisors)):
         w = max(4096, n_lanes // dv)

@@ -271,10 +271,11 @@ def _sample_all_textures(ws: WhittedScene, uu, vv):
 
         texels = sum_w (A @ T)[n, w, :] * B[n, w]
 
-    — one [N, H] x [H, W*4*K] matmul (three exact default-precision
-    bf16 passes: integer-valued 255*texel table x Dekker-split weight
-    rows) interpolates along y for ALL K textures of the group at
-    once, and a minor-dim-split [N, W, 4K] weighted reduce finishes x.
+    — ONE [N, 3H] x [3H, W*4*K] default-precision bf16 matmul
+    (integer-valued 255*texel table tiled against the Dekker-split
+    weight rows; every product exact, sum f32) interpolates along y
+    for ALL K textures of the group at once, and a [N, K, W, 4]
+    weighted reduce finishes x.
     Since the up-to-four texture consumers of a bounce (base color,
     normal map, metallic-roughness, emissive) all sample at the SAME
     UV, this runs ONCE per bounce and each consumer is a masked select
@@ -324,10 +325,12 @@ def _sample_all_textures(ws: WhittedScene, uu, vv):
         # spends six); the 1/255 repair costs one f32 rounding.
         t255 = jax.lax.optimization_barrier(
             (tbl * 255.0).astype(jnp.bfloat16))
-        s = jnp.zeros((n, w * k_g * 4), jnp.float32)
-        for ap in _split3(a):
-            s = s + jnp.matmul(ap, t255,
-                               preferred_element_type=jnp.float32)
+        # ONE matmul instead of three: the part sum IS a contraction —
+        # concatenate the three weight parts column-wise ([N, 3H]) and
+        # tile the (scene-constant, hoisted) table vertically.
+        a3 = jnp.concatenate(_split3(a), axis=1)
+        t3 = jnp.concatenate([t255, t255, t255], axis=0)
+        s = jnp.matmul(a3, t3, preferred_element_type=jnp.float32)
         c = jnp.sum(s.reshape(n, k_g, w, 4) * b[:, None, :, None],
                     axis=2) * jnp.float32(1.0 / 255.0)    # [N, K, 4]
         for j, k in enumerate(ks):
@@ -503,30 +506,54 @@ def _make_whitted_step(ws: WhittedScene, cfg: RenderConfig, closest_fn,
         result = emissive_rgb
         shadow_count = jnp.zeros(hmask.shape, jnp.float32)
 
+        # Per-light shading terms first, then ONE batched occlusion
+        # call over all lights' shadow segments ([L*N] lanes): every
+        # light sweeps the same occluder table, so L separate kernel
+        # launches per bounce were pure fixed cost. Occlusion is an
+        # exact per-lane boolean, so batching is bitwise-neutral.
+        lights = []
         for li in range(n_lights):
             lpos = V3.of(ws.light_pos[li, 0], ws.light_pos[li, 1],
                          ws.light_pos[li, 2])
-            lcol = ws.light_color[li]
             to_l = lpos - p
             l_dist = v3.length(to_l)
             ldir = v3.normalize(to_l)
-            hvec = v3.normalize(ldir + vdir)
             n_dot_l = v3.dot(ns, ldir)
             n_dot_v = v3.dot(ns, vdir)
+            lit = hmask & (n_dot_l > 0.0) & (n_dot_v > 0.0)
+            lights.append(dict(
+                ldir=ldir, lit=lit, n_dot_l=n_dot_l, n_dot_v=n_dot_v,
+                occ_dir=v3.where(lit, ldir, V3.zeros(lit.shape)),
+                occ_tmax=jnp.where(lit, l_dist - 0.001, 0.0)))
+        if n_lights > 1:
+            cat = jnp.concatenate
+            occ_o = V3(*(jnp.tile(c, n_lights) for c in (p.x, p.y, p.z)))
+            occ_d = V3(cat([ld["occ_dir"].x for ld in lights]),
+                       cat([ld["occ_dir"].y for ld in lights]),
+                       cat([ld["occ_dir"].z for ld in lights]))
+            occ_t = cat([ld["occ_tmax"] for ld in lights])
+            shadowed_all = occluded_fn(occ_o, occ_d, occ_t)
+            n_l = hmask.shape[0]
+            for li, ld in enumerate(lights):
+                ld["shadowed"] = shadowed_all[li * n_l:(li + 1) * n_l]
+        elif n_lights:
+            lights[0]["shadowed"] = occluded_fn(p, lights[0]["occ_dir"],
+                                                lights[0]["occ_tmax"])
+
+        for li, ld in enumerate(lights):
+            lcol = ws.light_color[li]
+            ldir, lit = ld["ldir"], ld["lit"]
+            hvec = v3.normalize(ldir + vdir)
             n_dot_h = v3.dot(ns, hvec)
             v_dot_h = v3.dot(vdir, hvec)
-            lit = hmask & (n_dot_l > 0.0) & (n_dot_v > 0.0)
-            occ_dir = v3.where(lit, ldir, V3.zeros(lit.shape))
-            occ_tmax = jnp.where(lit, l_dist - 0.001, 0.0)
-            shadowed = occluded_fn(p, occ_dir, occ_tmax)
             shadow_count = shadow_count + jnp.where(lit, 1.0, 0.0)
             f = _schlick(spec_color, v_dot_h)
-            g_vis = _vis(jnp.maximum(n_dot_l, 1e-6),
-                         jnp.maximum(n_dot_v, 1e-6), a_r)
+            g_vis = _vis(jnp.maximum(ld["n_dot_l"], 1e-6),
+                         jnp.maximum(ld["n_dot_v"], 1e-6), a_r)
             d = _ggx_d(n_dot_h, a_r)
             brdf = (V3.ones(lit.shape) - f) * diff_color * (1.0 / jnp.pi) \
                 + f * (g_vis * d)
-            w = jnp.where(lit & ~shadowed, n_dot_l, 0.0)
+            w = jnp.where(lit & ~ld["shadowed"], ld["n_dot_l"], 0.0)
             result = result + brdf * (V3.of(lcol[0], lcol[1], lcol[2]) * w)
 
         # Ambient light (Light::Ambient, whitted.cu:264-267).
