@@ -564,3 +564,26 @@ def test_grp_bundled_matches_tiled(mixed_scene, rays, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(out.t))
     np.testing.assert_array_equal(np.asarray(ref_occ), np.asarray(occ))
+
+
+def test_clustered_uv_matches_reference(mixed_scene, rays, monkeypatch):
+    """want_uv=True through the CLUSTERED (non-lean) kernels — the path
+    a big glTF/whitted scene takes — produces moller's barycentrics.
+    Regression guard for the round-4 NaN class: the winner select-
+    reduces must stay NaN-free with degenerate/padding rows in blocks
+    (the mixed scene's padded slab rows exercise exactly that)."""
+    o, d = rays
+    monkeypatch.setattr(pallas_bf, "TRI_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTERED_SLAB", 256)
+    monkeypatch.setattr(pallas_bf, "CLUSTER", 64)
+    monkeypatch.setattr(pallas_bf, "SUPER", 2)
+    ref = moller.intersect_closest(mixed_scene, o, d)
+    out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=True)
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
+    assert np.isfinite(np.asarray(out.u)).all()
+    assert np.isfinite(np.asarray(out.v)).all()
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(out.u)[hit],
+                               np.asarray(ref.u)[hit], rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.v)[hit],
+                               np.asarray(ref.v)[hit], rtol=0, atol=2e-4)
