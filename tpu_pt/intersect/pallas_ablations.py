@@ -1503,3 +1503,393 @@ def intersect_closest_binned(scene: SceneArrays, origins: V3, dirs: V3,
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# (moved from pallas_bf in round 4 — retired family, see the ladder rows)
+# ---------------------------------------------------------------------------
+# Transposed-group ("grp") clustered kernels: 8 rays per candidate list.
+#
+# The tiled kernels above sweep the UNION of a 256-ray tile's candidate
+# superclusters; the frame-realistic sim (tools/sim_groups.py, dir12 sort
+# + chained priors, 100k-tri scene) measures the dense sweep ELEMENTS
+# that granularity costs:
+#     list per 256 rays   1.00      list per  32 rays   0.21
+#     list per 128 rays   0.59      list per   8 rays   0.086
+# — a 256-ray tile of sorted bounce rays needs ~12x the sweep work its
+# individual 8-ray rows do, and the frame is ~71% dense sweeps
+# (profile_frame). The catch at 8-ray granularity is layout: rays live
+# in LANES, so a per-8-ray sweep would use 8/256 of each vector op.
+# These kernels TRANSPOSE both sides: rays arrive [N, 8] (8 rays per
+# SUBLANE row, components in lanes... no — components as columns), and
+# triangles arrive "grouped" [NC * 16, bf.CLUSTER] (one attribute row per
+# sublane, the cluster's triangles in lanes). A candidate step is then
+# [8 rays x bf.CLUSTER tris] of full-lane VPU work: ray components slice as
+# [8, 1] columns, tri attributes as [1, bf.CLUSTER] rows, and the same
+# plane+edge algebra broadcasts to [8, bf.CLUSTER] — the exact transpose of
+# ``_pe_block``. Each 8-ray group walks ONLY ITS OWN near-first
+# candidate list (``super_candidates`` at rt=8), carrying the lean
+# (t, global packed id) pair as [8, 1] registers.
+#
+# MEASURED DEAD END (kept as ablation, default off): 1.43 vs 5.05
+# Mrays/s on the 100k-tri frame despite the 8.6% element count. Each
+# candidate step is a ~40-op chain of single-native-tile [8, 128] ops
+# with a loop-carried dependency — latency-bound, no pipelining — while
+# the big tiled ops already run the VPU at ~f32 peak. Fine-grained
+# lists only pay inside dense pipelined sweep shapes (cbin pair jobs);
+# see the ARCHITECTURE.md ladder row.
+# ---------------------------------------------------------------------------
+GRP_RT = int(os.environ.get("TPT_GRP_RT", 256))   # rays per grid program
+
+
+def pack_tris_grouped(tris: jnp.ndarray) -> jnp.ndarray:
+    """[R, 16] packed tris -> [R // bf.CLUSTER * 16, bf.CLUSTER] transposed
+    per-cluster blocks: row ``c * 16 + a`` holds attribute ``a`` of
+    cluster ``c``'s triangles across lanes."""
+    nc = tris.shape[0] // bf.CLUSTER
+    return tris.reshape(nc, bf.CLUSTER, 16).transpose(0, 2, 1).reshape(
+        nc * 16, bf.CLUSTER)
+
+
+def _grp_rows(blk):
+    """Attribute rows of one [16, bf.CLUSTER] transposed cluster block."""
+    return tuple(blk[a:a + 1, :] for a in range(14))
+
+
+def _grp_t(ray, blk, tmin):
+    """Plane + edge test, transposed: ray comps [8, 1], tri attrs
+    [1, bf.CLUSTER] -> (t [8, bf.CLUSTER] with bf.T_FAR on miss, refr [1, bf.CLUSTER]).
+    Same guard-free algebra as ``_pe_block`` (degenerates self-reject
+    through the exploding reciprocal)."""
+    ox, oy, oz, dx, dy, dz = ray
+    (nx, ny, nz, d0, wux, wuy, wuz, cu,
+     wvx, wvy, wvz, cv, _, refr) = _grp_rows(blk)
+    ndotd = nx * dx + ny * dy + nz * dz
+    if bf._interpret():
+        rcp = 1.0 / ndotd
+    else:
+        rcp = pl.reciprocal(ndotd, approx=True)
+        rcp = rcp * (2.0 - ndotd * rcp)
+    t = (d0 - (nx * ox + ny * oy + nz * oz)) * rcp
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = wux * px + wuy * py + wuz * pz + cu
+    v = wvx * px + wvy * py + wvz * pz + cv
+    hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tmin)
+    return jnp.where(hit, t, jnp.float32(bf.T_FAR)), refr
+
+
+def _grp_closest(ray, tris_g_ref, cand_ref, cbase, n_sc, tmin, init,
+                 lean_base):
+    """One 8-ray group's lean closest sweep over its own candidate
+    list (near-first; ids stay global via ``lean_base``)."""
+    ncand = jnp.clip(cand_ref[cbase, 0], 0, n_sc)
+
+    def step(k, carry):
+        best_t, best_i = carry
+        sb = cand_ref[cbase + 1 + k, 0]
+        for j in range(bf.SUPER):
+            c = sb * bf.SUPER + j
+            blk = tris_g_ref[pl.ds(c * 16, 16), :]
+            t, _ = _grp_t(ray, blk, tmin)
+            blk_t = jnp.min(t, axis=1, keepdims=True)          # [8, 1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            cnd = jnp.where(t == blk_t, lane, bf._BIG_IDX)
+            blk_l = jnp.min(cnd, axis=1, keepdims=True)
+            blk_i = (blk_l + (c * bf.CLUSTER + lean_base)).astype(
+                jnp.float32)
+            better = blk_t < best_t
+            best_t = jnp.where(better, blk_t, best_t)
+            best_i = jnp.where(better, blk_i, best_i)
+        return best_t, best_i
+
+    return jax.lax.fori_loop(0, ncand, step, init)
+
+
+def _grp_occluded(ray, tmax, tris_g_ref, cand_ref, cbase, n_sc, tmin):
+    """One 8-ray group's any-hit sweep (refractive tris pass light)."""
+    ncand = jnp.clip(cand_ref[cbase, 0], 0, n_sc)
+
+    def step(k, occ):
+        sb = cand_ref[cbase + 1 + k, 0]
+        for j in range(bf.SUPER):
+            c = sb * bf.SUPER + j
+            blk = tris_g_ref[pl.ds(c * 16, 16), :]
+            t, refr = _grp_t(ray, blk, tmin)
+            blocking = (t < tmax) & (refr < 0.5)
+            occ = jnp.maximum(occ, jnp.max(
+                jnp.where(blocking, 1.0, 0.0), axis=1, keepdims=True))
+        return occ
+
+    return jax.lax.fori_loop(0, ncand, step,
+                             jnp.zeros((tmax.shape[0], 1), jnp.float32))
+
+
+# Bundled-lockstep variant (TPT_GRP=2): the serial grp kernel walks one
+# group's candidate fori_loop to completion before the next — a ~40-op
+# dependency chain of single-tile [8, 128] ops with a DYNAMIC trip
+# count, which Mosaic can neither unroll nor overlap (the measured 13x
+# per-element cost of the 1.43 Mrays/s dead end). Here GRP_BUNDLE
+# groups advance their lists in LOCKSTEP inside ONE fori_loop running
+# to the bundle's max list length: each iteration issues GRP_BUNDLE
+# independent intersection DAGs (groups only meet at their own [8, 1]
+# min-carries), so the VPU has bundle-many chains to interleave.
+# Price (tools/sim_groups cache, dir12 order, 100k frame): lockstep
+# runs 8-group bundles 2.95x the exact g=8 entries — still 0.25x the
+# 256-tile union elements the production path sweeps.
+GRP_BUNDLE = 8
+
+
+def _grp_bundle_closest(rays_t_ref, tris_g_ref, cand_ref, out_ref, i_ref,
+                        b0, nb, ns1, n_sc, tmin, base, prior=None):
+    """One bundle (groups b0..b0+nb-1) in candidate lockstep."""
+    rows = []
+    for g in range(b0, b0 + nb):
+        lo = g * 8
+        ray = tuple(rays_t_ref[lo:lo + 8, k:k + 1] for k in range(6))
+        if prior is None:
+            init = (jnp.full((8, 1), bf.T_FAR, jnp.float32),
+                    jnp.zeros((8, 1), jnp.float32))
+        else:
+            pout_ref, pidx_ref = prior
+            init = (pout_ref[lo:lo + 8, 0:1],
+                    pidx_ref[lo:lo + 8, 0:1].astype(jnp.float32))
+        nc = jnp.clip(cand_ref[g * ns1, 0], 0, n_sc)
+        rows.append((ray, g * ns1, nc, init))
+    kmax = rows[0][2]
+    for _, _, nc, _ in rows[1:]:
+        kmax = jnp.maximum(kmax, nc)
+
+    def step(k, carry):
+        out = []
+        for (ray, cbase, nc, _), (best_t, best_i) in zip(rows, carry):
+            live = k < nc
+            sb = cand_ref[cbase + 1 + k, 0]
+            for j in range(bf.SUPER):
+                c = sb * bf.SUPER + j
+                blk = tris_g_ref[pl.ds(c * 16, 16), :]
+                t, _ = _grp_t(ray, blk, tmin)
+                blk_t = jnp.min(t, axis=1, keepdims=True)      # [8, 1]
+                lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                cnd = jnp.where(t == blk_t, lane, bf._BIG_IDX)
+                blk_l = jnp.min(cnd, axis=1, keepdims=True)
+                blk_i = (blk_l + (c * bf.CLUSTER + base)).astype(jnp.float32)
+                better = live & (blk_t < best_t)
+                best_t = jnp.where(better, blk_t, best_t)
+                best_i = jnp.where(better, blk_i, best_i)
+            out.append((best_t, best_i))
+        return tuple(out)
+
+    carry = jax.lax.fori_loop(0, kmax, step,
+                              tuple(init for _, _, _, init in rows))
+    for (g, (best_t, best_i)) in zip(range(b0, b0 + nb), carry):
+        lo = g * 8
+        out_ref[lo:lo + 8, 0:1] = best_t
+        i_ref[lo:lo + 8, 0:1] = jnp.where(
+            best_t < bf.T_FAR, best_i.astype(jnp.int32), 0)
+
+
+def _closest_kernel_grp_bundled(rays_t_ref, tris_g_ref, cand_ref, out_ref,
+                                i_ref, *, n_tri, tmin, ns1, base=0):
+    n_sc = n_tri // (bf.CLUSTER * bf.SUPER)
+    n_grp = rays_t_ref.shape[0] // 8
+    for b0 in range(0, n_grp, GRP_BUNDLE):
+        _grp_bundle_closest(rays_t_ref, tris_g_ref, cand_ref, out_ref,
+                            i_ref, b0, min(GRP_BUNDLE, n_grp - b0), ns1,
+                            n_sc, tmin, base)
+
+
+def _closest_kernel_grp_bundled_chained(rays_t_ref, tris_g_ref, cand_ref,
+                                        pout_ref, pidx_ref, out_ref,
+                                        i_ref, *, n_tri, tmin, ns1,
+                                        base=0):
+    n_sc = n_tri // (bf.CLUSTER * bf.SUPER)
+    n_grp = rays_t_ref.shape[0] // 8
+    for b0 in range(0, n_grp, GRP_BUNDLE):
+        _grp_bundle_closest(rays_t_ref, tris_g_ref, cand_ref, out_ref,
+                            i_ref, b0, min(GRP_BUNDLE, n_grp - b0), ns1,
+                            n_sc, tmin, base, prior=(pout_ref, pidx_ref))
+
+
+def _occluded_kernel_grp_bundled(rays_t_ref, tris_g_ref, cand_ref,
+                                 occ_ref, *, n_tri, tmin, ns1):
+    n_sc = n_tri // (bf.CLUSTER * bf.SUPER)
+    n_grp = rays_t_ref.shape[0] // 8
+    for b0 in range(0, n_grp, GRP_BUNDLE):
+        nb = min(GRP_BUNDLE, n_grp - b0)
+        rows = []
+        for g in range(b0, b0 + nb):
+            lo = g * 8
+            ray = tuple(rays_t_ref[lo:lo + 8, k:k + 1] for k in range(6))
+            tmax = rays_t_ref[lo:lo + 8, 6:7]
+            nc = jnp.clip(cand_ref[g * ns1, 0], 0, n_sc)
+            rows.append((ray, tmax, g * ns1, nc))
+        kmax = rows[0][3]
+        for _, _, _, nc in rows[1:]:
+            kmax = jnp.maximum(kmax, nc)
+
+        def step(k, carry):
+            out = []
+            for (ray, tmax, cbase, nc), occ in zip(rows, carry):
+                live = k < nc
+                sb = cand_ref[cbase + 1 + k, 0]
+                for j in range(bf.SUPER):
+                    c = sb * bf.SUPER + j
+                    blk = tris_g_ref[pl.ds(c * 16, 16), :]
+                    t, refr = _grp_t(ray, blk, tmin)
+                    blocking = (t < tmax) & (refr < 0.5)
+                    hit = jnp.max(jnp.where(blocking, 1.0, 0.0), axis=1,
+                                  keepdims=True)
+                    occ = jnp.where(live, jnp.maximum(occ, hit), occ)
+                out.append(occ)
+            return tuple(out)
+
+        carry = jax.lax.fori_loop(
+            0, kmax, step,
+            tuple(jnp.zeros((8, 1), jnp.float32) for _ in rows))
+        for g, occ in zip(range(b0, b0 + nb), carry):
+            lo = g * 8
+            occ_ref[lo:lo + 8, 0:1] = (occ > 0.0).astype(jnp.int32)
+
+
+def _grp_bundled() -> bool:
+    return os.environ.get("TPT_GRP", "0") == "2"
+
+
+def _closest_kernel_grp(rays_t_ref, tris_g_ref, cand_ref, out_ref, i_ref,
+                        *, n_tri, tmin, ns1, base=0):
+    n_sc = n_tri // (bf.CLUSTER * bf.SUPER)
+    for g in range(rays_t_ref.shape[0] // 8):
+        lo = g * 8
+        ray = tuple(rays_t_ref[lo:lo + 8, k:k + 1] for k in range(6))
+        init = (jnp.full((8, 1), bf.T_FAR, jnp.float32),
+                jnp.zeros((8, 1), jnp.float32))
+        best_t, best_i = _grp_closest(ray, tris_g_ref, cand_ref, g * ns1,
+                                      n_sc, tmin, init, base)
+        out_ref[lo:lo + 8, 0:1] = best_t
+        i_ref[lo:lo + 8, 0:1] = jnp.where(
+            best_t < bf.T_FAR, best_i.astype(jnp.int32), 0)
+
+
+def _closest_kernel_grp_chained(rays_t_ref, tris_g_ref, cand_ref,
+                                pout_ref, pidx_ref, out_ref, i_ref, *,
+                                n_tri, tmin, ns1, base=0):
+    n_sc = n_tri // (bf.CLUSTER * bf.SUPER)
+    for g in range(rays_t_ref.shape[0] // 8):
+        lo = g * 8
+        ray = tuple(rays_t_ref[lo:lo + 8, k:k + 1] for k in range(6))
+        init = (pout_ref[lo:lo + 8, 0:1],
+                pidx_ref[lo:lo + 8, 0:1].astype(jnp.float32))
+        best_t, best_i = _grp_closest(ray, tris_g_ref, cand_ref, g * ns1,
+                                      n_sc, tmin, init, base)
+        out_ref[lo:lo + 8, 0:1] = best_t
+        i_ref[lo:lo + 8, 0:1] = jnp.where(
+            best_t < bf.T_FAR, best_i.astype(jnp.int32), 0)
+
+
+def _occluded_kernel_grp(rays_t_ref, tris_g_ref, cand_ref, occ_ref, *,
+                         n_tri, tmin, ns1):
+    n_sc = n_tri // (bf.CLUSTER * bf.SUPER)
+    for g in range(rays_t_ref.shape[0] // 8):
+        lo = g * 8
+        ray = tuple(rays_t_ref[lo:lo + 8, k:k + 1] for k in range(6))
+        tmax = rays_t_ref[lo:lo + 8, 6:7]
+        occ = _grp_occluded(ray, tmax, tris_g_ref, cand_ref, g * ns1,
+                            n_sc, tmin)
+        occ_ref[lo:lo + 8, 0:1] = (occ > 0.0).astype(jnp.int32)
+
+
+@functools.partial(jax.named_call, name="pallas_closest_grp")
+def _closest_call_grp(rays_t, tris_g, cand, n_tri: int, tmin: float,
+                      prior=None, base: int = 0):
+    """One chained-slab launch of the transposed-group closest kernel.
+
+    ``rays_t`` [n_pad, 8] (rays in sublanes), ``tris_g`` the slab's
+    ``pack_tris_grouped`` table, ``cand`` the rt=8 ``super_candidates``
+    table, ``prior`` the previous slabs' ((t, id) [n_pad, 1]) columns."""
+    n_pad = rays_t.shape[0]
+    grid = (n_pad // GRP_RT,)
+    ns1 = bf._pad_to(1 + n_tri // (bf.CLUSTER * bf.SUPER), 8)
+    gpp = GRP_RT // 8          # groups (lists) per program
+    if prior is None:
+        kernel = functools.partial(
+            _closest_kernel_grp_bundled if _grp_bundled()
+            else _closest_kernel_grp,
+            n_tri=n_tri, tmin=tmin, ns1=ns1, base=base)
+        extra_in, extra_specs = (), ()
+    else:
+        kernel = functools.partial(
+            _closest_kernel_grp_bundled_chained if _grp_bundled()
+            else _closest_kernel_grp_chained,
+            n_tri=n_tri, tmin=tmin, ns1=ns1,
+            base=base)
+        extra_in = prior
+        extra_specs = (
+            pl.BlockSpec((GRP_RT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GRP_RT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((GRP_RT, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tris_g.shape[0], tris_g.shape[1]),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpp * ns1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((GRP_RT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GRP_RT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_pad * n_tri // 8, bytes_accessed=n_pad * 48,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=bf.VMEM_LIMIT),
+        interpret=bf._interpret(),
+    )(rays_t, tris_g, cand, *extra_in)
+
+
+@functools.partial(jax.named_call, name="pallas_occluded_grp")
+def _occluded_call_grp(rays_t, tris_g, cand, n_tri: int, tmin: float):
+    n_pad = rays_t.shape[0]
+    grid = (n_pad // GRP_RT,)
+    ns1 = bf._pad_to(1 + n_tri // (bf.CLUSTER * bf.SUPER), 8)
+    gpp = GRP_RT // 8
+    kernel = functools.partial(
+        _occluded_kernel_grp_bundled if _grp_bundled()
+        else _occluded_kernel_grp,
+        n_tri=n_tri, tmin=tmin, ns1=ns1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((GRP_RT, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tris_g.shape[0], tris_g.shape[1]),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpp * ns1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GRP_RT, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n_pad * n_tri // 8, bytes_accessed=n_pad * 48,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=bf.VMEM_LIMIT),
+        interpret=bf._interpret(),
+    )(rays_t, tris_g, cand)
