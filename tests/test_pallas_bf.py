@@ -578,12 +578,20 @@ def test_clustered_uv_matches_reference(mixed_scene, rays, monkeypatch):
     monkeypatch.setattr(pallas_bf, "CLUSTER", 64)
     monkeypatch.setattr(pallas_bf, "SUPER", 2)
     ref = moller.intersect_closest(mixed_scene, o, d)
-    out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=True)
-    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(out.tri))
-    assert np.isfinite(np.asarray(out.u)).all()
-    assert np.isfinite(np.asarray(out.v)).all()
     hit = np.asarray(ref.hit)
-    np.testing.assert_allclose(np.asarray(out.u)[hit],
-                               np.asarray(ref.u)[hit], rtol=0, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(out.v)[hit],
-                               np.asarray(ref.v)[hit], rtol=0, atol=2e-4)
+    # Both big-scene uv paths: the lean clustered kernels + packed
+    # resolve with edge-function rows (default) and the full-carry
+    # clustered kernels' in-sweep select-reduces (TPT_LEAN_UV=0).
+    for lean_uv in ("1", "0"):
+        monkeypatch.setenv("TPT_LEAN_UV", lean_uv)
+        out = pallas_bf.intersect_closest(mixed_scene, o, d, want_uv=True)
+        np.testing.assert_array_equal(np.asarray(ref.tri),
+                                      np.asarray(out.tri))
+        assert np.isfinite(np.asarray(out.u)).all()
+        assert np.isfinite(np.asarray(out.v)).all()
+        np.testing.assert_allclose(np.asarray(out.u)[hit],
+                                   np.asarray(ref.u)[hit],
+                                   rtol=0, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.v)[hit],
+                                   np.asarray(ref.v)[hit],
+                                   rtol=0, atol=2e-4)

@@ -67,8 +67,9 @@ def main():
     total_rays = sum(float(s.rays_traced) + float(s.shadow_rays)
                      for s in frame_stats)
     mrays = total_rays / dt / 1e6
+    scene_name = os.path.splitext(os.path.basename(scene_path))[0]
     payload = {
-        "metric": f"whitted Mrays/s/chip, {size}x{size} pbr_test, "
+        "metric": f"whitted Mrays/s/chip, {size}x{size} {scene_name}, "
                   f"depth {depth}, {spp} spp",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
@@ -81,7 +82,8 @@ def main():
     }
     print(json.dumps(payload))
     import perflib
-    perflib.record("whitted_pbr", payload)
+    perflib.record("whitted_pbr" if scene_name in ("pbr_test",)
+                   else f"whitted_{scene_name}", payload)
 
 
 if __name__ == "__main__":

@@ -265,7 +265,115 @@ def build(out_dir: str):
     print(f"glTF assets written to {out_dir}")
 
 
+def build_big(out_dir: str, n=224):
+    """pbr_big.glb: a ~100k-tri displaced sphere (the big_mesh.obj bump
+    recipe) over the checkered ground — the whitted/display pipeline's
+    large-mesh benchmark scene (clustered intersection path + smooth
+    normals + textures + point lights in one workload)."""
+    os.makedirs(out_dir, exist_ok=True)
+    checker_png(os.path.join(out_dir, "checker.png"))
+
+    sv, sn, suv, sidx = sphere(1.0, n_lat=n, n_lon=n)
+    bump = (1.0 + 0.08 * np.sin(9 * sv[:, 0]) * np.sin(7 * sv[:, 1])
+            * np.sin(5 * sv[:, 2]))
+    disp = sv * bump[:, None]
+    # Smooth normals recomputed on the displaced surface (area-weighted
+    # face-normal accumulation).
+    idx3 = sidx.astype(np.int64).reshape(-1, 3)
+    fn = np.cross(disp[idx3[:, 1]] - disp[idx3[:, 0]],
+                  disp[idx3[:, 2]] - disp[idx3[:, 0]])
+    vn = np.zeros_like(disp)
+    for k in range(3):
+        np.add.at(vn, idx3[:, k], fn)
+    vn /= np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-20)
+    disp = (disp * 1.6 + np.array([0.0, 1.9, 0.0])).astype(np.float32)
+
+    gv, gn, guv, gidx = plane(14.0)
+
+    blob = b""
+    buffer_views = []
+    accessors = []
+
+    def add_accessor(arr, target, ctype, atype):
+        nonlocal blob
+        off = len(blob)
+        blob += arr.tobytes()
+        while len(blob) % 4:
+            blob += b"\0"
+        buffer_views.append(dict(buffer=0, byteOffset=off,
+                                 byteLength=arr.nbytes, target=target))
+        acc = dict(bufferView=len(buffer_views) - 1, componentType=ctype,
+                   count=arr.shape[0], type=atype)
+        if atype == "VEC3":
+            acc["min"] = [float(x) for x in arr.min(axis=0)]
+            acc["max"] = [float(x) for x in arr.max(axis=0)]
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    meshes = []
+    for v, nrm, uv, idx, mat in (
+            (gv, gn, guv, gidx.astype(np.uint32), 0),
+            (disp, vn.astype(np.float32), suv, sidx.astype(np.uint32), 1)):
+        pos_a = add_accessor(v.astype(np.float32), 34962, 5126, "VEC3")
+        nrm_a = add_accessor(nrm.astype(np.float32), 34962, 5126, "VEC3")
+        uv_a = add_accessor(uv.astype(np.float32), 34962, 5126, "VEC2")
+        idx_a = add_accessor(idx.reshape(-1, 1), 34963, 5125, "SCALAR")
+        meshes.append(dict(primitives=[dict(
+            attributes=dict(POSITION=pos_a, NORMAL=nrm_a, TEXCOORD_0=uv_a),
+            indices=idx_a, material=mat)]))
+
+    doc = dict(
+        asset=dict(version="2.0", generator="tpu_pt make_gltf_assets"),
+        scene=0,
+        scenes=[dict(nodes=[0, 1, 2, 3])],
+        nodes=[dict(mesh=0), dict(mesh=1),
+               dict(translation=[5.0, 7.0, 4.0],
+                    extensions=dict(KHR_lights_punctual=dict(light=0))),
+               dict(translation=[-4.0, 5.0, -3.0],
+                    extensions=dict(KHR_lights_punctual=dict(light=1)))],
+        meshes=meshes,
+        materials=[
+            dict(name="Ground", pbrMetallicRoughness=dict(
+                baseColorFactor=[1, 1, 1, 1],
+                baseColorTexture=dict(index=0),
+                metallicFactor=0.0, roughnessFactor=0.9)),
+            dict(name="Rock", pbrMetallicRoughness=dict(
+                baseColorFactor=[0.7, 0.55, 0.4, 1.0],
+                metallicFactor=0.1, roughnessFactor=0.6)),
+        ],
+        textures=[dict(source=0)],
+        images=[dict(uri="checker.png")],
+        samplers=[dict(magFilter=9729, minFilter=9729,
+                       wrapS=10497, wrapT=10497)],
+        buffers=[dict(byteLength=len(blob))],
+        bufferViews=buffer_views,
+        accessors=accessors,
+        extensions=dict(KHR_lights_punctual=dict(lights=[
+            dict(type="point", color=[1.0, 0.95, 0.9], intensity=4.0),
+            dict(type="point", color=[0.7, 0.8, 1.0], intensity=2.0)])),
+        extensionsUsed=["KHR_lights_punctual"],
+    )
+    js = json.dumps(doc).encode()
+    while len(js) % 4:
+        js += b" "
+    bin_chunk = blob
+    while len(bin_chunk) % 4:
+        bin_chunk += b"\0"
+    glb = (b"glTF" + struct.pack("<II", 2, 12 + 8 + len(js) + 8
+                                 + len(bin_chunk))
+           + struct.pack("<II", len(js), 0x4E4F534A) + js
+           + struct.pack("<II", len(bin_chunk), 0x004E4942) + bin_chunk)
+    path = os.path.join(out_dir, "pbr_big.glb")
+    with open(path, "wb") as f:
+        f.write(glb)
+    print(f"wrote {path} ({2 * n * n} sphere tris)")
+
+
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out = args[0] if args else os.path.join(
         os.path.dirname(__file__), "..", "assets")
-    build(os.path.abspath(out))
+    if "--big" in sys.argv:
+        build_big(os.path.abspath(out))
+    else:
+        build(os.path.abspath(out))

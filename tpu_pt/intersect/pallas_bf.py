@@ -1456,18 +1456,30 @@ def _lean_resolve(tris, t, tri, n_tri: int, uv_from=None):
 LEAN_MAX_TRIS = int(os.environ.get("TPT_LEAN_MAX", 2048))
 
 
-def _lean_resolve_packed(packed, t, row):
-    """(normal, mat, orig-id) for winning PACKED row ids, any table size.
+def _lean_resolve_packed(packed, t, row, uv_from=None):
+    """(normal, mat, orig-id[, u, v]) for winning PACKED row ids, any
+    table size.
 
     Two-level exact one-hot: split the row id as (hi, lo) over a
-    [H, 128, 5] reshape of the attribute columns, select the hi-slice
-    with a HIGHEST-precision [N, H] x [H, 640] matmul (exact — one-hot
-    times f32), then the lo row with a masked [N, 128, 5] reduction
+    [H, 128, C] reshape of the attribute columns, select the hi-slice
+    with a HIGHEST-precision [N, H] x [H, 128C] matmul (exact — one-hot
+    times f32), then the lo row with a masked [N, 128, C] reduction
     (sums of one exact product). Direct one-hot would need an [N, T]
-    operand; the split costs [N, H] + [N, 640] instead, which keeps the
-    resolve affordable at 100k-row big-scene tables."""
-    tbl = jnp.concatenate([packed[:, 0:3], packed[:, 14:16]],
-                          axis=1)                                # [T, 5]
+    operand; the split costs [N, H] + [N, 128C] instead, which keeps
+    the resolve affordable at 100k-row big-scene tables.
+
+    ``uv_from`` = (origins V3, dirs V3) in PACKED (sorted) lane order:
+    additionally selects the row's edge-function form (``pack_tris``
+    cols 4:12) and evaluates the winner's barycentrics outside the
+    kernel — the big-scene mirror of ``_lean_resolve``'s lean-uv path,
+    letting want_uv consumers (whitted on big glTF scenes) ride the
+    lean clustered kernels."""
+    if uv_from is not None:
+        tbl = jnp.concatenate([packed[:, 0:3], packed[:, 4:12],
+                               packed[:, 14:16]], axis=1)        # [T, 13]
+    else:
+        tbl = jnp.concatenate([packed[:, 0:3], packed[:, 14:16]],
+                              axis=1)                            # [T, 5]
     n_t = tbl.shape[0]
     h = (n_t + 127) // 128
     if h * 128 != n_t:
@@ -1482,14 +1494,15 @@ def _lean_resolve_packed(packed, t, row):
     # precision MXU dot and stays bitwise-exact: each product is 0/1
     # times a bf16 part, each row sum has one nonzero term, and the
     # three part-sums are exact f32 adds by construction.
+    c = tbl.shape[1]
     oh_hi = (hi[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]
              ).astype(jnp.bfloat16)
-    tblr = tbl.reshape(h, 128 * 5)
+    tblr = tbl.reshape(h, 128 * c)
     # Three accumulated split matmuls; the single-pass concatenated-parts
     # variant that wins in _lean_resolve LOSES here (4.01 vs 4.14
-    # Mrays/s) — its [N, 1920] intermediate outweighs the saved one-hot
-    # regenerations at this output width.
-    slab5 = jnp.zeros((row.shape[0], 128 * 5), jnp.float32)
+    # Mrays/s) — its [N, 3*128C] intermediate outweighs the saved
+    # one-hot regenerations at this output width.
+    slab5 = jnp.zeros((row.shape[0], 128 * c), jnp.float32)
     rem = tblr
     for _ in range(3):
         # optimization_barrier: --xla_allow_excess_precision may elide
@@ -1499,16 +1512,28 @@ def _lean_resolve_packed(packed, t, row):
         rem = rem - part.astype(jnp.float32)
         slab5 = slab5 + jnp.matmul(oh_hi, part,
                                    preferred_element_type=jnp.float32)
-    slab5 = slab5.reshape(-1, 128, 5)
+    slab5 = slab5.reshape(-1, 128, c)
     oh_lo = (lo[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]
              ).astype(jnp.float32)
-    rows = jnp.sum(slab5 * oh_lo[:, :, None], axis=1)            # [N, 5]
+    rows = jnp.sum(slab5 * oh_lo[:, :, None], axis=1)            # [N, C]
     hit = t < T_FAR
     rows = jnp.where(hit[:, None], rows, 0.0)
-    return Hit(t=t, tri=jnp.round(rows[:, 4]).astype(jnp.int32), hit=hit,
+    if uv_from is None:
+        return Hit(t=t, tri=jnp.round(rows[:, 4]).astype(jnp.int32),
+                   hit=hit,
+                   normal=V3(rows[:, 0], rows[:, 1], rows[:, 2]),
+                   mat=jnp.round(rows[:, 3]).astype(jnp.int32),
+                   u=jnp.zeros_like(t), v=jnp.zeros_like(t))
+    o, d = uv_from
+    px = o.x + t * d.x
+    py = o.y + t * d.y
+    pz = o.z + t * d.z
+    u = rows[:, 3] * px + rows[:, 4] * py + rows[:, 5] * pz + rows[:, 6]
+    v = rows[:, 7] * px + rows[:, 8] * py + rows[:, 9] * pz + rows[:, 10]
+    return Hit(t=t, tri=jnp.round(rows[:, 12]).astype(jnp.int32), hit=hit,
                normal=V3(rows[:, 0], rows[:, 1], rows[:, 2]),
-               mat=jnp.round(rows[:, 3]).astype(jnp.int32),
-               u=jnp.zeros_like(t), v=jnp.zeros_like(t))
+               mat=jnp.round(rows[:, 11]).astype(jnp.int32),
+               u=jnp.where(hit, u, 0.0), v=jnp.where(hit, v, 0.0))
 
 
 @functools.partial(jax.named_call, name="pallas_occluded")
@@ -2318,10 +2343,15 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
                            constant_values=SLAB_UNKNOWN)
         key = _coherence_key(rays, boxes, sboxes, pred=pred)
         rays, perm, key_sorted = _sorted_rays(rays, key)
-    # Big-scene OBJ path: lean (t, id) carry in the clustered kernels,
+    # Big-scene lean path: (t, id) carry in the clustered kernels,
     # attributes recovered once per call by the two-level one-hot
     # (the in-sweep sel/pick machinery is ~25% of the clustered sweep).
-    lean = (not single and not want_uv
+    # want_uv consumers (whitted on big glTF scenes) ride it too since
+    # round 4 — barycentrics come from the resolved edge-function rows
+    # (TPT_LEAN_UV=0 ablates back to the full-carry clustered kernels).
+    lean = (not single
+            and (not want_uv
+                 or os.environ.get("TPT_LEAN_UV", "1") == "1")
             and os.environ.get("TPT_LEAN_BIG", "1") == "1")
     # Streamed path: scene in HBM, per-tile candidate DMA, ONE launch per
     # round instead of the chained slab relaunches (see the streamed
@@ -2506,7 +2536,10 @@ def _intersect_closest_tiled(scene: SceneArrays, origins: V3, dirs: V3,
                     (i_row[:n] // srows).astype(jnp.int32),
                     jnp.int32(SLAB_UNKNOWN))
             return with_slab(
-                _lean_resolve_packed(tris, t_row[:n], i_row[:n]), slab_arr)
+                _lean_resolve_packed(
+                    tris, t_row[:n], i_row[:n],
+                    uv_from=(origins, dirs) if want_uv else None),
+                slab_arr)
         rows = _unsort(perm, tuple(best_out[k] for k in range(8))
                        + (best_idx[0],))
         best_out = jnp.stack(rows[:8], axis=0)
