@@ -595,13 +595,19 @@ def _render_pixelq(scene, cam, cfg, pixel_start, n, frame_idx, sample_offset,
     # buffers and drain sort swamp the halved round count
     # (TPT_ITEMS_PER_LANE to reproduce). The 4096 floor keeps tiny
     # renders wide enough to fill the kernel grid.
-    # Default items/lane is integrator-specific: the path tracer's
-    # measured optimum is 8 (sweep in the ladder notes); the whitted
-    # step's per-round cost is dominated by width-proportional dense
-    # passes (texture matmul, attribute selects, shading), so HALVING
-    # the wavefront and doubling rounds wins — measured 44.6 -> 52.8
-    # Mrays/s at 16 on the 512^2 pbr frame (8 = 44.6, 4 = 32.9).
-    ipl_default = 16 if bounce_fn is not None else 8
+    # Default items/lane is integrator- AND scene-size-specific: the
+    # path tracer's measured optimum is 8 (sweep in the ladder notes).
+    # The whitted step's per-round cost on SMALL scenes is dominated by
+    # width-proportional dense passes (texture matmul, attribute
+    # selects, shading), so a narrower wavefront with more rounds wins
+    # — measured 44.6 -> 52.8 Mrays/s at 16 on the 512^2 pbr frame
+    # (8 = 44.6, 4 = 32.9). On CLUSTERED-path scenes the per-round
+    # fixed costs are the candidate-schedule builds and ray sorts,
+    # which scale with ROUNDS, so the preference inverts: pbr_big
+    # measured 16/8/4/2 = 6.58/6.89/7.00/6.66 — 4 is the optimum.
+    big_scene = scene is not None and scene.tri_v0.shape[0] > 8192
+    ipl_default = ((4 if big_scene else 16) if bounce_fn is not None
+                   else 8)
     n_lanes = min(cfg.lanes,
                   max(4096, total_items // int(
                       os.environ.get("TPT_ITEMS_PER_LANE", ipl_default))),
