@@ -459,3 +459,52 @@ def test_mxu_texture_sampler_matches_gather(pbr_scene):
                                rtol=0, atol=3e-5)
     np.testing.assert_allclose(np.asarray(f_a), np.asarray(g_a),
                                rtol=0, atol=3e-5)
+
+
+def test_gltf_sparse_accessor(tmp_path):
+    """glTF 2.0 sparse accessors (core spec; tinygltf parity): the base
+    bufferView (or implicit zeros) with `count` substitutions at the
+    sparse indices. A displaced-vertex POSITION accessor round-trips."""
+    import base64
+    import json
+    from tpu_pt.scene.gltf import _Gltf
+    base_pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                        np.float32)
+    sparse_vals = np.array([[5.0, 6.0, 7.0]], np.float32)
+    sparse_idx = np.array([2], np.uint16)
+    blob = base_pos.tobytes() + sparse_vals.tobytes() + sparse_idx.tobytes()
+    doc = dict(
+        asset=dict(version="2.0"),
+        buffers=[dict(byteLength=len(blob),
+                      uri="data:application/octet-stream;base64,"
+                          + base64.b64encode(blob).decode())],
+        bufferViews=[
+            dict(buffer=0, byteOffset=0, byteLength=48),
+            dict(buffer=0, byteOffset=48, byteLength=12),
+            dict(buffer=0, byteOffset=60, byteLength=2),
+        ],
+        accessors=[
+            dict(bufferView=0, componentType=5126, count=4, type="VEC3",
+                 sparse=dict(count=1,
+                             indices=dict(bufferView=2,
+                                          componentType=5123),
+                             values=dict(bufferView=1))),
+            # No bufferView: implicit zero base + substitution.
+            dict(componentType=5126, count=4, type="VEC3",
+                 sparse=dict(count=1,
+                             indices=dict(bufferView=2,
+                                          componentType=5123),
+                             values=dict(bufferView=1))),
+        ],
+    )
+    path = tmp_path / "sparse.gltf"
+    path.write_text(json.dumps(doc))
+    g = _Gltf(str(path))
+    out = g.accessor(0)
+    expect = base_pos.copy()
+    expect[2] = [5.0, 6.0, 7.0]
+    np.testing.assert_array_equal(out, expect)
+    out0 = g.accessor(1)
+    expect0 = np.zeros((4, 3), np.float32)
+    expect0[2] = [5.0, 6.0, 7.0]
+    np.testing.assert_array_equal(out0, expect0)

@@ -183,23 +183,50 @@ class _Gltf:
         self._buffers[idx] = data
         return data
 
+    def _bufferview_items(self, bv_idx: int, byte_off: int, n: int,
+                          dtype, ncomp: int) -> np.ndarray:
+        itemsize = np.dtype(dtype).itemsize * ncomp
+        bv = self.doc["bufferViews"][bv_idx]
+        data = self.buffer(bv["buffer"])
+        start = bv.get("byteOffset", 0) + byte_off
+        stride = bv.get("byteStride", itemsize)
+        if stride == itemsize:
+            return np.frombuffer(data, dtype, n * ncomp, start).reshape(
+                n, ncomp)
+        out = np.empty((n, ncomp), dtype)
+        for i in range(n):
+            out[i] = np.frombuffer(data, dtype, ncomp, start + i * stride)
+        return out
+
     def accessor(self, idx: int) -> np.ndarray:
         a = self.doc["accessors"][idx]
         n = a["count"]
         ncomp = _NCOMP[a["type"]]
         dtype = _CTYPE[a["componentType"]]
-        itemsize = np.dtype(dtype).itemsize * ncomp
-        bv = self.doc["bufferViews"][a["bufferView"]]
-        data = self.buffer(bv["buffer"])
-        start = bv.get("byteOffset", 0) + a.get("byteOffset", 0)
-        stride = bv.get("byteStride", itemsize)
-        if stride == itemsize:
-            out = np.frombuffer(data, dtype, n * ncomp, start).reshape(
-                n, ncomp)
+        if "bufferView" in a:
+            out = self._bufferview_items(a["bufferView"],
+                                         a.get("byteOffset", 0), n,
+                                         dtype, ncomp)
         else:
-            out = np.empty((n, ncomp), dtype)
-            for i in range(n):
-                out[i] = np.frombuffer(data, dtype, ncomp, start + i * stride)
+            # Spec: accessors without a bufferView read as zeros (the
+            # base of a sparse accessor, commonly).
+            out = np.zeros((n, ncomp), dtype)
+        sp = a.get("sparse")
+        if sp:
+            # Sparse accessor (glTF 2.0 core): replace `count` items of
+            # the base at the given indices — tinygltf parity
+            # (``sutil::Scene`` consumes them through tinygltf).
+            sn = sp["count"]
+            si = sp["indices"]
+            sv = sp["values"]
+            ids = self._bufferview_items(
+                si["bufferView"], si.get("byteOffset", 0), sn,
+                _CTYPE[si["componentType"]], 1).reshape(-1).astype(np.int64)
+            vals = self._bufferview_items(
+                sv["bufferView"], sv.get("byteOffset", 0), sn, dtype,
+                ncomp)
+            out = out.copy()
+            out[ids] = vals
         if a.get("normalized") and dtype != np.float32:
             out = out.astype(np.float32) / np.iinfo(dtype).max
         return np.ascontiguousarray(out)
