@@ -508,3 +508,19 @@ def test_gltf_sparse_accessor(tmp_path):
     expect0 = np.zeros((4, 3), np.float32)
     expect0[2] = [5.0, 6.0, 7.0]
     np.testing.assert_array_equal(out0, expect0)
+
+
+def test_gltf_camera_loaded(gltf_assets):
+    """The asset's perspective camera loads like sutil::Scene's
+    (Scene.cpp:166-191): eye = node world origin, view = world -Z,
+    up = world +Y, fov from yfov."""
+    from tpu_pt.scene.gltf import load_gltf
+    ws = load_gltf(str(gltf_assets / "pbr_test.gltf"))
+    assert ws.camera, "pbr_test declares a camera"
+    eye, lookat, up, fov = ws.camera
+    np.testing.assert_allclose(eye, [6.0, 4.5, 7.0], atol=1e-6)
+    assert abs(fov - 40.0) < 1e-3
+    d = np.asarray(lookat) - np.asarray(eye)
+    d /= np.linalg.norm(d)
+    np.testing.assert_allclose(d, [-0.604, -0.3724, -0.7046], atol=2e-3)
+    assert up[1] > 0.9

@@ -191,12 +191,21 @@ def build(out_dir: str):
         dict(name="light",
              translation=[3.0, 6.0, 3.0],
              extensions=dict(KHR_lights_punctual=dict(light=0))),
+        # Asset-declared perspective camera at the canonical test view
+        # (the loader reads it like sutil::Scene, Scene.cpp:166-191):
+        # -Z looks from (6, 4.5, 7) roughly toward the scene center.
+        dict(name="camera", camera=0,
+             translation=[6.0, 4.5, 7.0],
+             rotation=[-0.177885, 0.340649, 0.065804, 0.920861]),
     ]
 
     doc = dict(
         asset=dict(version="2.0", generator="tpu_pt make_gltf_assets"),
         scene=0,
         scenes=[dict(nodes=list(range(len(nodes))))],
+        cameras=[dict(type="perspective",
+                      perspective=dict(yfov=math.radians(40.0),
+                                       aspectRatio=1.0, znear=0.01))],
         nodes=nodes,
         meshes=meshes,
         materials=materials,

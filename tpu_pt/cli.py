@@ -137,13 +137,24 @@ def _render_whitted_cli(args) -> int:
             width=args.width, height=args.height, spp=args.spp,
             max_depth=args.depth, background=tuple(args.background),
             intersector=args.intersector, quirks=quirks)
-        # Default camera: frame the scene bounds.
-        v = np.asarray(ws.geom.tri_v0)[np.asarray(ws.geom.tri_valid)]
-        lo, hi = v.min(axis=0), v.max(axis=0)
-        c = 0.5 * (lo + hi)
-        ext = float(np.linalg.norm(hi - lo))
-        camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext, lookat=c,
-                        fov_y=args.fov, aspect=args.width / args.height)
+        if ws.camera:
+            # The asset's own perspective camera (sutil::Scene loads
+            # glTF cameras the same way, Scene.cpp:166-191).
+            eye, lookat, up, fov = ws.camera
+            camera = Camera(eye=np.asarray(eye, np.float32),
+                            lookat=np.asarray(lookat, np.float32),
+                            up=np.asarray(up, np.float32),
+                            fov_y=fov, aspect=args.width / args.height)
+        else:
+            # Default camera: frame the scene bounds.
+            v = np.asarray(ws.geom.tri_v0)[np.asarray(ws.geom.tri_valid)]
+            lo, hi = v.min(axis=0), v.max(axis=0)
+            c = 0.5 * (lo + hi)
+            ext = float(np.linalg.norm(hi - lo))
+            camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext,
+                            lookat=c,
+                            fov_y=args.fov,
+                            aspect=args.width / args.height)
         if args.eye is not None:
             camera.eye = np.asarray(args.eye, np.float32)
         if args.lookat is not None:

@@ -111,6 +111,13 @@ class WhittedScene:
     has_normal_maps: bool = struct.field(pytree_node=False, default=True)
     has_mr_tex: bool = struct.field(pytree_node=False, default=True)
     has_emissive_tex: bool = struct.field(pytree_node=False, default=True)
+    # First perspective camera declared by the asset, as
+    # (eye, lookat, up, fov_y_degrees) host tuples — the reference
+    # loads glTF cameras into its Camera the same way
+    # (``sutil/Scene.cpp:166-191``; divergence: the reference leaves
+    # lookat at the Camera default, here it is eye + the node's world
+    # -Z view direction). Empty tuple = none declared.
+    camera: tuple = struct.field(pytree_node=False, default=())
 
 
 def _default_whitted_tables(n_mats: int):
@@ -370,6 +377,7 @@ def load_gltf(path: str, default_lights: bool = True,
                                    np.int64))
 
     lights_pos, lights_color = [], []
+    cameras = []
     ambient = np.array([0.1, 0.1, 0.1], np.float32)
 
     def walk(node_idx: int, parent: np.ndarray):
@@ -378,6 +386,8 @@ def load_gltf(path: str, default_lights: bool = True,
         if "mesh" in node:
             mesh_uses[node["mesh"]] = mesh_uses.get(node["mesh"], 0) + 1
             emit_mesh(node["mesh"], xform)
+        if "camera" in node:
+            cameras.append((node["camera"], xform.copy()))
         light_ref = node.get("extensions", {}).get(
             "KHR_lights_punctual", {}).get("light")
         if light_ref is not None:
@@ -527,6 +537,32 @@ def load_gltf(path: str, default_lights: bool = True,
     tri_tangent = np.zeros((t_pad, 3), np.float32)
     tri_tangent[:n_t] = tangent
 
+    # First perspective camera (sutil::Scene::processGLTFNode parity,
+    # ``Scene.cpp:166-191``): eye = node world origin, up = worldized
+    # +Y, fov from yfov; the view direction is the node's world -Z
+    # (glTF convention), focal distance scaled to the scene extent so
+    # trackball orbits behave.
+    cam_tuple = ()
+    for cam_idx, xform in cameras:
+        gc = doc.get("cameras", [])[cam_idx]
+        if gc.get("type") != "perspective":
+            continue
+        eye = xform[:3, 3].astype(np.float32)
+        fwd = -xform[:3, 2]
+        n_f = np.linalg.norm(fwd)
+        fwd = (fwd / n_f if n_f > 0 else np.array([0, 0, -1.0])).astype(
+            np.float32)
+        up_v = xform[:3, 1].astype(np.float32)
+        fov = float(np.degrees(gc.get("perspective", {}).get(
+            "yfov", np.radians(45.0))))
+        lo = verts.min(axis=0)
+        hi = verts.max(axis=0)
+        focal = max(1.0, 0.5 * float(np.linalg.norm(hi - lo)))
+        cam_tuple = (tuple(float(x) for x in eye),
+                     tuple(float(x) for x in eye + fwd * focal),
+                     tuple(float(x) for x in up_v), fov)
+        break
+
     if not lights_pos and default_lights:
         # The reference app sets two default point lights when the scene
         # has none (whitted-pipeline host setup).
@@ -651,4 +687,5 @@ def load_gltf(path: str, default_lights: bool = True,
         has_normal_maps=bool((tables["ntex_id"] >= 0).any()),
         has_mr_tex=bool((tables["mrtex_id"] >= 0).any()),
         has_emissive_tex=bool((tables["etex_id"] >= 0).any()),
+        camera=cam_tuple,
     )

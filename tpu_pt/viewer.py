@@ -123,9 +123,17 @@ def run_viewer(scene_path: str, args) -> int:
         lo, hi = v.min(axis=0), v.max(axis=0)
         c = 0.5 * (lo + hi)
         ext = float(np.linalg.norm(hi - lo))
-        camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext,
-                        lookat=c, fov_y=40.0,
-                        aspect=args.width / args.height)
+        if scene.camera:
+            # The asset's own perspective camera (Scene.cpp:166-191).
+            eye, lookat, up, fov = scene.camera
+            camera = Camera(eye=np.asarray(eye, np.float32),
+                            lookat=np.asarray(lookat, np.float32),
+                            up=np.asarray(up, np.float32), fov_y=fov,
+                            aspect=args.width / args.height)
+        else:
+            camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext,
+                            lookat=c, fov_y=40.0,
+                            aspect=args.width / args.height)
         render_fn = render_whitted_frame
         move_step = 0.05 * ext
     else:
