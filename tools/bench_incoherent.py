@@ -79,18 +79,22 @@ def main():
             out = fn(*arg)
         device_barrier(jax.tree.leaves(out)[0])
         dt = (time.perf_counter() - t0 - rtt) / reps
-        print(json.dumps({
+        payload = {
             "metric": f"incoherent {name}, {n} rays, "
                       f"{scene.num_tris_padded} padded tris",
             "value": round(n / dt / 1e6, 3),
             "unit": "Mrays/s",
             "ms": round(dt * 1e3, 2),
+            "backend": jax.default_backend(),
             "guard": os.environ.get("TPT_GUARD", "both"),
             "binned": os.environ.get("TPT_BINNED", "0"),
             "cbin": os.environ.get("TPT_CBIN", "0"),
             "stream": os.environ.get("TPT_STREAM", "0"),
             "want_uv": want_uv,
-        }))
+        }
+        print(json.dumps(payload))
+        import perflib
+        perflib.record(f"incoherent_{name}_100k", payload)
 
 
 if __name__ == "__main__":
