@@ -205,3 +205,18 @@ def test_png_unfilter_all_filters():
     if native.available():
         out_c = native.unfilter_png_native(bytes(raw), h, stride, ch)
         np.testing.assert_array_equal(out_c.reshape(h, w, ch), ref)
+
+
+def test_exr_rle_encoder_run_shapes():
+    """The vectorized RLE encoder round-trips every run-length shape:
+    short runs (literals), exact multiples of 128, and 128k+1/+2 tails
+    that are too short to re-emit as runs."""
+    rng = np.random.RandomState(17)
+    pieces = []
+    for ln in (1, 2, 3, 127, 128, 129, 130, 255, 256, 257, 300):
+        pieces.append(np.full(ln, rng.randint(0, 256), np.uint8))
+        pieces.append(rng.randint(0, 256, rng.randint(1, 5)).astype(np.uint8))
+    payload = np.concatenate(pieces).tobytes()
+    enc = film._exr_rle_encode(payload)
+    dec = film._exr_rle_decode(enc, len(payload))
+    assert dec == payload

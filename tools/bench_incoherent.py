@@ -86,7 +86,9 @@ def main():
             "unit": "Mrays/s",
             "ms": round(dt * 1e3, 2),
             "backend": jax.default_backend(),
-            "guard": os.environ.get("TPT_GUARD", "both"),
+            # The kernel default when TPT_GUARD is unset is "none"
+            # (pallas_bf._guard_mode), not "both".
+            "guard": os.environ.get("TPT_GUARD", "") or "none",
             "binned": os.environ.get("TPT_BINNED", "0"),
             "cbin": os.environ.get("TPT_CBIN", "0"),
             "stream": os.environ.get("TPT_STREAM", "0"),

@@ -54,7 +54,9 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "(fixed 0.2 metal roughness, first-hit occlusion)")
     p.add_argument("--eye", type=float, nargs=3, default=None)
     p.add_argument("--lookat", type=float, nargs=3, default=None)
-    p.add_argument("--fov", type=float, default=35.0)
+    p.add_argument("--fov", type=float, default=None,
+                   help="vertical FOV degrees (default 35, or the glTF "
+                        "asset's own camera when it declares one)")
     p.add_argument("--checkpoint", default=None,
                    help="write render state here after finishing")
     p.add_argument("--resume", default=None,
@@ -100,7 +102,8 @@ def _build(args):
         camera.eye = np.asarray(args.eye, np.float32)
     if args.lookat is not None:
         camera.lookat = np.asarray(args.lookat, np.float32)
-    camera.fov_y = args.fov
+    if args.fov is not None:
+        camera.fov_y = args.fov
     accum = tpu_pt.init_accum(cfg)
     return scene, camera, cfg, accum, 0
 
@@ -153,12 +156,15 @@ def _render_whitted_cli(args) -> int:
             ext = float(np.linalg.norm(hi - lo))
             camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext,
                             lookat=c,
-                            fov_y=args.fov,
+                            fov_y=args.fov if args.fov is not None
+                            else 35.0,
                             aspect=args.width / args.height)
         if args.eye is not None:
             camera.eye = np.asarray(args.eye, np.float32)
         if args.lookat is not None:
             camera.lookat = np.asarray(args.lookat, np.float32)
+        if args.fov is not None:
+            camera.fov_y = args.fov    # explicit --fov beats the asset's
         accum = init_accum(cfg)
     cam = CameraArrays.from_camera(camera)
 

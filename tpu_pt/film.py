@@ -291,27 +291,54 @@ def _exr_zip_decode(data: bytes) -> bytes:
 def _exr_rle_encode(data: bytes) -> bytes:
     """OpenEXR RLE (ImfRle.cpp scheme): the ZIP pre-pass, then runs of
     >= 3 equal bytes stored as (count - 1, byte) with count <= 128 and
-    literal spans as (-len, bytes...) with len <= 127."""
+    literal spans as (-len, bytes...) with len <= 127.
+
+    Run detection is vectorized (np.diff boundaries); only the emit
+    loop walks the (far shorter) span list, so HD-sized writes stay
+    milliseconds instead of a per-byte Python walk."""
     src = _exr_predict(data)
+    n = src.size
+    if n == 0:
+        return b""
+    # Equal-value span boundaries: starts of maximal runs.
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(src)) + 1])
+    lens = np.diff(np.concatenate([starts, [n]]))
+    srcb = src.tobytes()
     out = bytearray()
-    i, n = 0, src.size
-    while i < n:
-        run = 1
-        while i + run < n and src[i + run] == src[i] and run < 128:
-            run += 1
-        if run >= 3:
-            out.append(run - 1)
-            out.append(int(src[i]))
-            i += run
+    lit_s = -1                                  # open literal span start
+    lit_n = 0
+
+    def flush_literals():
+        nonlocal lit_s, lit_n
+        p = lit_s
+        while lit_n > 0:
+            take = min(lit_n, 127)
+            out.append(256 - take)              # -len, two's complement
+            out.extend(srcb[p:p + take])
+            p += take
+            lit_n -= take
+        lit_s = -1
+
+    for s, ln in zip(starts.tolist(), lens.tolist()):
+        if ln >= 3:
+            flush_literals()
+            b = srcb[s:s + 1]
+            while ln > 0:
+                take = min(ln, 128)
+                if take < 3:                    # tail too short for a run
+                    if lit_s < 0:
+                        lit_s = s
+                    lit_n += take
+                    break
+                out.append(take - 1)
+                out.extend(b)
+                s += take
+                ln -= take
         else:
-            j = i
-            while (j < n and j - i < 127
-                   and not (j + 2 < n and src[j] == src[j + 1]
-                            and src[j] == src[j + 2])):
-                j += 1
-            out.append(256 - (j - i))             # -len as two's complement
-            out.extend(src[i:j].tobytes())
-            i = j
+            if lit_s < 0:
+                lit_s = s
+            lit_n += ln
+    flush_literals()
     return bytes(out)
 
 

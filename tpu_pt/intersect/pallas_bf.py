@@ -1468,7 +1468,9 @@ def _lean_resolve_packed(packed, t, row, uv_from=None):
     operand; the split costs [N, H] + [N, 128C] instead, which keeps
     the resolve affordable at 100k-row big-scene tables.
 
-    ``uv_from`` = (origins V3, dirs V3) in PACKED (sorted) lane order:
+    ``uv_from`` = (origins V3, dirs V3) in the SAME lane order as ``t``
+    and ``row`` (the call site unsorts t/row to original wavefront
+    order first, so it passes the caller's untouched origins/dirs):
     additionally selects the row's edge-function form (``pack_tris``
     cols 4:12) and evaluates the winner's barycentrics outside the
     kernel — the big-scene mirror of ``_lean_resolve``'s lean-uv path,

@@ -236,6 +236,10 @@ class _Gltf:
             out[ids] = vals
         if a.get("normalized") and dtype != np.float32:
             out = out.astype(np.float32) / np.iinfo(dtype).max
+            if np.iinfo(dtype).min < 0:
+                # Signed normalized: max(c / imax, -1) per glTF 2.0
+                # §3.6.2.2 (-128 would otherwise decode to -1.0079).
+                out = np.maximum(out, -1.0)
         return np.ascontiguousarray(out)
 
 
@@ -336,12 +340,41 @@ def load_gltf(path: str, default_lights: bool = True,
     tris_uv = []       # [T, 3, 2]
     tri_mat = []       # [T]
 
+    flat_count = [0]
+
+    def _flat_guard(extra: int):
+        """Enforce the instancing bound BEFORE transforming the next
+        primitive (triangle counts come from accessor metadata, so the
+        pathological scene is rejected without materializing it —
+        raising only after walk() would OOM first)."""
+        flat_count[0] += extra
+        if flat_count[0] <= max_flat_tris:
+            return
+        n_inst = sum(mesh_uses.values())
+        worst = max(mesh_uses.values(), default=1)
+        raise ValueError(
+            f"{os.path.basename(path)}: instance flattening expands to "
+            f">= {flat_count[0]:,} world-space triangles "
+            f"(~{flat_count[0] * _BYTES_PER_FLAT_TRI / 1e9:.1f} GB of "
+            f"tables; {n_inst} mesh instances over {len(mesh_uses)} "
+            f"meshes so far, most-instanced mesh used {worst}x) — past "
+            f"the {max_flat_tris:,}-triangle bound. tpu_pt flattens "
+            f"instances instead of keeping an IAS (scene/gltf.py module "
+            f"docstring), so memory scales O(instances x mesh size). "
+            f"Raise the bound via load_gltf(max_flat_tris=...) or "
+            f"TPT_MAX_FLAT_TRIS if the memory cost is acceptable.")
+
     def emit_mesh(mesh_idx: int, xform: np.ndarray):
         mesh = doc["meshes"][mesh_idx]
         for prim in mesh["primitives"]:
             if prim.get("mode", 4) != 4:
                 continue  # triangles only
             attrs = prim["attributes"]
+            if "indices" in prim:
+                n_tri = doc["accessors"][prim["indices"]]["count"] // 3
+            else:
+                n_tri = doc["accessors"][attrs["POSITION"]]["count"] // 3
+            _flat_guard(n_tri)
             pos = g.accessor(attrs["POSITION"]).astype(np.float32)
             if "indices" in prim:
                 idx = g.accessor(prim["indices"]).reshape(-1).astype(
@@ -408,21 +441,6 @@ def load_gltf(path: str, default_lights: bool = True,
         walk(r, ml.mat4_identity())
 
     assert tris_v, f"no triangle geometry in {path}"
-    flat_tris = sum(int(t.shape[0]) for t in tris_v)
-    if flat_tris > max_flat_tris:
-        n_inst = sum(mesh_uses.values())
-        worst = max(mesh_uses.values(), default=1)
-        raise ValueError(
-            f"{os.path.basename(path)}: instance flattening expands to "
-            f"{flat_tris:,} world-space triangles "
-            f"(~{flat_tris * _BYTES_PER_FLAT_TRI / 1e9:.1f} GB of tables; "
-            f"{n_inst} mesh instances over {len(mesh_uses)} meshes, most-"
-            f"instanced mesh used {worst}x) — past the {max_flat_tris:,}-"
-            f"triangle bound. tpu_pt flattens instances instead of "
-            f"keeping an IAS (scene/gltf.py module docstring), so memory "
-            f"scales O(instances x mesh size). Raise the bound via "
-            f"load_gltf(max_flat_tris=...) or TPT_MAX_FLAT_TRIS if the "
-            f"memory cost is acceptable.")
     tv = np.concatenate(tris_v)
     tn = np.concatenate(tris_n)
     tuv = np.concatenate(tris_uv)
@@ -543,8 +561,11 @@ def load_gltf(path: str, default_lights: bool = True,
     # (glTF convention), focal distance scaled to the scene extent so
     # trackball orbits behave.
     cam_tuple = ()
+    gcams = doc.get("cameras", [])
     for cam_idx, xform in cameras:
-        gc = doc.get("cameras", [])[cam_idx]
+        if not 0 <= cam_idx < len(gcams):
+            continue                    # dangling reference: skip node
+        gc = gcams[cam_idx]
         if gc.get("type") != "perspective":
             continue
         eye = xform[:3, 3].astype(np.float32)

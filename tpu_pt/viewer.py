@@ -142,6 +142,8 @@ def run_viewer(scene_path: str, args) -> int:
             aspect=args.width / args.height)
         render_fn = render_frame
         move_step = 50.0
+    if getattr(args, "fov", None) is not None:
+        camera.fov_y = args.fov        # explicit --fov beats defaults
     trackball = Trackball(camera)
     display = TerminalDisplay()
 

@@ -200,6 +200,26 @@ def _wrap_coord(u, mode: int):
     return u % 1.0                                   # REPEAT (default)
 
 
+def _bilinear_gather(tex, uu, vv, wrap_s: int, wrap_t: int):
+    """4-tap edge-clamped bilinear ``tex[y, x]`` gather -> [N, 4].
+
+    The single source of the gather-shaped sampling math, shared by the
+    ablation baseline (``_sample_textures``) and the oversized-texture
+    fallback of the MXU pass — wrap/clamp semantics can only be fixed
+    in one place."""
+    h, w = tex.shape[0], tex.shape[1]
+    x = _wrap_coord(uu, wrap_s) * (w - 1)
+    y = _wrap_coord(vv, wrap_t) * (h - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    return (tex[y0, x0] * (1 - fx) * (1 - fy) + tex[y0, x1] * fx * (1 - fy)
+            + tex[y1, x0] * (1 - fx) * fy + tex[y1, x1] * fx * fy)
+
+
 def _sample_textures(ws: WhittedScene, tex_id, uu, vv, srgb=True):
     """Bilinear texture fetch honoring per-texture sampler wrap modes.
 
@@ -215,19 +235,9 @@ def _sample_textures(ws: WhittedScene, tex_id, uu, vv, srgb=True):
     out = V3.ones(tex_id.shape)
     alpha = jnp.ones(tex_id.shape, jnp.float32)
     for k, tex in enumerate(ws.textures):
-        h, w = tex.shape[0], tex.shape[1]
         wrap_s, wrap_t = (ws.tex_wrap[k] if k < len(ws.tex_wrap)
                           else (_WRAP_REPEAT, _WRAP_REPEAT))
-        x = _wrap_coord(uu, wrap_s) * (w - 1)
-        y = _wrap_coord(vv, wrap_t) * (h - 1)
-        x0 = jnp.floor(x).astype(jnp.int32)
-        y0 = jnp.floor(y).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        y1 = jnp.minimum(y0 + 1, h - 1)
-        fx = (x - x0)[:, None]
-        fy = (y - y0)[:, None]
-        c = (tex[y0, x0] * (1 - fx) * (1 - fy) + tex[y0, x1] * fx * (1 - fy)
-             + tex[y1, x0] * (1 - fx) * fy + tex[y1, x1] * fx * fy)
+        c = _bilinear_gather(tex, uu, vv, wrap_s, wrap_t)
         # sRGB -> linear on RGB (whitted::linearize, gamma 2.2).
         rgb_lin = (jnp.power(jnp.maximum(c[:, :3], 1e-9), 2.2) if srgb
                    else c[:, :3])
@@ -294,19 +304,8 @@ def _sample_all_textures(ws: WhittedScene, uu, vv):
         if h * w > _WTEX_MAX_TEXELS:
             # Oversized: per-texture 4-tap gather, still once per bounce.
             for k in ks:
-                tex = ws.textures[k]
-                x = _wrap_coord(uu, wrap_s) * (w - 1)
-                y = _wrap_coord(vv, wrap_t) * (h - 1)
-                x0 = jnp.floor(x).astype(jnp.int32)
-                y0 = jnp.floor(y).astype(jnp.int32)
-                x1 = jnp.minimum(x0 + 1, w - 1)
-                y1 = jnp.minimum(y0 + 1, h - 1)
-                fx = (x - x0)[:, None]
-                fy = (y - y0)[:, None]
-                texels[k] = (tex[y0, x0] * (1 - fx) * (1 - fy)
-                             + tex[y0, x1] * fx * (1 - fy)
-                             + tex[y1, x0] * (1 - fx) * fy
-                             + tex[y1, x1] * fx * fy)
+                texels[k] = _bilinear_gather(ws.textures[k], uu, vv,
+                                             wrap_s, wrap_t)
             continue
         a = _bilinear_rows(_wrap_coord(vv, wrap_t) * (h - 1), h)
         b = _bilinear_rows(_wrap_coord(uu, wrap_s) * (w - 1), w)
