@@ -1713,7 +1713,7 @@ def intersect_closest_nee(scene: SceneArrays, origins: V3, dirs: V3,
 # grows slowly with scene size — 16 * (T / 100k)^0.3 matches both
 # measured optima (16-25 at 100k, 32 at 1M). TPT_CSLABS overrides the
 # count, TPT_CSLAB the size outright.
-TRI_SLAB = 8192
+TRI_SLAB = int(os.environ.get("TPT_TRI_SLAB", 8192))
 CLUSTERED_SLABS = int(os.environ.get("TPT_CSLABS", 0))  # 0 = derive
 CLUSTERED_SLAB = int(os.environ.get("TPT_CSLAB", 0))    # 0 = derive
 
