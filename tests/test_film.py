@@ -220,3 +220,23 @@ def test_exr_rle_encoder_run_shapes():
     enc = film._exr_rle_encode(payload)
     dec = film._exr_rle_decode(enc, len(payload))
     assert dec == payload
+
+
+def test_exr_rle_fuzz_roundtrip():
+    """Randomized payload shapes (mixtures of runs and noise at odd
+    sizes) all round-trip through the RLE codec bit-exactly."""
+    rng = np.random.RandomState(23)
+    for trial in range(20):
+        n = int(rng.randint(1, 2000))
+        mode = trial % 3
+        if mode == 0:
+            payload = rng.randint(0, 256, n).astype(np.uint8)
+        elif mode == 1:
+            payload = np.full(n, int(rng.randint(0, 256)), np.uint8)
+        else:
+            payload = np.repeat(
+                rng.randint(0, 256, max(1, n // 17)).astype(np.uint8),
+                17)[:n]
+        enc = film._exr_rle_encode(payload.tobytes())
+        dec = film._exr_rle_decode(enc, n)
+        assert dec == payload.tobytes(), (trial, n, mode)

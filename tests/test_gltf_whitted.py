@@ -524,3 +524,34 @@ def test_gltf_camera_loaded(gltf_assets):
     d /= np.linalg.norm(d)
     np.testing.assert_allclose(d, [-0.604, -0.3724, -0.7046], atol=2e-3)
     assert up[1] > 0.9
+
+
+def test_bilinear_rows_partition_of_unity():
+    """_bilinear_rows rows are a partition of unity (weights sum to 1,
+    two taps except at the collapsed edge texel) — the property that
+    makes the matmul an interpolation rather than a filter."""
+    from tpu_pt import whitted as wh
+    x = jnp.asarray(np.linspace(0.0, 15.0, 97, dtype=np.float32))
+    a = np.asarray(wh._bilinear_rows(x, 16))
+    np.testing.assert_allclose(a.sum(axis=1), 1.0, rtol=0, atol=1e-6)
+    assert ((a > 0).sum(axis=1) <= 2).all()
+    assert (a >= 0).all()
+
+
+def test_expand_curve_spec_errors():
+    """Curve spec validation names the offending field."""
+    from tpu_pt.intersect.curves import expand_curve_spec
+    with pytest.raises(ValueError, match="basis"):
+        expand_curve_spec(dict(basis="nurbs", points=[[0, 0, 0]] * 4), 0)
+    with pytest.raises(ValueError, match="points"):
+        expand_curve_spec(dict(basis="cubic_bspline",
+                               points=[[0, 0, 0]] * 3), 0)
+    with pytest.raises(ValueError, match="radii"):
+        expand_curve_spec(dict(basis="linear",
+                               points=[[0, 0, 0], [1, 0, 0]],
+                               radii=[0.1]), 0)
+    # 5 points cubic -> 2 sliding windows.
+    segs = expand_curve_spec(dict(basis="cubic_bspline",
+                                  points=[[i, 0, 0] for i in range(5)],
+                                  radii=0.2), 3)
+    assert len(segs) == 2 and all(s["mat"] == 3 for s in segs)
