@@ -555,3 +555,26 @@ def test_expand_curve_spec_errors():
                                   points=[[i, 0, 0] for i in range(5)],
                                   radii=0.2), 3)
     assert len(segs) == 2 and all(s["mat"] == 3 for s in segs)
+
+
+def test_whitted_scheduler_width_invariance(pbr_scene, pbr_camera,
+                                            monkeypatch):
+    """Radiance is item-keyed (counter RNG), so the pixelq wavefront
+    width and ladder are pure scheduling: TPT_ITEMS_PER_LANE and
+    TPT_LADDER changes must be bitwise-invisible in the image — the
+    invariant behind the round-4 integrator/scene-size-tuned
+    defaults."""
+    from tpu_pt.whitted import render_whitted_frame
+    cfg = tpu_pt.RenderConfig(width=64, height=64, spp=4, max_depth=6,
+                              background=(0.1, 0.15, 0.25),
+                              intersector="bruteforce")
+    outs = []
+    for ipl, ladder in (("16", "1,8"), ("4", "1,8"), ("16", "1")):
+        monkeypatch.setenv("TPT_ITEMS_PER_LANE", ipl)
+        monkeypatch.setenv("TPT_LADDER", ladder)
+        accum = init_accum(cfg)
+        accum, img, _ = render_whitted_frame(pbr_scene, pbr_camera, cfg,
+                                             0, accum)
+        outs.append(np.asarray(img))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
