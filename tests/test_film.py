@@ -238,5 +238,15 @@ def test_exr_rle_fuzz_roundtrip():
                 rng.randint(0, 256, max(1, n // 17)).astype(np.uint8),
                 17)[:n]
         enc = film._exr_rle_encode(payload.tobytes())
-        dec = film._exr_rle_decode(enc, n)
+        # mode 2's repeat-then-slice can produce fewer than n bytes —
+        # expect the PAYLOAD size (the decoder now validates it).
+        dec = film._exr_rle_decode(enc, payload.size)
         assert dec == payload.tobytes(), (trial, n, mode)
+        # A too-large expectation must raise, not silently scramble.
+        if payload.size > 1:
+            try:
+                film._exr_rle_decode(enc, payload.size + 8)
+            except ValueError:
+                pass
+            else:
+                raise AssertionError("short RLE decode not detected")

@@ -92,7 +92,9 @@ def main():
     base = os.path.basename(obj)
     key = {"big_mesh.obj": "big_100k", "huge_mesh.obj": "big_1m"}.get(
         base, f"big_{os.path.splitext(base)[0]}")
-    perflib.record(key, payload)
+    # TPT_LADDER=1,8 is this workload's measured-optimum config (set
+    # above), not an ablation probe — declare it canonical.
+    perflib.record(key, payload, canonical={"TPT_LADDER": "1,8"})
 
 
 def _initial_lanes(cfg, n_pixels: int) -> int:

@@ -357,7 +357,13 @@ def _exr_rle_decode(data: bytes, expect: int) -> bytes:
         else:                                     # run of c + 1 bytes
             out.extend(data[i:i + 1] * (c + 1))
             i += 1
-    return _exr_unpredict(np.frombuffer(bytes(out), np.uint8))
+    # A malformed third-party block that decodes short (or a final run
+    # overshooting ``expect``) would shift _exr_unpredict's two-half
+    # split and scramble the whole block — validate instead.
+    if len(out) < expect:
+        raise ValueError(
+            f"EXR RLE block decoded {len(out)} of {expect} bytes")
+    return _exr_unpredict(np.frombuffer(bytes(out[:expect]), np.uint8))
 
 
 def write_exr(path: str, rgb: np.ndarray, half: bool = False,

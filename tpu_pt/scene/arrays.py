@@ -257,7 +257,7 @@ def nee_occluder_index(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
             axis=0)
 
     eps = 1e-4 * float(np.linalg.norm(hi - lo)) + 1e-12
-    dist = endpoints @ n.T - d0[None, :]                      # [12, T]
+    dist = endpoints @ n.T - d0[None, :]    # [E, T], E = 12 + extras
     one_side = np.all(dist >= -eps, axis=0) | np.all(dist <= eps, axis=0)
 
     mask = valid & ~refractive & ~one_side
