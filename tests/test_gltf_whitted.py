@@ -578,3 +578,204 @@ def test_whitted_scheduler_width_invariance(pbr_scene, pbr_camera,
         outs.append(np.asarray(img))
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+# ---------------------------------------------------------------------------
+# Fractional shadow occlusion (__anyhit__occlusion parity,
+# /root/reference/cuda/whitted.cu:113-138): textured MASK occluders
+# below cutoff pass light entirely, other textured non-opaque hits
+# multiply the shadow transmission by (1 - tex_alpha), untextured /
+# opaque hits terminate the ray.
+
+@pytest.fixture(scope="module")
+def alpha_scene(gltf_assets):
+    if not (gltf_assets / "alpha_shadow.gltf").exists():
+        subprocess.run([sys.executable,
+                        str(REPO / "tools" / "make_gltf_assets.py")],
+                       check=True)
+    from tpu_pt.scene.gltf import load_gltf
+    return load_gltf(str(gltf_assets / "alpha_shadow.gltf"))
+
+
+def test_alpha_occlusion_split_built(alpha_scene):
+    ao = alpha_scene.alpha_occ
+    assert ao is not None
+    # Two textured quads x 2 tris x 2 layers of the blend quad = 6
+    # alpha triangles; ground + untextured blend quad stay boolean.
+    assert ao.geom.num_tris == 6
+    assert ao.occ_geom.num_tris == 4
+    assert ao.max_hits >= 2      # the stacked blend quads need 2 marches
+
+
+def test_alpha_occlusion_transmissions(alpha_scene):
+    """Analytic transmissions through each occluder class (the texture
+    alphas 51/255 = 0.2 and 204/255 = 0.8 are exact in float)."""
+    from tpu_pt.whitted import _make_occlusion
+    ws = alpha_scene
+    cfg = tpu_pt.RenderConfig(width=8, height=8, spp=1,
+                              intersector="bruteforce")
+    occ = _make_occlusion(ws, cfg)
+    # (x, z, expected transmission) for a vertical segment from just
+    # above the ground to below the light.
+    probes = [
+        (-3.5, 0.0, 0.8 * 0.8),  # 2 stacked blend layers, alpha 0.2
+        (-2.5, 0.0, 0.2 * 0.2),  # same, alpha 0.8 half
+        (-0.5, 0.0, 1.0),        # mask, alpha 0.2 < cutoff: passes
+        (0.5, 0.0, 0.2),         # mask, alpha 0.8 >= cutoff: the
+                                 # reference STILL attenuates by 1-a
+                                 # (whitted.cu:123-136 falls through)
+        (3.0, 0.0, 0.0),         # untextured blend: anyhit gates on
+                                 # base_color_tex -> full occluder
+        (0.0, 3.0, 1.0),         # clear sky
+    ]
+    n = len(probes)
+    o = V3(jnp.array([p[0] for p in probes], jnp.float32),
+           jnp.full((n,), 0.05, jnp.float32),
+           jnp.array([p[1] for p in probes], jnp.float32))
+    d = V3(jnp.zeros((n,), jnp.float32), jnp.ones((n,), jnp.float32),
+           jnp.zeros((n,), jnp.float32))
+    tmax = jnp.full((n,), 20.0, jnp.float32)
+    got = np.asarray(occ(o, d, tmax))
+    want = np.array([p[2] for p in probes], np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_alpha_occlusion_vs_numpy_reference(alpha_scene):
+    """Independent-implementation A/B (the round-4 lesson: bitwise
+    A/Bs of one path can't catch shared-path bugs): a numpy
+    all-triangles sweep computing the reference's anyhit product is
+    compared against _make_occlusion over random segments."""
+    from tpu_pt.whitted import _make_occlusion
+    from tpu_pt.scene.gltf import ALPHA_MASK, ALPHA_OPAQUE
+    ws = alpha_scene
+    cfg = tpu_pt.RenderConfig(width=8, height=8, spp=1,
+                              intersector="bruteforce")
+    occ = _make_occlusion(ws, cfg)
+
+    rng_np = np.random.RandomState(7)
+    n = 64
+    o_np = np.stack([rng_np.uniform(-5, 5, n),
+                     rng_np.uniform(0.05, 2.5, n),
+                     rng_np.uniform(-2, 2, n)], axis=1).astype(np.float32)
+    d_np = rng_np.normal(size=(n, 3)).astype(np.float32)
+    d_np[:, 1] = np.abs(d_np[:, 1]) + 0.3          # upward-ish
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    tmax_np = rng_np.uniform(3.0, 25.0, n).astype(np.float32)
+
+    # Numpy reference: Moller over ALL triangles of the full geometry,
+    # product of per-hit factors, 0 on any opaque-class hit.
+    g = ws.geom
+    v0 = np.asarray(g.tri_v0)[np.asarray(g.tri_valid)]
+    e1 = np.asarray(g.tri_e1)[np.asarray(g.tri_valid)]
+    e2 = np.asarray(g.tri_e2)[np.asarray(g.tri_valid)]
+    mat = np.asarray(g.mat_id)[np.asarray(g.tri_valid)]
+    amode = np.asarray(ws.alpha_mode)
+    acut = np.asarray(ws.alpha_cutoff)
+    tex_id = np.asarray(ws.tex_id)
+    tex = np.asarray(ws.textures[0])
+    # Per-triangle vertex UVs from the full scene's attribute table.
+    uvs = np.asarray(ws.vtx_attr)[np.asarray(g.tri_valid), 9:15]
+
+    def tex_alpha(uu, vv):
+        h, w = tex.shape[0], tex.shape[1]
+        x = (uu % 1.0) * (w - 1)
+        y = (vv % 1.0) * (h - 1)
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+        fx, fy = x - x0, y - y0
+        return float(tex[y0, x0, 3] * (1 - fx) * (1 - fy)
+                     + tex[y0, x1, 3] * fx * (1 - fy)
+                     + tex[y1, x0, 3] * (1 - fx) * fy
+                     + tex[y1, x1, 3] * fx * fy)
+
+    want = np.ones(n, np.float32)
+    tmin = cfg.t_min
+    for i in range(n):
+        o_i, d_i = o_np[i], d_np[i]
+        trans = 1.0
+        for k in range(v0.shape[0]):
+            pvec = np.cross(d_i, e2[k])
+            det = float(e1[k] @ pvec)
+            if abs(det) < 1e-12:
+                continue
+            tvec = o_i - v0[k]
+            u = float(tvec @ pvec) / det
+            qvec = np.cross(tvec, e1[k])
+            v = float(d_i @ qvec) / det
+            t = float(e2[k] @ qvec) / det
+            if u < 0 or v < 0 or u + v > 1 or t <= tmin or \
+                    t >= tmax_np[i]:
+                continue
+            m = mat[k]
+            if amode[m] == ALPHA_OPAQUE or tex_id[m] < 0:
+                trans = 0.0
+                continue
+            w0 = 1.0 - u - v
+            uu = uvs[k, 0] * w0 + uvs[k, 2] * u + uvs[k, 4] * v
+            vv = uvs[k, 1] * w0 + uvs[k, 3] * u + uvs[k, 5] * v
+            a = tex_alpha(uu, vv)
+            if amode[m] == ALPHA_MASK and a < acut[m]:
+                continue
+            trans *= 1.0 - a
+        want[i] = trans
+
+    got = np.asarray(occ(V3(jnp.asarray(o_np[:, 0]),
+                            jnp.asarray(o_np[:, 1]),
+                            jnp.asarray(o_np[:, 2])),
+                         V3(jnp.asarray(d_np[:, 0]),
+                            jnp.asarray(d_np[:, 1]),
+                            jnp.asarray(d_np[:, 2])),
+                         jnp.asarray(tmax_np)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_alpha_shadow_image(alpha_scene):
+    """Image-level check: ground brightness under each occluder
+    follows the transmission ordering (clear ~ mask-left >
+    blend-left > blend-right > untextured-blend ~ ambient-only)."""
+    from tpu_pt.whitted import render_whitted_wavefront
+    from tpu_pt.camera import Camera
+    ws = alpha_scene
+    # Low camera: view rays to the shadowed ground pass UNDER the
+    # floating quads (a top-down view would hit the blend quads first
+    # and mix their radiance into the probe pixels).
+    eye_np = np.array([0.0, 4.0, 14.0])
+    look_np = np.array([0.0, 0.0, 0.0])
+    cam = CameraArrays.from_camera(Camera(
+        eye=eye_np.astype(np.float32),
+        lookat=look_np.astype(np.float32), fov_y=45.0))
+    res = 96
+    cfg = tpu_pt.RenderConfig(width=res, height=res, spp=2, max_depth=4,
+                              background=(0.0, 0.0, 0.0),
+                              intersector="bruteforce")
+    rad, _ = render_whitted_wavefront(ws, cam, cfg, 0, res * res, 0)
+    img = np.asarray(rad).reshape(res, res, 3)
+    assert np.isfinite(img).all()
+
+    def ground_lum(x_world, z_world):
+        # Project a ground point through the camera's UVW frame.
+        from tpu_pt.camera import Camera as C
+        c = C(eye=eye_np.astype(np.float32),
+              lookat=look_np.astype(np.float32), fov_y=45.0)
+        u, v, w = c.uvw_frame()
+        p = np.array([x_world, 0.0, z_world]) - eye_np
+        # Solve p ~ s*(dx*u + dy*v + w) for (dx, dy).
+        m = np.stack([u, v, w], axis=1)
+        q = np.linalg.solve(m, p)
+        dx, dy = q[0] / q[2], q[1] / q[2]
+        px = int((dx + 1) / 2 * res)
+        py = int((dy + 1) / 2 * res)
+        win = img[max(py - 1, 0): py + 2, max(px - 1, 0): px + 2]
+        return float(win.mean())
+
+    clear = ground_lum(0.0, 3.5)
+    mask_l = ground_lum(-0.5, 0.0)
+    blend_l = ground_lum(-3.5, 0.0)
+    blend_r = ground_lum(-2.5, 0.0)
+    plain = ground_lum(3.0, 0.0)
+    # Mask-left passes the light fully.
+    assert abs(mask_l - clear) < 0.15 * clear
+    # Transmission ordering.
+    assert clear > blend_l > blend_r > plain
+    # Untextured blend casts a full shadow (ambient only).
+    assert plain < 0.25 * clear

@@ -271,7 +271,139 @@ def build(out_dir: str):
            + struct.pack("<II", len(bin_chunk), 0x004E4942) + bin_chunk)
     with open(os.path.join(out_dir, "pbr_test.glb"), "wb") as f:
         f.write(glb)
+    build_alpha(out_dir)
     print(f"glTF assets written to {out_dir}")
+
+
+def alpha_png(path, res=64):
+    """RGBA texture for the fractional-shadow asset: white RGB, alpha
+    0.2 on the left half (u < 0.5) and 0.8 on the right (51/255 and
+    204/255 are EXACT in float, so tests can assert transmissions
+    analytically)."""
+    from tpu_pt import film
+    img = np.full((res, res, 4), 255, np.uint8)
+    img[:, : res // 2, 3] = 51      # alpha 0.2
+    img[:, res // 2:, 3] = 204      # alpha 0.8
+    film.write_png(path, img)
+
+
+def uquad(size=1.0):
+    """Horizontal unit-UV quad facing +Y (u grows along +x)."""
+    s = size / 2
+    verts = np.array([(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)],
+                     np.float32)
+    norms = np.array([(0, 1, 0)] * 4, np.float32)
+    uvs = np.array([(0, 0), (1, 0), (1, 1), (0, 1)], np.float32)
+    idx = np.array([0, 2, 1, 0, 3, 2], np.uint16)
+    return verts, norms, uvs, idx
+
+
+def build_alpha(out_dir: str):
+    """alpha_shadow.gltf: the fractional-shadow-occlusion parity scene
+    (``__anyhit__occlusion``, cuda/whitted.cu:113-138).
+
+    A gray ground plane under three floating quads — textured BLEND,
+    textured MASK (cutoff 0.5), and UNTEXTURED blend (the anyhit gates
+    on base_color_tex, so it occludes fully) — lit by one point light
+    high above. Shadow transmissions under the quads: textured blend
+    1-alpha (0.8 left / 0.2 right), mask 1.0 left (alpha below cutoff
+    passes) / 0.2 right, untextured blend 0."""
+    os.makedirs(out_dir, exist_ok=True)
+    alpha_png(os.path.join(out_dir, "alpha.png"))
+
+    meshes_np = [plane(12.0), uquad(2.0)]
+    blob = b""
+    buffer_views = []
+    accessors = []
+    meshes = []
+
+    def add_accessor(arr, target, ctype, atype):
+        nonlocal blob
+        off = len(blob)
+        blob += arr.tobytes()
+        while len(blob) % 4:
+            blob += b"\0"
+        buffer_views.append(dict(buffer=0, byteOffset=off,
+                                 byteLength=arr.nbytes, target=target))
+        acc = dict(bufferView=len(buffer_views) - 1, componentType=ctype,
+                   count=arr.shape[0], type=atype)
+        if atype == "VEC3":
+            acc["min"] = [float(x) for x in arr.min(axis=0)]
+            acc["max"] = [float(x) for x in arr.max(axis=0)]
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    prim_sets = []
+    for v, n, uv, idx in meshes_np:
+        pos_a = add_accessor(v, 34962, 5126, "VEC3")
+        nrm_a = add_accessor(n, 34962, 5126, "VEC3")
+        uv_a = add_accessor(uv, 34962, 5126, "VEC2")
+        idx_a = add_accessor(idx.reshape(-1, 1), 34963, 5123, "SCALAR")
+        prim_sets.append((pos_a, nrm_a, uv_a, idx_a))
+    # One mesh per material so instances of the quad can differ.
+    for mat in range(4):
+        pos_a, nrm_a, uv_a, idx_a = prim_sets[0 if mat == 0 else 1]
+        meshes.append(dict(primitives=[dict(
+            attributes=dict(POSITION=pos_a, NORMAL=nrm_a, TEXCOORD_0=uv_a),
+            indices=idx_a, material=mat)]))
+
+    materials = [
+        dict(name="Ground",
+             pbrMetallicRoughness=dict(
+                 baseColorFactor=[0.85, 0.85, 0.85, 1.0],
+                 metallicFactor=0.0, roughnessFactor=0.9)),
+        dict(name="BlendTex", alphaMode="BLEND",
+             pbrMetallicRoughness=dict(
+                 baseColorFactor=[0.9, 0.9, 1.0, 0.9],
+                 baseColorTexture=dict(index=0),
+                 metallicFactor=0.0, roughnessFactor=0.5)),
+        dict(name="MaskTex", alphaMode="MASK", alphaCutoff=0.5,
+             pbrMetallicRoughness=dict(
+                 baseColorFactor=[1.0, 0.9, 0.9, 1.0],
+                 baseColorTexture=dict(index=0),
+                 metallicFactor=0.0, roughnessFactor=0.5)),
+        dict(name="BlendPlain", alphaMode="BLEND",
+             pbrMetallicRoughness=dict(
+                 baseColorFactor=[0.2, 0.4, 0.9, 0.35],
+                 metallicFactor=0.0, roughnessFactor=0.5)),
+    ]
+
+    nodes = [
+        dict(mesh=0, name="ground"),
+        dict(mesh=1, translation=[-3.0, 1.5, 0.0], name="blendtex"),
+        # Second textured-blend layer below the first: a vertical
+        # shadow ray crosses BOTH, so the transmission is the product
+        # of per-hit factors (the anyhit accumulates multiplicatively).
+        dict(mesh=1, translation=[-3.0, 0.8, 0.0], name="blendtex2"),
+        dict(mesh=2, translation=[0.0, 1.5, 0.0], name="masktex"),
+        dict(mesh=3, translation=[3.0, 1.5, 0.0], name="blendplain"),
+        dict(name="light", translation=[0.0, 30.0, 0.0],
+             extensions=dict(KHR_lights_punctual=dict(light=0))),
+    ]
+
+    doc = dict(
+        asset=dict(version="2.0", generator="tpu_pt make_gltf_assets"),
+        scene=0,
+        scenes=[dict(nodes=list(range(len(nodes))))],
+        nodes=nodes,
+        meshes=meshes,
+        materials=materials,
+        textures=[dict(source=0)],
+        images=[dict(uri="alpha.png")],
+        samplers=[],
+        buffers=[dict(byteLength=len(blob),
+                      uri="data:application/octet-stream;base64,"
+                          + base64.b64encode(blob).decode())],
+        bufferViews=buffer_views,
+        accessors=accessors,
+        extensions=dict(KHR_lights_punctual=dict(lights=[
+            dict(type="point", color=[1.0, 1.0, 1.0], intensity=5.0)])),
+        extensionsUsed=["KHR_lights_punctual"],
+    )
+    path = os.path.join(out_dir, "alpha_shadow.gltf")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    print(f"wrote {path}")
 
 
 def build_big(out_dir: str, n=224):

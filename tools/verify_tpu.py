@@ -29,6 +29,11 @@ asserts the images match bitwise:
      TPU for two rounds — dark point lights — while every CPU test and
      TPU-vs-TPU bitwise case held; a whole-image tolerance against the
      INDEPENDENT uv path is the guard that would have caught it)
+ 15. whitted fractional alpha occlusion (alpha_shadow.gltf): Pallas
+     intersectors ~= bruteforce jnp intersectors — two independent
+     sweep implementations driving the same transmission march
+     (_make_occlusion); near-equal because hit t/u/v association
+     differs between the kernels
 
 Cases 12-13 are the only on-TPU coverage of the ``_with_primitives`` /
 ``_with_curves`` min-t combine paths (round-3 VERDICT weak #5): the
@@ -66,7 +71,8 @@ if %(whitted)s:
         eye=np.array([6.0, 4.5, 7.0], np.float32),
         lookat=np.array([0.0, 0.8, 0.0], np.float32), fov_y=40.0))
     cfg = tpu_pt.RenderConfig(width=128, height=128, spp=4, max_depth=6,
-                              background=(0.1, 0.15, 0.25))
+                              background=(0.1, 0.15, 0.25),
+                              intersector=%(isect)r)
     if %(sharded)s:
         from tpu_pt import dist
         mesh = dist.device_mesh(1, 1)
@@ -98,10 +104,10 @@ np.save(%(out)r, np.asarray(img))
 
 
 def render(out, scene, env=None, fused=False, sharded=False,
-           whitted=False):
+           whitted=False, isect="auto"):
     code = CHILD % dict(repo=REPO, scene=scene, out=out,
                         fused=repr(fused), sharded=repr(sharded),
-                        whitted=repr(whitted))
+                        whitted=repr(whitted), isect=isect)
     e = {**os.environ, **(env or {})}
     r = subprocess.run([sys.executable, "-c", code], env=e,
                        capture_output=True, text=True, timeout=1200)
@@ -195,6 +201,16 @@ def main():
     check_close("whitted lean-uv resolve ~= full-carry kernel (glTF)",
                 wbase, render(p("wleanuv0"), gltf, {"TPT_LEAN_UV": "0"},
                               whitted=True))
+
+    alpha = os.path.join(REPO, "assets", "alpha_shadow.gltf")
+    if not os.path.exists(alpha):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools",
+                                     "make_gltf_assets.py")], check=True)
+    abase = render(p("abase"), alpha, whitted=True)
+    check_close("whitted alpha occlusion: pallas ~= bruteforce sweeps",
+                abase, render(p("abf"), alpha, whitted=True,
+                              isect="bruteforce"))
 
     print("all equivalences hold" if not fails
           else f"{fails} equivalence(s) BROKEN")

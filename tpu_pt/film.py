@@ -72,17 +72,18 @@ def rmse(a: np.ndarray, b: np.ndarray) -> float:
 # ----------------------------------------------------------------------------
 
 def write_png(path: str, rgb_u8: np.ndarray) -> None:
-    """Write an 8-bit RGB PNG without external imaging libraries."""
+    """Write an 8-bit RGB (or RGBA — alpha textures) PNG without
+    external imaging libraries."""
     img = np.ascontiguousarray(np.asarray(rgb_u8, np.uint8))
-    assert img.ndim == 3 and img.shape[2] == 3, img.shape
-    h, w, _ = img.shape
+    assert img.ndim == 3 and img.shape[2] in (3, 4), img.shape
+    h, w, c = img.shape
 
     def chunk(tag: bytes, payload: bytes) -> bytes:
         data = tag + payload
         return struct.pack(">I", len(payload)) + data + struct.pack(
             ">I", zlib.crc32(data) & 0xFFFFFFFF)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
     raw = b"".join(b"\x00" + img[row].tobytes() for row in range(h))
     with open(path, "wb") as f:
         f.write(b"\x89PNG\r\n\x1a\n")
@@ -91,9 +92,9 @@ def write_png(path: str, rgb_u8: np.ndarray) -> None:
         f.write(chunk(b"IEND", b""))
 
 
-def read_png(path: str) -> np.ndarray:
-    """Read an 8-bit RGB/RGBA PNG written by :func:`write_png` (or any
-    non-interlaced 8-bit truecolor PNG). Returns uint8 [H, W, 3]."""
+def _read_png_channels(path: str) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG -> uint8 [H, W, C] with its
+    native channel count (1 gray / 2 gray+alpha / 3 RGB / 4 RGBA)."""
     with open(path, "rb") as f:
         data = f.read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
@@ -118,10 +119,36 @@ def read_png(path: str) -> np.ndarray:
     raw = zlib.decompress(idat)
     stride = w * channels
     out = _unfilter_scanlines(raw, h, w, stride, channels)
-    img = out.reshape(h, w, channels)
-    if channels == 1:
+    return out.reshape(h, w, channels)
+
+
+def read_png(path: str) -> np.ndarray:
+    """Read an 8-bit RGB/RGBA PNG written by :func:`write_png` (or any
+    non-interlaced 8-bit truecolor PNG). Returns uint8 [H, W, 3]."""
+    img = _read_png_channels(path)
+    if img.shape[2] == 1:
         img = np.repeat(img, 3, axis=2)
+    elif img.shape[2] == 2:                       # gray + alpha
+        img = np.repeat(img[:, :, :1], 3, axis=2)
     return img[:, :, :3]
+
+
+def read_png_rgba(path: str) -> np.ndarray:
+    """Like :func:`read_png` but preserves the alpha channel (255 when
+    the file has none). Returns uint8 [H, W, 4] — the texture path for
+    glTF alpha-mask/blend materials (base-color ``.w`` drives the
+    reference's anyhit programs, ``cuda/whitted.cu:100-138``)."""
+    img = _read_png_channels(path)
+    h, w, c = img.shape
+    out = np.full((h, w, 4), 255, np.uint8)
+    if c == 1:
+        out[:, :, :3] = np.repeat(img, 3, axis=2)
+    elif c == 2:
+        out[:, :, :3] = np.repeat(img[:, :, :1], 3, axis=2)
+        out[:, :, 3] = img[:, :, 1]
+    else:
+        out[:, :, :c] = img
+    return out
 
 
 def _unfilter_scanlines(raw: bytes, h: int, w: int, stride: int,

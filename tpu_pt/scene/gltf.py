@@ -49,6 +49,40 @@ ALPHA_BLEND = 2
 
 
 @struct.dataclass
+class AlphaOccluders:
+    """Shadow-ray transmission split (``__anyhit__occlusion`` parity,
+    ``cuda/whitted.cu:113-138``).
+
+    The reference's occlusion anyhit lets TEXTURED non-opaque occluders
+    pass fractional light (MASK below cutoff passes entirely; otherwise
+    the shadow attenuation multiplies by ``1 - tex_alpha``); everything
+    else — untextured materials included, the anyhit gates on
+    ``base_color_tex`` — terminates the ray. The TPU-shaped equivalent
+    splits the triangle set once at scene build:
+
+    - ``occ_geom``: the scene WITHOUT the alpha-class triangles (plus
+      any analytic prims/curves) — the boolean occlusion sweep, a hit
+      here means attenuation 0;
+    - ``geom``: ONLY the alpha-class triangles, marched closest-hit-
+      by-closest-hit (at most ``max_hits`` — each triangle can be hit
+      once per segment) to accumulate the product of per-hit
+      transmissions (``whitted._make_occlusion``).
+
+    ``uv`` carries the subset triangles' per-vertex UVs ([Ta_pad, 6]:
+    uv0 uv1 uv2) for sampling the base-color texture's alpha at each
+    hit; material ids in ``geom.mat_id`` are the ORIGINAL glTF
+    material indices, so the march reuses the whitted material table.
+    Memory note: alpha-carrying scenes duplicate their opaque
+    triangles into ``occ_geom`` (a deliberate trade — scenes without
+    textured alpha materials build no split at all).
+    """
+    occ_geom: SceneArrays
+    geom: SceneArrays
+    uv: jnp.ndarray
+    max_hits: int = struct.field(pytree_node=False, default=4)
+
+
+@struct.dataclass
 class WhittedScene:
     """World-space scene for the whitted/direct-lighting pipeline.
 
@@ -118,6 +152,10 @@ class WhittedScene:
     # lookat at the Camera default, here it is eye + the node's world
     # -Z view direction). Empty tuple = none declared.
     camera: tuple = struct.field(pytree_node=False, default=())
+    # Fractional shadow-occlusion split (AlphaOccluders) for scenes
+    # with textured alpha-mask/blend materials; None = every occluder
+    # is boolean and the plain occlusion sweep serves shadows.
+    alpha_occ: AlphaOccluders | None = None
 
 
 def _default_whitted_tables(n_mats: int):
@@ -258,7 +296,10 @@ def _node_matrix(node: dict) -> np.ndarray:
 
 
 def _decode_image_bytes(blob: bytes) -> np.ndarray:
-    """Sniff + decode an in-memory image (PNG/JPEG/PPM) to uint8 [h, w, 3].
+    """Sniff + decode an in-memory image (PNG/JPEG/PPM) to uint8
+    [h, w, 3 or 4] — PNG alpha is preserved (base-color ``.w`` drives
+    the reference's alpha-mode anyhit programs, ``cuda/whitted.cu:
+    100-138``).
 
     JPEG is glTF-core-mandatory; the reference gets it from tinygltf's
     stb_image (``sutil/Scene.cpp:267-550``) — here ``tpu_pt.jpeg``."""
@@ -268,7 +309,7 @@ def _decode_image_bytes(blob: bytes) -> np.ndarray:
         with tempfile.NamedTemporaryFile(suffix=".png") as f:
             f.write(blob)
             f.flush()
-            return film.read_png(f.name)
+            return film.read_png_rgba(f.name)
     if blob[:2] == b"\xff\xd8":
         return jpeg.decode_jpeg(blob)
     if blob[:2] in (b"P6", b"P3"):
@@ -294,9 +335,9 @@ def _decode_image(g: _Gltf, img: dict) -> np.ndarray:
         data = g.buffer(bv["buffer"])
         off = bv.get("byteOffset", 0)
         blob = data[off: off + bv["byteLength"]]
-    rgb = _decode_image_bytes(blob)
-    rgba = np.ones((*rgb.shape[:2], 4), np.float32)
-    rgba[..., :3] = rgb.astype(np.float32) / 255.0
+    px = _decode_image_bytes(blob)
+    rgba = np.ones((*px.shape[:2], 4), np.float32)
+    rgba[..., :px.shape[2]] = px.astype(np.float32) / 255.0
     return rgba
 
 
@@ -615,6 +656,40 @@ def load_gltf(path: str, default_lights: bool = True,
     from ..intersect.lbvh import with_bvh
     geom = with_bvh(geom, host=host)
 
+    # --- fractional shadow occlusion split (whitted.cu:113-138) -----------
+    # Textured non-opaque materials transmit shadow rays fractionally in
+    # the reference's __anyhit__occlusion; split their triangles out of
+    # the boolean occlusion geometry once at load (see AlphaOccluders).
+    alpha_mat_mask = ((tables["alpha_mode"] != ALPHA_OPAQUE)
+                      & (tables["tex_id"] >= 0))
+    tri_alpha = alpha_mat_mask[np.clip(tmat, 0, n_m - 1)]
+    occ_geom = alpha_geom = alpha_uv = None
+    if tri_alpha.any():
+        def _sub_geom(sel):
+            sverts = tv[sel].reshape(-1, 3)
+            sidx = np.arange(sverts.shape[0],
+                             dtype=np.int64).reshape(-1, 3)
+            return build_scene_arrays(sverts, sidx, tmat[sel], pt_mats,
+                                      light=default_cornell_light(),
+                                      return_host=True)
+        occ_geom, occ_host = _sub_geom(~tri_alpha)
+        if lights_pos:
+            from .arrays import _host_light, nee_occluder_index
+            o_refr = occ_host["mat_bsdf"][occ_host["mat_id"]] \
+                == BSDF_REFRACTION
+            o_idx, o_n = nee_occluder_index(
+                occ_host["v0"], occ_host["e1"], occ_host["e2"],
+                occ_host["valid"], o_refr,
+                _host_light(default_cornell_light()),
+                extra_endpoints=np.asarray(lights_pos, np.float32))
+            occ_geom = occ_geom.replace(occ_index=jnp.asarray(o_idx),
+                                        num_occluders=o_n)
+        occ_geom = with_bvh(occ_geom, host=occ_host)
+        alpha_geom, _ = _sub_geom(tri_alpha)
+        n_a = int(tri_alpha.sum())
+        alpha_uv = np.zeros((alpha_geom.num_tris_padded, 6), np.float32)
+        alpha_uv[:n_a] = tuv[tri_alpha].reshape(n_a, 6)
+
     # Analytic primitives from the document's application-specific
     # ``extras`` (valid glTF 2.0: extras carry arbitrary JSON). The
     # reference binds sphere / sphere-shell / parallelogram intersection
@@ -649,8 +724,10 @@ def load_gltf(path: str, default_lights: bool = True,
         # occludes: glass primitives pass light (reference convention).
         fake_bsdf = np.where(tables["kind"] == KIND_GLASS,
                              BSDF_REFRACTION, BSDF_DIFFUSE)
-        geom = geom.replace(prims=_prims.make_primitives(
-            specs, mat_bsdf=fake_bsdf))
+        the_prims = _prims.make_primitives(specs, mat_bsdf=fake_bsdf)
+        geom = geom.replace(prims=the_prims)
+        if occ_geom is not None:    # prims occlude boolean-ly
+            occ_geom = occ_geom.replace(prims=the_prims)
 
     # Swept-sphere curves from the document extras — the mirror of
     # ``tpu_pt_primitives`` for the reference's four round-curve types
@@ -674,7 +751,10 @@ def load_gltf(path: str, default_lights: bool = True,
         segs = []
         for c in extra_curves:
             segs.extend(expand_curve_spec(c, int(c.get("material", 0))))
-        geom = geom.replace(curves=make_curves(segs, mat_bsdf=fake_bsdf))
+        the_curves = make_curves(segs, mat_bsdf=fake_bsdf)
+        geom = geom.replace(curves=the_curves)
+        if occ_geom is not None:    # curves occlude boolean-ly
+            occ_geom = occ_geom.replace(curves=the_curves)
 
     return WhittedScene(
         geom=geom,
@@ -709,4 +789,15 @@ def load_gltf(path: str, default_lights: bool = True,
         has_mr_tex=bool((tables["mrtex_id"] >= 0).any()),
         has_emissive_tex=bool((tables["etex_id"] >= 0).any()),
         camera=cam_tuple,
+        alpha_occ=None if occ_geom is None else AlphaOccluders(
+            occ_geom=occ_geom, geom=alpha_geom,
+            uv=jnp.asarray(alpha_uv),
+            # Each alpha triangle can be hit at most once per segment,
+            # so n_alpha marches are exact; the knob caps the unrolled
+            # march for alpha-heavy scenes (foliage) — hits past the
+            # cap go unaccounted (their <= 1 factors are skipped), a
+            # small bias toward brighter shadows.
+            max_hits=min(int(tri_alpha.sum()),
+                         int(os.environ.get("TPT_ALPHA_OCC_K", "8")
+                             or 8))),
     )
