@@ -250,3 +250,66 @@ def test_exr_rle_fuzz_roundtrip():
                 pass
             else:
                 raise AssertionError("short RLE decode not detected")
+
+
+def test_exr_roundtrip_piz(tmp_path):
+    """PIZ (wavelet + Huffman, 32 scanlines/block) round-trips float
+    and half images bit-exactly, including sizes that leave partial
+    final blocks and odd (non-power-of-two) dimensions."""
+    rng = np.random.RandomState(11)
+    for h, w in ((64, 64), (33, 17), (70, 41), (1, 5)):
+        img = (rng.rand(h, w, 3).astype(np.float32) * 4.0)
+        img[::3, ::2] = 0.25           # runs for the RLE symbol path
+        p = str(tmp_path / f"piz_{h}x{w}.exr")
+        film.write_exr(p, img, compression="piz")
+        np.testing.assert_array_equal(film.read_exr(p), img)
+        p2 = str(tmp_path / f"pizh_{h}x{w}.exr")
+        film.write_exr(p2, img, half=True, compression="piz")
+        np.testing.assert_array_equal(
+            film.read_exr(p2), img.astype(np.float16).astype(np.float32))
+
+
+def test_exr_piz_huffman_fuzz():
+    """The PIZ Huffman coder round-trips adversarial symbol streams:
+    uniform-random u16, tiny alphabets, all-zero, and long runs (the
+    run-length pseudo-symbol path)."""
+    rng = np.random.RandomState(5)
+    for trial in range(24):
+        n = int(rng.randint(1, 5000))
+        mode = trial % 4
+        if mode == 0:
+            raw = rng.randint(0, 65536, n).astype(np.uint16)
+        elif mode == 1:
+            raw = rng.randint(0, 7, n).astype(np.uint16)
+        elif mode == 2:
+            raw = np.zeros(n, np.uint16)
+        else:
+            raw = np.repeat(rng.randint(0, 300, max(1, n // 50)),
+                            50)[:n].astype(np.uint16)
+        dec = film._piz_huf_decompress(film._piz_huf_compress(raw),
+                                       raw.size)
+        np.testing.assert_array_equal(dec, raw)
+
+
+def test_exr_piz_wavelet_exact_inverse():
+    """The 14- and 16-bit 2-D wavelets invert exactly at every shape,
+    including single-row/column and odd-remainder geometries."""
+    rng = np.random.RandomState(0)
+    for _ in range(60):
+        ny = int(rng.randint(1, 33))
+        nx = int(rng.randint(1, 33))
+        mx = int(rng.choice([100, 10000, 20000, 65535]))
+        a = rng.randint(0, mx + 1, (ny, nx)).astype(np.uint16)
+        b = a.copy()
+        film._piz_wav2(b, mx, encode=True)
+        film._piz_wav2(b, mx, encode=False)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_exr_piz_malformed_raises():
+    """Truncated PIZ Huffman data raises instead of scrambling."""
+    import pytest
+    raw = np.arange(64, dtype=np.uint16) % 7
+    enc = film._piz_huf_compress(raw)
+    with pytest.raises(ValueError):
+        film._piz_huf_decompress(enc[:-2] + b"\0\0", 4 * raw.size)
