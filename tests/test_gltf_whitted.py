@@ -779,3 +779,43 @@ def test_alpha_shadow_image(alpha_scene):
     assert clear > blend_l > blend_r > plain
     # Untextured blend casts a full shadow (ambient only).
     assert plain < 0.25 * clear
+
+
+# ---------------------------------------------------------------------------
+# Instancing at forest scale: one shared tree mesh, hundreds of node
+# instances, flattened to world space with a per-mesh decode cache
+# (Scene.cpp:1134-1213 is the reference's IAS; the flatten is tpu_pt's
+# documented world-space equivalent).
+
+def test_forest_instancing(tmp_path):
+    sys.path.insert(0, str(REPO / "tools"))
+    import make_gltf_assets
+    make_gltf_assets.build_forest(str(tmp_path), n_trees=60)
+    from tpu_pt.scene.gltf import load_gltf
+    ws = load_gltf(str(tmp_path / "forest.gltf"))
+    # ground (2) + 60 x (trunk 24 + canopy 960) world triangles.
+    assert ws.geom.num_tris == 2 + 60 * (24 + 960)
+    v0 = np.asarray(ws.geom.tri_v0)
+    # Instances landed at distinct world positions (the transform was
+    # applied per instance, not shared).
+    trunk0 = v0[2:2 + 24].mean(axis=0)
+    trunk1 = v0[2 + 984:2 + 984 + 24].mean(axis=0)
+    assert np.linalg.norm(trunk0 - trunk1) > 1.0
+
+    # Smoke render: the flattened forest draws trees over ground + sky.
+    from tpu_pt.whitted import render_whitted_wavefront
+    from tpu_pt.camera import Camera
+    cam = CameraArrays.from_camera(Camera(
+        eye=np.array([0.0, 35.0, 150.0], np.float32),
+        lookat=np.array([0.0, 0.0, 0.0], np.float32), fov_y=50.0))
+    cfg = tpu_pt.RenderConfig(width=48, height=36, spp=1, max_depth=2,
+                              background=(0.5, 0.7, 0.9))
+    rad, _ = render_whitted_wavefront(ws, cam, cfg, 0, 48 * 36, 0)
+    img = np.asarray(rad).reshape(36, 48, 3)
+    assert np.isfinite(img).all()
+    # Sky at the top (row 0 is the image bottom), green-dominant
+    # canopy pixels somewhere in the frame.
+    assert img[-1, 0, 2] > img[-1, 0, 1]          # blue sky
+    green_frac = float(((img[..., 1] > img[..., 0])
+                        & (img[..., 1] > img[..., 2])).mean())
+    assert green_frac > 0.02

@@ -64,22 +64,24 @@ class ObjWriter:
                     f.write(f"f {a} {b} {c}\n")
 
 
-def cornell_shell(w: ObjWriter, light: bool = True):
+def cornell_shell(w: ObjWriter, light: bool = True,
+                  white="WhiteDiffuse", red="RedDiffuse",
+                  green="GreenDiffuse"):
     """Classic Cornell box: floor/ceiling/back/left(red)/right(green)."""
     # Floor (y=0)
-    w.add_quad("WhiteDiffuse", (552.8, 0, 0), (0, 0, 0), (0, 0, 559.2),
+    w.add_quad(white, (552.8, 0, 0), (0, 0, 0), (0, 0, 559.2),
                (549.6, 0, 559.2))
     # Ceiling (y=548.8)
-    w.add_quad("WhiteDiffuse", (556, 548.8, 0), (556, 548.8, 559.2),
+    w.add_quad(white, (556, 548.8, 0), (556, 548.8, 559.2),
                (0, 548.8, 559.2), (0, 548.8, 0))
     # Back wall (z=559.2)
-    w.add_quad("WhiteDiffuse", (549.6, 0, 559.2), (0, 0, 559.2),
+    w.add_quad(white, (549.6, 0, 559.2), (0, 0, 559.2),
                (0, 548.8, 559.2), (556, 548.8, 559.2))
     # Right wall (x=0) — green
-    w.add_quad("GreenDiffuse", (0, 0, 559.2), (0, 0, 0), (0, 548.8, 0),
+    w.add_quad(green, (0, 0, 559.2), (0, 0, 0), (0, 548.8, 0),
                (0, 548.8, 559.2))
     # Left wall (x~555) — red
-    w.add_quad("RedDiffuse", (552.8, 0, 0), (549.6, 0, 559.2),
+    w.add_quad(red, (552.8, 0, 0), (549.6, 0, 559.2),
                (556, 548.8, 559.2), (556, 548.8, 0))
     if light:
         # Emissive quad exactly at the reference's hardcoded NEE light.
@@ -225,6 +227,12 @@ Pm 1.0
 newmtl RefractiveCrystal
 Kd 0.99 0.99 0.99
 Ni 1.5
+newmtl WhiteBright
+Kd 0.80 0.80 0.80
+newmtl RedPrimary
+Kd 0.70 0.0 0.0
+newmtl GreenPrimary
+Kd 0.0 0.60 0.0
 """
 
 
@@ -269,10 +277,17 @@ def main():
     # on the short block + faceted refractive crystal on the floor
     # (matches the five published renders at /root/reference/*.png;
     # the original OBJ is a user-local file, PathTracerMain.cpp:50).
+    # Saturated-primary walls (round-5 accuracy task): the reference's
+    # published renders show wall chromaticity purity 1.00 — its walls
+    # are PURE primaries, not the classic Cornell albedos — and purer,
+    # brighter walls feed more energy into indirect bounces, which is
+    # where the round-4 comparison's anchor-relative ratios gapped
+    # (docs/reference_comparison/report.md).
     w = ObjWriter()
-    cornell_shell(w)
-    short_block(w)
-    tall_block(w)
+    cornell_shell(w, white="WhiteBright", red="RedPrimary",
+                  green="GreenPrimary")
+    short_block(w, "WhiteBright")
+    tall_block(w, "WhiteBright")
     monkey_head(w, 185, 218, 169)
     cv, ct = icosphere(300, 88, 120, 88, subdiv=1)
     w.add_tris("RefractiveCrystal", cv, ct)

@@ -406,6 +406,132 @@ def build_alpha(out_dir: str):
     print(f"wrote {path}")
 
 
+def cone(r=0.3, h=2.0, n=16):
+    """Open cone (trunk): n side triangles + base fan."""
+    verts = [(0.0, h, 0.0), (0.0, 0.0, 0.0)]
+    for i in range(n):
+        a = 2 * math.pi * i / n
+        verts.append((r * math.cos(a), 0.0, r * math.sin(a)))
+    idx = []
+    for i in range(n):
+        j = 2 + i
+        k = 2 + (i + 1) % n
+        idx += [0, k, j]          # side
+        idx += [1, j, k]          # base
+    v = np.array(verts, np.float32)
+    norms = np.zeros_like(v)
+    norms[:, 1] = 1.0
+    uvs = np.zeros((v.shape[0], 2), np.float32)
+    return v, norms, uvs, np.array(idx, np.uint16)
+
+
+def build_forest(out_dir: str, n_trees=500, seed=9):
+    """forest.gltf: ONE ~1k-tri tree mesh instanced ``n_trees`` times
+    over a ground plane via node TRS — the reference's shared-mesh IAS
+    workload (``sutil/Scene.cpp:1134-1213``). tpu_pt flattens instances
+    to world space (scene/gltf.py module docstring); this asset
+    exercises that flatten at forest scale (~0.5M world triangles)
+    INSIDE the default guardrail, with the per-mesh decode cache
+    keeping load time O(mesh + instances)."""
+    os.makedirs(out_dir, exist_ok=True)
+    meshes_np = [plane(240.0), cone(0.5, 4.0, 12), sphere(1.8, 16, 30)]
+    blob = b""
+    buffer_views = []
+    accessors = []
+
+    def add_accessor(arr, target, ctype, atype):
+        nonlocal blob
+        off = len(blob)
+        blob += arr.tobytes()
+        while len(blob) % 4:
+            blob += b"\0"
+        buffer_views.append(dict(buffer=0, byteOffset=off,
+                                 byteLength=arr.nbytes, target=target))
+        acc = dict(bufferView=len(buffer_views) - 1, componentType=ctype,
+                   count=arr.shape[0], type=atype)
+        if atype == "VEC3":
+            acc["min"] = [float(x) for x in arr.min(axis=0)]
+            acc["max"] = [float(x) for x in arr.max(axis=0)]
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    prim_sets = []
+    for v, n, uv, idx in meshes_np:
+        pos_a = add_accessor(v, 34962, 5126, "VEC3")
+        nrm_a = add_accessor(n, 34962, 5126, "VEC3")
+        uv_a = add_accessor(uv, 34962, 5126, "VEC2")
+        idx_a = add_accessor(idx.reshape(-1, 1), 34963, 5123, "SCALAR")
+        prim_sets.append(dict(
+            attributes=dict(POSITION=pos_a, NORMAL=nrm_a, TEXCOORD_0=uv_a),
+            indices=idx_a))
+    meshes = [
+        dict(name="ground", primitives=[dict(**prim_sets[0], material=0)]),
+        dict(name="trunk", primitives=[dict(**prim_sets[1], material=1)]),
+        dict(name="canopy", primitives=[dict(**prim_sets[2], material=2)]),
+    ]
+    # Canopy sits atop the trunk via a per-instance child node.
+    materials = [
+        dict(name="Ground", pbrMetallicRoughness=dict(
+            baseColorFactor=[0.35, 0.32, 0.25, 1.0],
+            metallicFactor=0.0, roughnessFactor=0.95)),
+        dict(name="Bark", pbrMetallicRoughness=dict(
+            baseColorFactor=[0.32, 0.2, 0.1, 1.0],
+            metallicFactor=0.0, roughnessFactor=0.9)),
+        dict(name="Leaves", pbrMetallicRoughness=dict(
+            baseColorFactor=[0.12, 0.4, 0.12, 1.0],
+            metallicFactor=0.0, roughnessFactor=0.8)),
+    ]
+
+    rng = np.random.RandomState(seed)
+    nodes = [dict(mesh=0, name="ground")]
+    # One canopy node parented under each tree instance would double the
+    # node count; instead the canopy is its own mesh entry placed by the
+    # same instance transform with a fixed local offset node.
+    tree_nodes = []
+    for i in range(n_trees):
+        x = float(rng.uniform(-110, 110))
+        z = float(rng.uniform(-110, 110))
+        s = float(rng.uniform(0.6, 1.6))
+        a = float(rng.uniform(0, math.pi))
+        nodes.append(dict(
+            mesh=1, name=f"tree{i}",
+            translation=[x, 0.0, z],
+            rotation=[0.0, math.sin(a / 2), 0.0, math.cos(a / 2)],
+            scale=[s, s, s],
+            children=[],
+        ))
+        tree_nodes.append(len(nodes) - 1)
+    # Canopy offset child per tree (glTF nodes form a tree, so each
+    # parent needs its own child node).
+    for ti in tree_nodes:
+        nodes.append(dict(mesh=2, name=f"canopy_of_{ti}",
+                          translation=[0.0, 4.6, 0.0]))
+        nodes[ti]["children"] = [len(nodes) - 1]
+    nodes.append(dict(name="light", translation=[60.0, 90.0, 40.0],
+                      extensions=dict(KHR_lights_punctual=dict(light=0))))
+
+    doc = dict(
+        asset=dict(version="2.0", generator="tpu_pt make_gltf_assets"),
+        scene=0,
+        scenes=[dict(nodes=[0] + tree_nodes + [len(nodes) - 1])],
+        nodes=nodes,
+        meshes=meshes,
+        materials=materials,
+        buffers=[dict(byteLength=len(blob),
+                      uri="data:application/octet-stream;base64,"
+                          + base64.b64encode(blob).decode())],
+        bufferViews=buffer_views,
+        accessors=accessors,
+        extensions=dict(KHR_lights_punctual=dict(lights=[
+            dict(type="point", color=[1.0, 0.98, 0.9], intensity=4.0)])),
+        extensionsUsed=["KHR_lights_punctual"],
+    )
+    path = os.path.join(out_dir, "forest.gltf")
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    print(f"wrote {path} ({n_trees} tree instances)")
+
+
 def build_big(out_dir: str, n=224):
     """pbr_big.glb: a ~100k-tri displaced sphere (the big_mesh.obj bump
     recipe) over the checkered ground — the whitted/display pipeline's
@@ -516,5 +642,7 @@ if __name__ == "__main__":
         os.path.dirname(__file__), "..", "assets")
     if "--big" in sys.argv:
         build_big(os.path.abspath(out))
+    elif "--forest" in sys.argv:
+        build_forest(os.path.abspath(out))
     else:
         build(os.path.abspath(out))

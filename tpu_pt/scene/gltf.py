@@ -13,7 +13,16 @@ Design difference from the reference: instead of a two-level GAS+IAS
 instances are flattened — triangles are pre-transformed into world space at
 load time and one LBVH covers the whole scene. That trades instancing
 memory for a traversal with no transform indirection, which suits the
-TPU's dense wavefront far better.
+TPU's dense wavefront far better. The shared-mesh half of the IAS IS
+kept: meshes decode once and each instance pays only its transform
+(``_decoded_mesh`` cache), so a 500-instance forest loads in O(mesh +
+instances) time (``assets/forest.gltf``, ~0.5M world tris, loads in a
+few seconds). The true two-level alternative — per-(ray, instance)
+ray transforms inside the sweep — was costed and rejected: it inserts
+a transform gather into the hot clustered sweep whose throughput is
+already bound by the measured 26x tile-union redundancy
+(ARCHITECTURE.md big-scene bound), while the flatten's memory cost
+(~324 B/tri measured) only binds past the explicit guardrail below.
 """
 
 from __future__ import annotations
@@ -405,17 +414,21 @@ def load_gltf(path: str, default_lights: bool = True,
             f"Raise the bound via load_gltf(max_flat_tris=...) or "
             f"TPT_MAX_FLAT_TRIS if the memory cost is acceptable.")
 
-    def emit_mesh(mesh_idx: int, xform: np.ndarray):
-        mesh = doc["meshes"][mesh_idx]
-        for prim in mesh["primitives"]:
+    # Per-mesh decode cache: instanced meshes (the forest case — one
+    # tree node-referenced hundreds of times) decode their accessors
+    # ONCE; each instance only pays the world transform. This is the
+    # shared-mesh half of the reference's IAS (``Scene.cpp:1134-1213``)
+    # — the flatten (below) is the deliberate world-space half.
+    mesh_cache: dict = {}
+
+    def _decoded_mesh(mesh_idx: int):
+        if mesh_idx in mesh_cache:
+            return mesh_cache[mesh_idx]
+        prims_out = []
+        for prim in doc["meshes"][mesh_idx]["primitives"]:
             if prim.get("mode", 4) != 4:
                 continue  # triangles only
             attrs = prim["attributes"]
-            if "indices" in prim:
-                n_tri = doc["accessors"][prim["indices"]]["count"] // 3
-            else:
-                n_tri = doc["accessors"][attrs["POSITION"]]["count"] // 3
-            _flat_guard(n_tri)
             pos = g.accessor(attrs["POSITION"]).astype(np.float32)
             if "indices" in prim:
                 idx = g.accessor(prim["indices"]).reshape(-1).astype(
@@ -423,17 +436,20 @@ def load_gltf(path: str, default_lights: bool = True,
             else:
                 idx = np.arange(pos.shape[0], dtype=np.int64)
             idx = idx.reshape(-1, 3)
-            world_pos = ml.transform_points(xform, pos)
-            if "NORMAL" in attrs:
-                nrm = ml.transform_normals(
-                    xform, g.accessor(attrs["NORMAL"]).astype(np.float32))
-            else:
-                nrm = None
-            if "TEXCOORD_0" in attrs:
-                uv = g.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
-            else:
-                uv = np.zeros((pos.shape[0], 2), np.float32)
+            nrm = (g.accessor(attrs["NORMAL"]).astype(np.float32)
+                   if "NORMAL" in attrs else None)
+            uv = (g.accessor(attrs["TEXCOORD_0"]).astype(np.float32)
+                  if "TEXCOORD_0" in attrs
+                  else np.zeros((pos.shape[0], 2), np.float32))
+            prims_out.append((pos, idx, nrm, uv,
+                              prim.get("material", 0)))
+        mesh_cache[mesh_idx] = prims_out
+        return prims_out
 
+    def emit_mesh(mesh_idx: int, xform: np.ndarray):
+        for pos, idx, nrm, uv, mat in _decoded_mesh(mesh_idx):
+            _flat_guard(idx.shape[0])
+            world_pos = ml.transform_points(xform, pos)
             tv = world_pos[idx]                      # [t, 3, 3]
             if nrm is None:
                 e1 = tv[:, 1] - tv[:, 0]
@@ -443,12 +459,11 @@ def load_gltf(path: str, default_lights: bool = True,
                                                 keepdims=True), 1e-30)
                 tn = np.repeat(gn[:, None, :], 3, axis=1)
             else:
-                tn = nrm[idx]
+                tn = ml.transform_normals(xform, nrm)[idx]
             tris_v.append(tv)
             tris_n.append(tn)
             tris_uv.append(uv[idx])
-            tri_mat.append(np.full(tv.shape[0], prim.get("material", 0),
-                                   np.int64))
+            tri_mat.append(np.full(tv.shape[0], mat, np.int64))
 
     lights_pos, lights_color = [], []
     cameras = []
