@@ -112,3 +112,20 @@ def test_primitives_golden(assets_dir, cam):
     ours = tpu_pt.image_to_host(img).astype(np.float32)
     err = film.rmse(ours / 255.0, golden / 255.0)
     assert err < 0.01, f"primitives: RMSE {err:.4f}"
+
+
+def test_whitted_alpha_shadow_golden(assets_dir):
+    """Fractional alpha shadow occlusion end-to-end vs the committed
+    golden (whitted.cu:113-138 parity scene: textured blend, textured
+    mask, untextured blend occluders over a ground plane)."""
+    if not (assets_dir / "alpha_shadow.gltf").exists():
+        import subprocess, sys as _sys
+        subprocess.run([_sys.executable,
+                        str(REPO / "tools" / "make_gltf_assets.py")],
+                       check=True)
+    golden = film.read_png(
+        str(GOLDENS / "whitted-alpha-shadow.png")).astype(np.float32)
+    img = make_goldens.render_whitted_alpha()
+    ours = tpu_pt.image_to_host(img).astype(np.float32)
+    err = film.rmse(ours / 255.0, golden / 255.0)
+    assert err < 0.01, f"alpha shadow RMSE {err:.4f}"

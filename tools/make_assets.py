@@ -228,11 +228,11 @@ newmtl RefractiveCrystal
 Kd 0.99 0.99 0.99
 Ni 1.5
 newmtl WhiteBright
-Kd 0.80 0.80 0.80
+Kd 0.86 0.86 0.86
 newmtl RedPrimary
-Kd 0.70 0.0 0.0
+Kd 0.74 0.0 0.0
 newmtl GreenPrimary
-Kd 0.0 0.60 0.0
+Kd 0.0 0.66 0.0
 """
 
 

@@ -124,6 +124,36 @@ def main():
                    tpu_pt.image_to_host(img))
     print("wrote whitted-prims-curves.png")
 
+    # Fractional alpha shadow occlusion golden (__anyhit__occlusion
+    # parity, cuda/whitted.cu:113-138): blend/mask quads cast
+    # fractional shadows, the untextured blend quad a full one.
+    film.write_png(os.path.join(GOLDEN_DIR, "whitted-alpha-shadow.png"),
+                   tpu_pt.image_to_host(render_whitted_alpha()))
+    print("wrote whitted-alpha-shadow.png")
+
+
+def render_whitted_alpha():
+    """Deterministic alpha_shadow.gltf render (shared with the golden
+    test): low camera so the shadow bands are unobstructed."""
+    import numpy as np
+    import tpu_pt
+    from tpu_pt.scene.gltf import load_gltf
+    from tpu_pt.whitted import render_whitted_frame
+    from tpu_pt.render import CameraArrays, init_accum
+    from tpu_pt.camera import Camera
+    ws = load_gltf(os.path.join(REPO, "assets", "alpha_shadow.gltf"))
+    cam = CameraArrays.from_camera(Camera(
+        eye=np.array([2.0, 6.0, 13.0], np.float32),
+        lookat=np.array([0.0, 0.5, 0.0], np.float32), fov_y=45.0))
+    cfg = tpu_pt.RenderConfig(width=160, height=120, spp=8, max_depth=6,
+                              background=(0.05, 0.07, 0.12),
+                              intersector="bruteforce")
+    accum = init_accum(cfg)
+    img = None
+    for f in range(2):
+        accum, img, _ = render_whitted_frame(ws, cam, cfg, f, accum)
+    return img
+
 
 if __name__ == "__main__":
     main()
