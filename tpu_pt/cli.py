@@ -316,6 +316,15 @@ def main(argv=None) -> int:
 
     p_view = sub.add_parser("view", help="interactive terminal viewer")
     _add_render_args(p_view)
+    p_view.add_argument("--http", type=int, default=0, metavar="PORT",
+                        help="also serve frames as PNG over HTTP (a "
+                             "browser page auto-refreshes; for remote/"
+                             "SSH hosts where ANSI half-blocks aren't "
+                             "enough; 0 = off)")
+    p_view.add_argument("--http-host", default="127.0.0.1",
+                        help="bind address for --http (default "
+                             "loopback; set 0.0.0.0 deliberately to "
+                             "expose beyond the host)")
     p_view.set_defaults(fn=cmd_view)
 
     p_bench = sub.add_parser("bench", help="run the headline benchmark")

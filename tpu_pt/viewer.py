@@ -63,6 +63,74 @@ class TerminalDisplay:
         sys.stdout.flush()
 
 
+class HttpDisplay:
+    """Browser presenter for remote hosts (the GLDisplay gap: a user
+    running ``tpu-pt view`` over SSH wants actual pixels, not ANSI
+    half-blocks). A stdlib HTTP server on a background thread serves
+    the latest frame as PNG plus a self-refreshing page; ``draw``
+    swaps the encoded frame atomically. No external dependencies —
+    the PNG comes from :mod:`tpu_pt.film`."""
+
+    _PAGE = (b"<!doctype html><title>tpu-pt view</title>"
+             b"<body style='margin:0;background:#111;color:#ccc;"
+             b"font:12px monospace'>"
+             b"<div id=s style='padding:4px'></div>"
+             b"<img id=f style='image-rendering:pixelated;width:100%'>"
+             b"<script>async function t(){try{"
+             b"document.getElementById('f').src='/frame.png?'+Date.now();"
+             b"let r=await fetch('/status');"
+             b"document.getElementById('s').textContent=await r.text();"
+             b"}catch(e){}setTimeout(t,250)}t()</script>")
+
+    def __init__(self, port: int, host: str = "127.0.0.1"):
+        import http.server
+        import threading
+        self._png = b""
+        self._status = "starting"
+        display = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path.startswith("/frame.png"):
+                    body, ctype = display._png, "image/png"
+                elif self.path.startswith("/status"):
+                    body = display._status.encode()
+                    ctype = "text/plain"
+                else:
+                    body, ctype = display._PAGE, "text/html"
+                self.send_response(200 if body else 503)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):          # quiet
+                pass
+
+        self._server = http.server.ThreadingHTTPServer((host, port),
+                                                       Handler)
+        self.port = self._server.server_address[1]
+        threading.Thread(target=self._server.serve_forever,
+                         daemon=True).start()
+        print(f"serving frames at http://{host}:{self.port}/",
+              file=sys.stderr)
+
+    def draw(self, rgb_u8: np.ndarray, status: str) -> None:
+        import tempfile
+        from . import film
+        # ``rgb_u8`` arrives through ``image_to_host`` (PNG row order
+        # already); encode via a temp file and swap atomically.
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            film.write_png(f.name, rgb_u8)
+            f.seek(0)
+            self._png = f.read()
+        self._status = status
+
+    def close(self):
+        self._server.shutdown()
+
+
 class _RawInput:
     """Non-blocking raw keyboard input. Without a TTY (piped stdin,
     headless harness) keys are simply disabled — the viewer still
@@ -145,6 +213,10 @@ def run_viewer(scene_path: str, args) -> int:
     if getattr(args, "fov", None) is not None:
         camera.fov_y = args.fov        # explicit --fov beats defaults
     trackball = Trackball(camera)
+    # --http PORT serves the frames to a browser (remote hosts; the
+    # terminal presenter stays available for key echo), 0 = off.
+    http_display = (HttpDisplay(args.http, host=args.http_host)
+                    if getattr(args, "http", 0) else None)
     display = TerminalDisplay()
 
     accum = init_accum(cfg)
@@ -228,12 +300,17 @@ def run_viewer(scene_path: str, args) -> int:
                       f"DL {'on' if cfg.use_direct_lighting else 'off'} | "
                       f"IS {'on' if cfg.use_importance_sampling else 'off'}"
                       f" | [0]DL [1]IS [^v]depth [R]eset [Q]uit")
-            display.draw(image_to_host(img), status)
+            host_img = image_to_host(img)
+            display.draw(host_img, status)
+            if http_display is not None:
+                http_display.draw(host_img, status)
 
             # Headless (no TTY): no quit key can ever arrive — render
             # --frames progressive frames and exit instead of spinning.
             if keys.old is None and frame_idx >= args.frames:
                 break
+    if http_display is not None:
+        http_display.close()
     sys.stdout.write("\n")
     if getattr(args, "output", None):
         from . import film
