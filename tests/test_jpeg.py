@@ -87,13 +87,19 @@ def test_jpeg_decode_restart_markers():
     assert diff.max() <= 3              # IDCT rounding only (float vs int)
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_progressive_pil_roundtrip():
+    """Progressive (SOF2) files decode (round-5 upgrade of the old
+    rejection test): a PIL-encoded progressive image comes back close
+    to the original (lossy + IDCT/upsampling differences only)."""
     Image = pytest.importorskip("PIL.Image")
     import io
+    img = _test_image(24, 40)
     buf = io.BytesIO()
-    Image.fromarray(_test_image(16, 16)).save(buf, "JPEG", progressive=True)
-    with pytest.raises(ValueError, match="SOF"):
-        decode_jpeg(buf.getvalue())
+    Image.fromarray(img).save(buf, "JPEG", progressive=True, quality=92)
+    assert b"\xff\xc2" in buf.getvalue()
+    out = decode_jpeg(buf.getvalue())
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert diff.mean() < 12.0
 
 
 # ---------------------------------------------------------------------------
@@ -200,3 +206,55 @@ def test_sample_textures_wrap_modes():
     # Negative u: REPEAT wraps, CLAMP pins to left edge.
     np.testing.assert_allclose(sample([-0.25], 10497), [0.75], atol=1e-6)
     np.testing.assert_allclose(sample([-0.25], 33071), [0.0], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding: spectral selection + successive
+# approximation, DC/AC first + refinement scans, EOB runs.
+
+import pathlib
+
+_DATA = pathlib.Path(__file__).parent / "data"
+
+
+@pytest.mark.parametrize("name", ["prog444_q85", "prog420_q60"])
+def test_progressive_fixture_decode(name):
+    """Committed libjpeg-encoded progressive files decode exactly to
+    the committed expectation (which was validated against libjpeg's
+    own decode to within IDCT rounding, maxdiff <= 14, at creation)."""
+    blob = (_DATA / f"{name}.jpg").read_bytes()
+    assert b"\xff\xc2" in blob                 # really SOF2
+    ours = decode_jpeg(blob)
+    want = film.read_png(str(_DATA / f"{name}.expected.png"))
+    np.testing.assert_array_equal(ours, want)
+
+
+def test_progressive_matches_baseline_encoding():
+    """Our own baseline encoder's image decodes close to the SAME
+    image routed through a progressive file (both are the same DCT
+    coefficients; only scan order differs), when an independent
+    progressive encoder is available."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(4)
+    y, x = np.mgrid[0:41:1, 0:67:1].astype(np.float32)
+    img = np.clip(np.stack([128 + 90 * np.sin(x / 9),
+                            128 + 70 * np.cos(y / 6),
+                            128 + 50 * np.sin((x - y) / 8)], axis=2),
+                  0, 255).astype(np.uint8)
+    import tempfile
+    params = [int(cv2.IMWRITE_JPEG_PROGRESSIVE), 1,
+              int(cv2.IMWRITE_JPEG_QUALITY), 90]
+    if hasattr(cv2, "IMWRITE_JPEG_SAMPLING_FACTOR"):
+        # 4:4:4 keeps the comparison free of chroma-upsample-filter
+        # differences (libjpeg interpolates, we replicate).
+        params += [int(cv2.IMWRITE_JPEG_SAMPLING_FACTOR),
+                   int(cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444)]
+    with tempfile.NamedTemporaryFile(suffix=".jpg") as f:
+        assert cv2.imwrite(f.name, img[..., ::-1], params)
+        blob = open(f.name, "rb").read()
+    assert b"\xff\xc2" in blob
+    ours = decode_jpeg(blob)
+    ref = cv2.imdecode(np.frombuffer(blob, np.uint8),
+                       cv2.IMREAD_COLOR)[..., ::-1]
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 16 and diff.mean() < 1.5   # IDCT rounding only

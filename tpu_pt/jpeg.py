@@ -10,8 +10,10 @@ de-zigzag, IDCT, chroma upsample, YCbCr->RGB) is vectorized numpy over
 all blocks at once.
 
 Supported: grayscale and 3-component YCbCr, any sampling factors
-(4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals, 8-bit precision.
-Not supported: progressive (SOF2), arithmetic coding, 12-bit, CMYK.
+(4:4:4 / 4:2:2 / 4:2:0 / ...), restart intervals, 8-bit precision,
+and progressive (SOF2) mode — spectral selection + successive
+approximation, DC/AC first and refinement scans, EOB runs.
+Not supported: arithmetic coding, 12-bit, CMYK, hierarchical (SOF5+).
 """
 
 from __future__ import annotations
@@ -88,13 +90,23 @@ class _Bits:
         self.acc &= (1 << self.n) - 1
         return int(table.sym[peek])
 
-    def receive_extend(self, s: int) -> int:
+    def receive(self, s: int) -> int:
+        """Raw s bits, MSB-first (no EXTEND)."""
         if s == 0:
             return 0
         self._fill(s)
         v = (self.acc >> (self.n - s)) & ((1 << s) - 1)
         self.n -= s
         self.acc &= (1 << self.n) - 1
+        return v
+
+    def bit(self) -> int:
+        return self.receive(1)
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.receive(s)
         if v < (1 << (s - 1)):               # negative branch of EXTEND
             v -= (1 << s) - 1
         return v
@@ -142,7 +154,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     qt[tq] = np.frombuffer(seg, np.uint8, 64,
                                            p).astype(np.int32)
                     p += 64
-        elif marker in (0xC0, 0xC1):          # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):    # SOF0 / SOF1 / SOF2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -150,11 +162,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append(dict(id=cid, h=hv >> 4, v=hv & 15, tq=tq))
-            frame = dict(h=h, w=w, comps=comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = dict(h=h, w=w, comps=comps, prog=marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline/extended-sequential JPEG "
-                             f"supported (SOF marker 0x{marker:02X})")
+            raise ValueError("only baseline/extended-sequential/"
+                             "progressive JPEG supported "
+                             f"(SOF marker 0x{marker:02X})")
         elif marker == 0xC4:                  # DHT
             p = 0
             while p < len(seg):
@@ -169,12 +182,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:                  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            _init_coefs(frame)
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, huff_dc[tt >> 4], huff_ac[tt & 15]))
+                # AC-only progressive scans carry no DC table (and
+                # vice versa); missing tables must not be an error.
+                scan.append((comp, huff_dc.get(tt >> 4),
+                             huff_ac.get(tt & 15)))
+            p = 1 + 2 * ns
+            ss, se, a = seg[p], seg[p + 1], seg[p + 2]
+            ah, al = a >> 4, a & 15
             # Entropy-coded data runs until the next non-RST marker.
             end = pos
             while end < len(data) - 1:
@@ -182,63 +202,229 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         and not (0xD0 <= data[end + 1] <= 0xD7)):
                     break
                 end += 1
-            out = _decode_scan(data[pos:end], frame, scan,
-                               restart_interval, qt)
+            if frame["prog"]:
+                _decode_scan_prog(data[pos:end], frame, scan,
+                                  restart_interval, ss, se, ah, al)
+            else:
+                _decode_scan_seq(data[pos:end], frame, scan,
+                                 restart_interval)
+            out = True
             pos = end
     if out is None:
         raise ValueError("no JPEG scan decoded")
-    return out
+    return _reconstruct(frame, qt)
 
 
-def _decode_scan(ecs: bytes, frame, scan, restart_interval: int, qt):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _init_coefs(frame) -> None:
+    """Allocate the per-component MCU-padded coefficient planes once
+    (shared by sequential and progressive scans; progressive scans
+    ACCUMULATE into them across multiple SOS segments)."""
+    if "mcux" in frame:
+        return
+    comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcus = mcux * mcuy
-
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = -(-frame["w"] // (8 * hmax))
+    frame["mcuy"] = -(-frame["h"] // (8 * vmax))
     for c in comps:
-        c["bw"] = mcux * c["h"]               # blocks across, MCU-padded
-        c["bh"] = mcuy * c["v"]
+        c["bw"] = frame["mcux"] * c["h"]      # blocks across, MCU-padded
+        c["bh"] = frame["mcuy"] * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+        # Non-interleaved scans walk the component's OWN block grid
+        # (ceil of its scaled dimensions), not the MCU-padded one.
+        c["cbw"] = -(-(frame["w"] * c["h"]) // (8 * hmax))
+        c["cbh"] = -(-(frame["h"] * c["v"]) // (8 * vmax))
 
-    # Split at restart markers; each segment carries `restart_interval`
-    # MCUs (the last may be short). DC predictors reset per segment.
-    if restart_interval:
-        segments = []
-        s = 0
-        i = 0
-        while i < len(ecs) - 1:
-            if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
-                segments.append(ecs[s:i])
-                s = i + 2
-                i += 2
-            else:
-                i += 1
-        segments.append(ecs[s:])
-    else:
-        segments = [ecs]
 
-    mcu = 0
-    for seg in segments:
+def _rst_segments(ecs: bytes, restart_interval: int):
+    """Split entropy data at restart markers (DC predictors and EOB
+    runs reset per segment; the last segment may be short)."""
+    if not restart_interval:
+        return [ecs]
+    segments = []
+    s = 0
+    i = 0
+    while i < len(ecs) - 1:
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            segments.append(ecs[s:i])
+            s = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(ecs[s:])
+    return segments
+
+
+def _scan_units(frame, scan):
+    """(unit count, per-unit block-row resolver) for a scan.
+
+    Interleaved scans walk MCUs (h x v blocks per component);
+    single-component scans walk that component's own block grid
+    (JPEG A.2.2 — the non-interleaved case, mandatory for progressive
+    AC scans and legal in baseline too)."""
+    if len(scan) == 1:
+        entry = scan[0]
+        c = entry[0]
+        cbw, bw = c["cbw"], c["bw"]
+
+        def rows(unit):
+            by, bx = divmod(unit, cbw)
+            return ((entry, [by * bw + bx]),)
+        return c["cbw"] * c["cbh"], rows
+
+    mcux = frame["mcux"]
+
+    def rows(unit):
+        my, mx = divmod(unit, mcux)
+        out = []
+        for entry in scan:
+            c = entry[0]
+            rr = [(my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                  for by in range(c["v"]) for bx in range(c["h"])]
+            out.append((entry, rr))
+        return out
+    return frame["mcux"] * frame["mcuy"], rows
+
+
+def _decode_scan_seq(ecs: bytes, frame, scan, restart_interval: int):
+    """Sequential (baseline) scan: full DC+AC per block."""
+    n_units, unit_rows = _scan_units(frame, scan)
+    unit = 0
+    for seg in _rst_segments(ecs, restart_interval):
         bits = _Bits(_destuff(seg))
         preds = {id(c): 0 for c, _, _ in scan}
-        seg_end = (min(mcu + restart_interval, n_mcus)
-                   if restart_interval else n_mcus)
-        while mcu < seg_end:
-            my, mx = divmod(mcu, mcux)
-            for c, dc, ac in scan:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        row = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
-                        preds[id(c)] = _decode_block(
-                            bits, dc, ac, preds[id(c)], c["coef"][row])
-            mcu += 1
-        if mcu >= n_mcus:
+        seg_end = (min(unit + restart_interval, n_units)
+                   if restart_interval else n_units)
+        while unit < seg_end:
+            for (c, dc, ac), rr in unit_rows(unit):
+                for row in rr:
+                    preds[id(c)] = _decode_block(
+                        bits, dc, ac, preds[id(c)], c["coef"][row])
+            unit += 1
+        if unit >= n_units:
             break
 
-    # Block-parallel reconstruction per component.
+
+def _decode_scan_prog(ecs: bytes, frame, scan, restart_interval: int,
+                      ss: int, se: int, ah: int, al: int):
+    """Progressive scan (JPEG G.1.2): DC/AC first or refinement pass
+    over the spectral band [ss, se] at successive-approximation shift
+    ``al``; coefficients accumulate into the frame's planes."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+    elif len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    n_units, unit_rows = _scan_units(frame, scan)
+    unit = 0
+    for seg in _rst_segments(ecs, restart_interval):
+        bits = _Bits(_destuff(seg))
+        preds = {id(c): 0 for c, _, _ in scan}
+        eobrun = 0
+        seg_end = (min(unit + restart_interval, n_units)
+                   if restart_interval else n_units)
+        while unit < seg_end:
+            for (c, dc, ac), rr in unit_rows(unit):
+                for row in rr:
+                    coefs = c["coef"][row]
+                    if ss == 0:
+                        if ah == 0:           # DC first
+                            t = bits.huff(dc)
+                            preds[id(c)] += bits.receive_extend(t)
+                            coefs[0] = preds[id(c)] << al
+                        elif bits.bit():      # DC refinement
+                            coefs[0] += 1 << al
+                    elif ah == 0:
+                        eobrun = _ac_first(bits, ac, coefs, ss, se, al,
+                                           eobrun)
+                    else:
+                        eobrun = _ac_refine(bits, ac, coefs, ss, se, al,
+                                            eobrun)
+            unit += 1
+        if unit >= n_units:
+            break
+
+
+def _ac_first(bits: _Bits, ac: _Huff, coefs: np.ndarray, ss: int,
+              se: int, al: int, eobrun: int) -> int:
+    """AC first pass (G.1.2.2): coefficients appear at magnitude
+    << al; EOB runs skip whole bands of blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(ac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:                        # EOBn: run of (1<<r)+bits
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.receive(r)
+                return eobrun
+            k += 16                           # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index out of spectral band")
+        coefs[k] = bits.receive_extend(s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(bits: _Bits, ac: _Huff, coefs: np.ndarray, ss: int,
+               se: int, al: int, eobrun: int) -> int:
+    """AC refinement pass (G.1.2.3): appends one correction bit to
+    every already-nonzero coefficient it passes and inserts new +-1
+    coefficients at the signalled zero positions."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    if eobrun > 0:
+        # Inside an EOB run: no new coefficients this block, but every
+        # already-nonzero coefficient still takes a correction bit.
+        for k in range(ss, se + 1):
+            if coefs[k] != 0:
+                if bits.bit() and (coefs[k] & p1) == 0:
+                    coefs[k] += p1 if coefs[k] > 0 else m1
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(ac)
+        r, s = rs >> 4, rs & 15
+        val = 0
+        if s == 0:
+            if r < 15:
+                # EOBn: (1 << r) - 1 FURTHER blocks (the current block
+                # finishes via the r=64 sweep below, which only emits
+                # correction bits — no decrement for it).
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.receive(r)
+                r = 64
+            # else r == 15: run of 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("JPEG AC refinement size != 1")
+            val = p1 if bits.bit() else m1
+        while k <= se:
+            kk = k
+            k += 1
+            if coefs[kk] != 0:
+                if bits.bit() and (coefs[kk] & p1) == 0:
+                    coefs[kk] += p1 if coefs[kk] > 0 else m1
+            else:
+                if r == 0:
+                    if val:
+                        coefs[kk] = val
+                    break
+                r -= 1
+    return eobrun
+
+
+def _reconstruct(frame, qt) -> np.ndarray:
+    """Block-parallel dequantize + IDCT + upsample + color convert."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
         k = (c["coef"] * qt[c["tq"]]).astype(np.float32)
