@@ -401,15 +401,23 @@ def _instanced_gltf(tmp_path, n_instances: int) -> str:
 def test_instancing_flatten_guardrail(tmp_path):
     """Instance flattening is bounded: a 500-instance scene whose
     world-space expansion crosses the bound raises a clear error naming
-    the amplification (the reference keeps an IAS, Scene.cpp:1134-1213;
-    tpu_pt deliberately flattens — the guardrail makes the O(instances
-    x mesh) memory trade explicit instead of detonating)."""
+    the amplification when flattening is FORCED (the reference keeps an
+    IAS, Scene.cpp:1134-1213; tpu_pt flattens by default — the guardrail
+    makes the O(instances x mesh) memory trade explicit instead of
+    detonating). Under the default ``instancing="auto"`` the same load
+    is RESCUED by the pallas_inst instance table instead of raising."""
     from tpu_pt.scene.gltf import load_gltf
     path = _instanced_gltf(tmp_path, 500)
     with pytest.raises(ValueError, match="instance flattening"):
-        load_gltf(path, max_flat_tris=100)
+        load_gltf(path, max_flat_tris=100, instancing="flatten")
+    # auto: the eligible asset keeps its instances instead of raising —
+    # the unique mesh is ONE triangle, the table carries 500 rows.
+    ws_auto = load_gltf(path, max_flat_tris=100)
+    assert ws_auto.inst is not None and ws_auto.inst.count == 500
+    assert int(np.asarray(ws_auto.geom.tri_valid).sum()) == 1
     # Raising the bound loads the same file: 500 world-space triangles.
     ws = load_gltf(path, max_flat_tris=1000)
+    assert ws.inst is None
     assert int(np.asarray(ws.geom.tri_valid).sum()) == 500
     # The env knob raises the bound too.
     import os

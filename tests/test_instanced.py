@@ -1,0 +1,277 @@
+"""Instanced (two-level, IAS-analog) traversal tests.
+
+The ``pallas_inst`` sweep must agree with the world-space flatten: same
+hits, same t (to fp noise), same materials, matching world normals and
+barycentrics, and the whitted image rendered through an instance table
+must match the image rendered from the flattened copy of the same scene.
+CPU runs the kernels in Pallas interpret mode (the correctness path);
+``tools/verify_tpu.py`` case 16 pins the compiled TPU kernel against the
+same reference on hardware.
+"""
+
+import base64
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import tpu_pt
+from tpu_pt import mathlib as ml
+from tpu_pt.camera import Camera
+from tpu_pt.render import CameraArrays
+from tpu_pt.intersect import moller
+from tpu_pt.intersect import pallas_inst as pi
+from tpu_pt.scene.arrays import build_scene_arrays, default_cornell_light
+from tpu_pt.vec3 import V3
+
+
+def _cube():
+    v = np.array([[x, y, z] for x in (0, 1) for y in (0, 1)
+                  for z in (0, 1)], np.float32) - 0.5
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int64)
+    return v, f
+
+
+def _tetra():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                 np.float32) - 0.25
+    f = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int64)
+    return v, f
+
+
+def _trs(tx, scale, axis, ang):
+    m = np.eye(4)
+    c, s = np.cos(ang), np.sin(ang)
+    rots = {0: np.array([[1, 0, 0], [0, c, -s], [0, s, c]]),
+            1: np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]]),
+            2: np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])}
+    m[:3, :3] = rots[axis] * np.asarray(scale)
+    m[:3, 3] = tx
+    return m
+
+
+_MATS = [dict(diffuse=(0.8, 0.2, 0.2), emission=(0, 0, 0), roughness=0.5,
+              metallic=0.0, ior=1.5, bsdf=0),
+         dict(diffuse=(0.2, 0.8, 0.2), emission=(0, 0, 0), roughness=0.5,
+              metallic=0.0, ior=1.5, bsdf=0)]
+
+
+@pytest.fixture(scope="module")
+def inst_pair():
+    """(unique geom, instance table, flattened geom, instance list)."""
+    rng = np.random.default_rng(7)
+    cv, cf = _cube()
+    tv, tf = _tetra()
+    verts = np.concatenate([cv, tv])
+    faces = np.concatenate([cf, tf + len(cv)])
+    mat_ids = np.concatenate([np.zeros(len(cf), np.int64),
+                              np.ones(len(tf), np.int64)])
+    geom = build_scene_arrays(verts, faces, mat_ids, _MATS,
+                              light=default_cornell_light())
+    mesh_ranges = [(0, len(cf)), (len(cf), len(cf) + len(tf))]
+    mesh_aabbs = [(cv.min(0), cv.max(0)), (tv.min(0), tv.max(0))]
+
+    instances, flat_v, flat_f, flat_m = [], [], [], []
+    nv = 0
+    for i in range(9):
+        slot = i % 2
+        if i == 8:  # one MIRRORED instance (negative determinant)
+            scale = [-1.0, 1.0, 1.0]
+        elif i % 3 == 0:
+            scale = (0.4 + rng.random(3)).tolist()    # non-uniform
+        else:
+            scale = [0.5 + 0.5 * rng.random()] * 3
+        m = _trs(rng.random(3) * 8 - 4, scale, i % 3, rng.random() * 6)
+        instances.append((slot, m))
+        mv, mf = (cv, cf) if slot == 0 else (tv, tf)
+        flat_v.append(ml.transform_points(m.astype(np.float32), mv))
+        flat_f.append(mf + nv)
+        nv += len(mv)
+        flat_m.append(np.full(len(mf), slot, np.int64))
+    fgeom = build_scene_arrays(np.concatenate(flat_v),
+                               np.concatenate(flat_f),
+                               np.concatenate(flat_m), _MATS,
+                               light=default_cornell_light())
+    table = pi.build_instance_table(mesh_ranges, mesh_aabbs, instances)
+    return geom, table, fgeom, instances
+
+
+def _aimed_rays(instances, n, seed=3):
+    """Rays from a shell around the scene aimed at random instances."""
+    rng = np.random.default_rng(seed)
+    targets = np.stack([m[:3, 3] for _, m in instances])
+    o = rng.normal(size=(n, 3))
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 12
+    at = targets[rng.integers(0, len(targets), n)]
+    d = at - o + rng.normal(size=(n, 3)) * 0.3
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    O = V3(*[jnp.asarray(o[:, k], jnp.float32) for k in range(3)])
+    D = V3(*[jnp.asarray(d[:, k], jnp.float32) for k in range(3)])
+    return O, D
+
+
+def test_closest_matches_flatten(inst_pair):
+    geom, table, fgeom, instances = inst_pair
+    O, D = _aimed_rays(instances, 512)
+    hi = pi.intersect_closest(geom, table, O, D)
+    hf = moller.intersect_closest(fgeom, O, D)
+    mask_i = np.asarray(hi.hit)
+    mask_f = np.asarray(hf.hit)
+    assert mask_i.sum() > 200          # the workload actually hits
+    assert (mask_i == mask_f).all()
+    m = mask_i
+    np.testing.assert_allclose(np.asarray(hi.t)[m], np.asarray(hf.t)[m],
+                               rtol=0, atol=2e-4)
+    assert (np.asarray(hi.mat)[m] == np.asarray(hf.mat)[m]).all()
+    # World geometric normals align (the mirrored instance included —
+    # the orientation sign rides the normal matrix).
+    ni = np.stack([np.asarray(c) for c in
+                   (hi.normal.x, hi.normal.y, hi.normal.z)], 1)
+    nf = np.stack([np.asarray(c) for c in
+                   (hf.normal.x, hf.normal.y, hf.normal.z)], 1)
+    dots = np.abs((ni[m] * nf[m]).sum(1))
+    assert dots.min() > 0.9999
+    # Barycentrics agree (same unique-mesh triangle parameterization).
+    np.testing.assert_allclose(np.asarray(hi.u)[m], np.asarray(hf.u)[m],
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(hi.v)[m], np.asarray(hf.v)[m],
+                               atol=5e-4)
+    # The winning instance's mesh range contains the winning triangle.
+    inst = np.asarray(hi.inst)[m]
+    tri = np.asarray(hi.tri)[m]
+    rows = np.asarray(table.rows)
+    slots = np.array([s for s, _ in instances])
+    ranges = np.array(table.mesh_ranges)
+    lo, hi_r = ranges[slots[inst], 0], ranges[slots[inst], 1]
+    assert ((tri >= lo) & (tri < hi_r)).all()
+
+
+def test_occluded_matches_flatten(inst_pair):
+    geom, table, fgeom, instances = inst_pair
+    O, D = _aimed_rays(instances, 512, seed=11)
+    for tmax_v in (4.0, 14.0):
+        tmax = jnp.full((512,), tmax_v)
+        oi = np.asarray(pi.intersect_occluded(geom, table, O, D, tmax))
+        of = np.asarray(moller.intersect_occluded(fgeom, O, D, tmax))
+        assert (oi == of).all()
+
+
+def test_refractive_instances_pass_shadow_rays():
+    """Glass meshes do not occlude through the instanced sweep either
+    (``pathTracerPrograms.cu:672-681`` parity via the packed column)."""
+    cv, cf = _cube()
+    mats = [dict(diffuse=(1, 1, 1), emission=(0, 0, 0), roughness=0.0,
+                 metallic=0.0, ior=1.5, bsdf=2)]   # BSDF_REFRACTION
+    geom = build_scene_arrays(cv, cf, np.zeros(len(cf), np.int64), mats,
+                              light=default_cornell_light())
+    table = pi.build_instance_table(
+        [(0, len(cf))], [(cv.min(0), cv.max(0))],
+        [(0, _trs([0, 0, 0], [1, 1, 1], 0, 0.0))])
+    o = V3(jnp.asarray([-5.0]), jnp.asarray([0.0]), jnp.asarray([0.0]))
+    d = V3(jnp.asarray([1.0]), jnp.asarray([0.0]), jnp.asarray([0.0]))
+    occ = pi.intersect_occluded(geom, table, o, d, jnp.asarray([10.0]))
+    assert not bool(occ[0])
+
+
+def _write_instanced_city(tmp_path, n_inst=12, indexed=True):
+    """Tiny glTF: one 12-tri cube mesh instanced n times on a grid,
+    with NORMAL attributes so smooth-normal interpolation runs."""
+    cv, cf = _cube()
+    nrm = cv / np.maximum(np.linalg.norm(cv, axis=1, keepdims=True),
+                          1e-9)
+    pos_b = cv.astype(np.float32).tobytes()
+    nrm_b = nrm.astype(np.float32).tobytes()
+    idx_b = cf.astype(np.uint16).tobytes()
+    blob = pos_b + nrm_b + idx_b
+    nodes = []
+    rng = np.random.default_rng(5)
+    for i in range(n_inst):
+        ang = float(rng.random() * 6)
+        s = float(0.6 + rng.random())
+        c, sn = np.cos(ang), np.sin(ang)
+        r = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]]) * s
+        m = np.eye(4)
+        m[:3, :3] = r
+        m[:3, 3] = [(i % 4) * 3.0 - 4.5, 0.0, (i // 4) * 3.0 - 3.0]
+        nodes.append(dict(mesh=0,
+                          matrix=[float(x) for x in m.T.reshape(-1)]))
+    doc = dict(
+        asset=dict(version="2.0"), scene=0,
+        scenes=[dict(nodes=list(range(n_inst)))],
+        nodes=nodes,
+        meshes=[dict(primitives=[dict(
+            attributes=dict(POSITION=0, NORMAL=1), indices=2,
+            material=0)])],
+        materials=[dict(pbrMetallicRoughness=dict(
+            baseColorFactor=[0.7, 0.6, 0.5, 1.0], metallicFactor=0.0,
+            roughnessFactor=0.8))],
+        accessors=[
+            dict(bufferView=0, componentType=5126, count=8, type="VEC3",
+                 min=cv.min(0).tolist(), max=cv.max(0).tolist()),
+            dict(bufferView=1, componentType=5126, count=8, type="VEC3"),
+            dict(bufferView=2, componentType=5123, count=cf.size,
+                 type="SCALAR"),
+        ],
+        bufferViews=[
+            dict(buffer=0, byteOffset=0, byteLength=len(pos_b)),
+            dict(buffer=0, byteOffset=len(pos_b), byteLength=len(nrm_b)),
+            dict(buffer=0, byteOffset=len(pos_b) + len(nrm_b),
+                 byteLength=len(idx_b)),
+        ],
+        buffers=[dict(byteLength=len(blob),
+                      uri="data:application/octet-stream;base64,"
+                          + base64.b64encode(blob).decode())],
+    )
+    path = tmp_path / "city.gltf"
+    path.write_text(json.dumps(doc))
+    return str(path)
+
+
+def test_whitted_image_instanced_matches_flatten(tmp_path):
+    """The SAME asset loaded instanced vs flattened renders the same
+    whitted image (smooth normals, shadows, point lights): the full
+    shading path — one-hot instance normal/tangent transforms included
+    — agrees with the world-space build to rendering tolerance."""
+    from tpu_pt.scene.gltf import load_gltf
+    from tpu_pt.whitted import render_whitted_wavefront
+    path = _write_instanced_city(tmp_path)
+    ws_f = load_gltf(path, instancing="flatten")
+    ws_i = load_gltf(path, instancing="instanced")
+    assert ws_f.inst is None and ws_i.inst is not None
+    assert ws_i.inst.count == 12
+    cam = CameraArrays.from_camera(Camera(
+        eye=np.array([0.0, 7.0, 14.0], np.float32),
+        lookat=np.array([0.0, 0.0, 0.0], np.float32), fov_y=45.0))
+    cfg = tpu_pt.RenderConfig(width=40, height=30, spp=1, max_depth=2,
+                              background=(0.2, 0.3, 0.5))
+    rad_f, _ = render_whitted_wavefront(ws_f, cam, cfg, 0, 40 * 30, 0)
+    rad_i, _ = render_whitted_wavefront(ws_i, cam, cfg, 0, 40 * 30, 0)
+    a = np.asarray(rad_f).reshape(30, 40, 3)
+    b = np.asarray(rad_i).reshape(30, 40, 3)
+    assert np.isfinite(b).all()
+    rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+    assert rmse < 2e-3, rmse
+    # And the scene is actually non-trivial: cubes cover real pixels
+    # (~14% of the frame at this camera).
+    assert (np.abs(a - np.array([0.2, 0.3, 0.5])).max(-1) > 0.05).mean() \
+        > 0.08
+
+
+def test_forced_instancing_rejects_ineligible(tmp_path):
+    """extras primitives make an asset ineligible; forcing raises."""
+    from tpu_pt.scene.gltf import load_gltf
+    path = _write_instanced_city(tmp_path)
+    doc = json.loads(open(path).read())
+    doc["extras"] = {"tpu_pt_primitives": [dict(
+        type="sphere", center=[0, 0, 0], radius=1.0, material=0)]}
+    p2 = tmp_path / "city_prims.gltf"
+    p2.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="ineligible"):
+        load_gltf(str(p2), instancing="instanced")
+    # auto quietly flattens it instead.
+    ws = load_gltf(str(p2))
+    assert ws.inst is None

@@ -6,7 +6,9 @@ with Mrays/s from the renderer's own telemetry (alive radiance rays +
 shadow rays — honest about the early-exit depth loop).
 
 Knobs: BENCH_W_SIZE (512), BENCH_W_SPP (8), BENCH_W_DEPTH (8),
-BENCH_W_FRAMES (4), BENCH_W_SCENE.
+BENCH_W_FRAMES (4), BENCH_W_SCENE, BENCH_W_INST (auto|flatten|
+instanced — the glTF geometry contract; "instanced" benches the
+pallas_inst two-level sweep and records under a ``_inst`` PERF key).
 """
 
 import json
@@ -35,7 +37,8 @@ def main():
         subprocess.run([sys.executable,
                         os.path.join(REPO, "tools", "make_gltf_assets.py")],
                        check=True)
-    ws = load_gltf(scene_path)
+    inst_mode = os.environ.get("BENCH_W_INST", "auto")
+    ws = load_gltf(scene_path, instancing=inst_mode)
 
     size = int(os.environ.get("BENCH_W_SIZE", 512 if on_tpu else 128))
     spp = int(os.environ.get("BENCH_W_SPP", 8 if on_tpu else 2))
@@ -68,8 +71,10 @@ def main():
                      for s in frame_stats)
     mrays = total_rays / dt / 1e6
     scene_name = os.path.splitext(os.path.basename(scene_path))[0]
+    instanced = ws.inst is not None
     payload = {
-        "metric": f"whitted Mrays/s/chip, {size}x{size} {scene_name}, "
+        "metric": f"whitted Mrays/s/chip, {size}x{size} {scene_name}"
+                  f"{' (instanced)' if instanced else ''}, "
                   f"depth {depth}, {spp} spp",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
@@ -82,8 +87,9 @@ def main():
     }
     print(json.dumps(payload))
     import perflib
-    perflib.record("whitted_pbr" if scene_name in ("pbr_test",)
-                   else f"whitted_{scene_name}", payload)
+    key = ("whitted_pbr" if scene_name in ("pbr_test",)
+           else f"whitted_{scene_name}")
+    perflib.record(key + ("_inst" if instanced else ""), payload)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,11 @@ asserts the images match bitwise:
      sweep implementations driving the same transmission march
      (_make_occlusion); near-equal because hit t/u/v association
      differs between the kernels
+ 16. instanced (two-level IAS-analog) sweep ~= world-space flatten of
+     the same 12-tree forest — independent geometry contracts
+     (pallas_inst mesh-space rows + per-instance ray transforms vs the
+     flattened world table); near-equal: every plane test's fp
+     association differs
 
 Cases 12-13 are the only on-TPU coverage of the ``_with_primitives`` /
 ``_with_curves`` min-t combine paths (round-3 VERDICT weak #5): the
@@ -66,7 +71,7 @@ if %(whitted)s:
     from tpu_pt.camera import Camera
     from tpu_pt.scene.gltf import load_gltf
     from tpu_pt.whitted import render_whitted_frame
-    scene = load_gltf(%(scene)r)
+    scene = load_gltf(%(scene)r, instancing=%(inst)r)
     cam = CameraArrays.from_camera(Camera(
         eye=np.array([6.0, 4.5, 7.0], np.float32),
         lookat=np.array([0.0, 0.8, 0.0], np.float32), fov_y=40.0))
@@ -104,10 +109,11 @@ np.save(%(out)r, np.asarray(img))
 
 
 def render(out, scene, env=None, fused=False, sharded=False,
-           whitted=False, isect="auto"):
+           whitted=False, isect="auto", inst="auto"):
     code = CHILD % dict(repo=REPO, scene=scene, out=out,
                         fused=repr(fused), sharded=repr(sharded),
-                        whitted=repr(whitted), isect=isect)
+                        whitted=repr(whitted), isect=isect,
+                        inst=inst)
     e = {**os.environ, **(env or {})}
     r = subprocess.run([sys.executable, "-c", code], env=e,
                        capture_output=True, text=True, timeout=1200)
@@ -211,6 +217,25 @@ def main():
     check_close("whitted alpha occlusion: pallas ~= bruteforce sweeps",
                 abase, render(p("abf"), alpha, whitted=True,
                               isect="bruteforce"))
+
+    # Case 16: the instanced (two-level, IAS-analog) sweep against
+    # the world-space flatten of the SAME asset — two independent
+    # geometry contracts (mesh-space rows + per-instance ray transforms
+    # vs pre-transformed world rows), near-equal only: the fp
+    # association of every plane test differs.
+    import importlib.util as _ilu
+    _spec = _ilu.spec_from_file_location(
+        "make_gltf_assets", os.path.join(REPO, "tools",
+                                         "make_gltf_assets.py"))
+    _mga = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mga)
+    fdir = os.path.join(tmp, "forest12")
+    _mga.build_forest(fdir, n_trees=12)
+    f12 = os.path.join(fdir, "forest.gltf")
+    ibase = render(p("ibase"), f12, whitted=True, inst="flatten")
+    check_close("instanced (IAS) sweep ~= world-space flatten (forest)",
+                ibase, render(p("iinst"), f12, whitted=True,
+                              inst="instanced"))
 
     print("all equivalences hold" if not fails
           else f"{fails} equivalence(s) BROKEN")

@@ -72,6 +72,13 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                         "lighting for .gltf/.glb")
     p.add_argument("--background", type=float, nargs=3,
                    default=[0.0, 0.0, 0.0])
+    p.add_argument("--instancing", default=None,
+                   choices=["auto", "flatten", "instanced"],
+                   help="glTF geometry contract: flatten instances to "
+                        "world space (default under the memory "
+                        "guardrail) or keep an instance table (the "
+                        "two-level pallas_inst sweep; auto rescues "
+                        "over-guardrail assets)")
 
 
 def _build(args):
@@ -129,7 +136,7 @@ def _render_whitted_cli(args) -> int:
     from tpu_pt.render import CameraArrays, init_accum, image_to_host
     from tpu_pt.camera import Camera
 
-    ws = load_gltf(args.scene)
+    ws = load_gltf(args.scene, instancing=args.instancing)
     frame_start = 0
     if args.resume:
         from tpu_pt.checkpoint import load_checkpoint

@@ -44,6 +44,11 @@ class Hit:
     mat: jnp.ndarray      # [N] i32 material id, 0 on miss
     u: jnp.ndarray        # [N] f32 barycentric u at the hit (0 on miss)
     v: jnp.ndarray        # [N] f32 barycentric v at the hit (0 on miss)
+    # Winning instance id (instanced scenes only — the two-level
+    # ``pallas_inst`` sweep; ``tri`` then indexes the UNIQUE mesh's
+    # attribute tables and shading transforms mesh-space attributes by
+    # this instance's matrices). None everywhere else.
+    inst: jnp.ndarray | None = None
 
 
 def _fit_tri_block(requested: int, n_tri: int) -> int:

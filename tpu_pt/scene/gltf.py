@@ -165,6 +165,14 @@ class WhittedScene:
     # with textured alpha-mask/blend materials; None = every occluder
     # is boolean and the plain occlusion sweep serves shadows.
     alpha_occ: AlphaOccluders | None = None
+    # Instanced scenes (``load_gltf(instancing=...)``): the
+    # ``pallas_inst.InstanceTable`` IAS analog. When set, ``geom`` and
+    # every per-triangle table hold the UNIQUE meshes in MESH space;
+    # the instanced intersectors return world hits + a winning instance
+    # id, and shading transforms mesh-space vertex attributes by the
+    # instance's matrices (``whitted._make_whitted_step``). None =
+    # world-space flattened scene (the default path).
+    inst: object | None = None
 
 
 def _default_whitted_tables(n_mats: int):
@@ -367,20 +375,74 @@ _BYTES_PER_FLAT_TRI = 324
 _MAX_FLAT_TRIS_DEFAULT = 4_000_000
 
 
-def load_gltf(path: str, default_lights: bool = True,
-              max_flat_tris: int | None = None) -> WhittedScene:
-    """Load a .gltf/.glb file into a world-space WhittedScene.
+def _instancing_eligible(doc, g, inst_records, decoded_mesh):
+    """(ok, reason) — can this asset keep its instances (two-level
+    ``pallas_inst`` traversal) instead of flattening?
 
-    Instances are flattened (pre-transformed to world space) — see the
-    module docstring. ``max_flat_tris`` bounds the flattened triangle
-    count (default ``TPT_MAX_FLAT_TRIS`` env or 4M, ~1.3 GB of tables);
-    a scene whose instancing expands past the bound raises ValueError
-    naming the amplification instead of silently exhausting memory.
-    The reference keeps per-instance transforms in an IAS over shared
-    meshes (``sutil/Scene.cpp:1134-1213``) and has no such bound."""
+    Ineligible: extras prims/curves (analytic geometry has no
+    mesh-space table), textured alpha materials (the fractional shadow
+    split builds world-space subsets), singular instance transforms,
+    or unique-mesh/instance counts past the VMEM-resident bounds."""
+    from ..intersect import pallas_inst
+    if doc.get("extras", {}).get("tpu_pt_primitives"):
+        return False, "asset declares extras analytic primitives"
+    if doc.get("extras", {}).get("tpu_pt_curves"):
+        return False, "asset declares extras curves"
+    for m in doc.get("materials", []):
+        has_tex = m.get("pbrMetallicRoughness", {}).get(
+            "baseColorTexture") is not None
+        if has_tex and m.get("alphaMode", "OPAQUE") != "OPAQUE":
+            return False, ("textured alpha material (fractional shadow "
+                           "split needs the world-space flatten)")
+    if len(inst_records) > pallas_inst.INST_MAX_INST:
+        return False, (f"{len(inst_records)} instances > "
+                       f"TPT_INST_MAX={pallas_inst.INST_MAX_INST}")
+    from ..intersect.pallas_bf import CLUSTER
+    rows = 0
+    for mesh_idx in {m for m, _ in inst_records}:
+        t = sum(p[1].shape[0] for p in decoded_mesh(mesh_idx))
+        rows += -(-max(t, 1) // CLUSTER) * CLUSTER
+    if rows > pallas_inst.INST_MAX_ROWS:
+        return False, (f"unique meshes pack to {rows} rows > "
+                       f"TPT_INST_ROWS={pallas_inst.INST_MAX_ROWS}")
+    for _, xf in inst_records:
+        if abs(np.linalg.det(np.asarray(xf)[:3, :3])) < 1e-12:
+            return False, "singular instance transform"
+    return True, None
+
+
+def load_gltf(path: str, default_lights: bool = True,
+              max_flat_tris: int | None = None,
+              instancing: str | None = None) -> WhittedScene:
+    """Load a .gltf/.glb file into a WhittedScene.
+
+    ``instancing`` picks the geometry contract (default env
+    ``TPT_INSTANCING`` or "auto"):
+
+    - ``"flatten"``: instances pre-transform to world space — see the
+      module docstring. ``max_flat_tris`` bounds the flattened triangle
+      count (default ``TPT_MAX_FLAT_TRIS`` env or 4M, ~1.3 GB of
+      tables); a scene whose instancing expands past the bound raises
+      ValueError naming the amplification instead of silently
+      exhausting memory.
+    - ``"instanced"``: keep the reference's two-level shape
+      (``sutil/Scene.cpp:1134-1213`` GAS+IAS): unique meshes stay in
+      mesh space, per-instance transforms ride an
+      ``intersect.pallas_inst.InstanceTable``, and memory scales
+      O(unique mesh + instances). Requires an eligible asset (triangle
+      meshes only — no extras prims/curves, no textured-alpha
+      materials, unique mesh rows within the VMEM bound).
+    - ``"auto"``: flatten, EXCEPT when the flatten would blow the
+      ``max_flat_tris`` guardrail and the asset is instancing-eligible
+      — then the instanced path rescues the load instead of raising."""
     if max_flat_tris is None:
         max_flat_tris = int(os.environ.get("TPT_MAX_FLAT_TRIS",
                                            _MAX_FLAT_TRIS_DEFAULT))
+    if instancing is None:
+        instancing = os.environ.get("TPT_INSTANCING", "auto")
+    if instancing not in ("auto", "flatten", "instanced"):
+        raise ValueError(f"instancing must be auto|flatten|instanced,"
+                         f" got {instancing!r}")
     g = _Gltf(path)
     doc = g.doc
     mesh_uses: dict = {}      # mesh idx -> instance count (guardrail)
@@ -391,6 +453,7 @@ def load_gltf(path: str, default_lights: bool = True,
     tri_mat = []       # [T]
 
     flat_count = [0]
+    inst_note = {"reason": None}   # why auto-instancing could not rescue
 
     def _flat_guard(extra: int):
         """Enforce the instancing bound BEFORE transforming the next
@@ -409,10 +472,15 @@ def load_gltf(path: str, default_lights: bool = True,
             f"tables; {n_inst} mesh instances over {len(mesh_uses)} "
             f"meshes so far, most-instanced mesh used {worst}x) — past "
             f"the {max_flat_tris:,}-triangle bound. tpu_pt flattens "
-            f"instances instead of keeping an IAS (scene/gltf.py module "
-            f"docstring), so memory scales O(instances x mesh size). "
-            f"Raise the bound via load_gltf(max_flat_tris=...) or "
-            f"TPT_MAX_FLAT_TRIS if the memory cost is acceptable.")
+            f"instances by default (scene/gltf.py module docstring), so "
+            f"memory scales O(instances x mesh size). Raise the bound "
+            f"via load_gltf(max_flat_tris=...) / TPT_MAX_FLAT_TRIS if "
+            f"the memory cost is acceptable, or keep the instances with "
+            f"load_gltf(instancing='instanced') (the pallas_inst IAS "
+            f"analog, memory O(unique mesh + instances))"
+            + (f" — auto-instancing could not rescue this asset: "
+               f"{inst_note['reason']}." if inst_note["reason"]
+               else "."))
 
     # Per-mesh decode cache: instanced meshes (the forest case — one
     # tree node-referenced hundreds of times) decode their accessors
@@ -469,12 +537,14 @@ def load_gltf(path: str, default_lights: bool = True,
     cameras = []
     ambient = np.array([0.1, 0.1, 0.1], np.float32)
 
+    inst_records: list = []   # (mesh idx, world 4x4) in walk order
+
     def walk(node_idx: int, parent: np.ndarray):
         node = doc["nodes"][node_idx]
         xform = parent @ _node_matrix(node)
         if "mesh" in node:
             mesh_uses[node["mesh"]] = mesh_uses.get(node["mesh"], 0) + 1
-            emit_mesh(node["mesh"], xform)
+            inst_records.append((node["mesh"], xform.copy()))
         if "camera" in node:
             cameras.append((node["camera"], xform.copy()))
         light_ref = node.get("extensions", {}).get(
@@ -495,6 +565,49 @@ def load_gltf(path: str, default_lights: bool = True,
         list(range(len(doc.get("nodes", []))))
     for r in roots:
         walk(r, ml.mat4_identity())
+
+    # --- geometry contract: flatten vs instanced (IAS analog) -------------
+    use_inst = False
+    inst_reject = None
+    if instancing != "flatten" and inst_records:
+        use_inst, inst_reject = _instancing_eligible(
+            doc, g, inst_records, _decoded_mesh)
+        inst_note["reason"] = inst_reject
+        if instancing == "auto" and use_inst:
+            # Auto only rescues loads the flatten guardrail would
+            # refuse; under the bound the flatten's transform-free
+            # traversal keeps its measured edge (module docstring).
+            flat_total = sum(
+                sum(p[1].shape[0] for p in _decoded_mesh(m))
+                for m, _ in inst_records)
+            use_inst = flat_total > max_flat_tris
+        if instancing == "instanced" and not use_inst:
+            raise ValueError(
+                f"{os.path.basename(path)}: instancing requested but "
+                f"the asset is ineligible: {inst_reject}")
+
+    inst_table = None
+    if use_inst:
+        # Emit each USED mesh once, identity transform (mesh space);
+        # instances become table rows.
+        from ..intersect import pallas_inst
+        mesh_slots: dict = {}
+        mesh_ranges, mesh_aabbs = [], []
+        for mesh_idx, _ in inst_records:
+            if mesh_idx in mesh_slots:
+                continue
+            lo = flat_count[0]
+            emit_mesh(mesh_idx, ml.mat4_identity())
+            mesh_slots[mesh_idx] = len(mesh_ranges)
+            mesh_ranges.append((lo, flat_count[0]))
+            pts = np.concatenate([p[0] for p in _decoded_mesh(mesh_idx)])
+            mesh_aabbs.append((pts.min(axis=0), pts.max(axis=0)))
+        inst_table = pallas_inst.build_instance_table(
+            mesh_ranges, mesh_aabbs,
+            [(mesh_slots[m], xf) for m, xf in inst_records])
+    else:
+        for mesh_idx, xform in inst_records:
+            emit_mesh(mesh_idx, xform)
 
     assert tris_v, f"no triangle geometry in {path}"
     tv = np.concatenate(tris_v)
@@ -617,6 +730,15 @@ def load_gltf(path: str, default_lights: bool = True,
     # (glTF convention), focal distance scaled to the scene extent so
     # trackball orbits behave.
     cam_tuple = ()
+    # World-space scene extent: flattened verts ARE world; instanced
+    # geometry is mesh-space, so the extent comes from the instances'
+    # world AABBs instead.
+    if use_inst:
+        _bx = np.asarray(inst_table.boxes)[:inst_table.count]
+        ext_lo, ext_hi = _bx[:, 0:3].min(axis=0), _bx[:, 3:6].max(axis=0)
+    else:
+        ext_lo, ext_hi = verts.min(axis=0), verts.max(axis=0)
+
     gcams = doc.get("cameras", [])
     for cam_idx, xform in cameras:
         if not 0 <= cam_idx < len(gcams):
@@ -632,8 +754,7 @@ def load_gltf(path: str, default_lights: bool = True,
         up_v = xform[:3, 1].astype(np.float32)
         fov = float(np.degrees(gc.get("perspective", {}).get(
             "yfov", np.radians(45.0))))
-        lo = verts.min(axis=0)
-        hi = verts.max(axis=0)
+        lo, hi = ext_lo, ext_hi
         focal = max(1.0, 0.5 * float(np.linalg.norm(hi - lo)))
         cam_tuple = (tuple(float(x) for x in eye),
                      tuple(float(x) for x in eye + fwd * focal),
@@ -643,8 +764,7 @@ def load_gltf(path: str, default_lights: bool = True,
     if not lights_pos and default_lights:
         # The reference app sets two default point lights when the scene
         # has none (whitted-pipeline host setup).
-        lo = verts.min(axis=0)
-        hi = verts.max(axis=0)
+        lo, hi = ext_lo, ext_hi
         c = 0.5 * (lo + hi)
         ext = float(np.linalg.norm(hi - lo))
         lights_pos = [c + np.array([0.6, 1.0, 0.4]) * ext,
@@ -652,7 +772,7 @@ def load_gltf(path: str, default_lights: bool = True,
         lights_color = [np.array([0.8, 0.8, 0.8], np.float32),
                         np.array([0.4, 0.4, 0.4], np.float32)]
 
-    if lights_pos:
+    if lights_pos and not use_inst:
         # The occluder subset computed inside build_scene_arrays used
         # only the (path-tracer) area-light quad as segment endpoints;
         # whitted shadow segments end at the POINT lights, which can sit
@@ -804,6 +924,7 @@ def load_gltf(path: str, default_lights: bool = True,
         has_mr_tex=bool((tables["mrtex_id"] >= 0).any()),
         has_emissive_tex=bool((tables["etex_id"] >= 0).any()),
         camera=cam_tuple,
+        inst=inst_table,
         alpha_occ=None if occ_geom is None else AlphaOccluders(
             occ_geom=occ_geom, geom=alpha_geom,
             uv=jnp.asarray(alpha_uv),

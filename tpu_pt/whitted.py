@@ -58,7 +58,15 @@ def _make_occlusion(ws: WhittedScene, cfg: RenderConfig):
     """
     ao = ws.alpha_occ
     if ao is None:
-        _, occluded_fn = get_intersectors(ws.geom, cfg)
+        if ws.inst is not None:
+            # Instanced scenes are textured-alpha-free by eligibility
+            # (scene/gltf._instancing_eligible), so shadows stay the
+            # boolean sweep — through the two-level instanced kernel.
+            from .intersect import pallas_inst
+            _, occluded_fn = pallas_inst.get_intersectors(
+                ws.geom, ws.inst, cfg)
+        else:
+            _, occluded_fn = get_intersectors(ws.geom, cfg)
         return lambda o, d, tmax: jnp.where(occluded_fn(o, d, tmax),
                                             0.0, 1.0)
     _, occ_opaque = get_intersectors(ao.occ_geom, cfg)
@@ -458,6 +466,16 @@ def _make_whitted_step(ws: WhittedScene, cfg: RenderConfig, closest_fn,
 
         tri_rows = _tri_rows(ws, hit)                 # one MXU select
         ns, uu, vv = _interp_attrs_rows(tri_rows, hit)
+        if ws.inst is not None:
+            # Instanced scene: vtx_attr normals are MESH-space — rotate
+            # by the winning instance's inverse-transpose rows (one
+            # one-hot select over the [I, 9] table). Note the
+            # interpolate-then-rotate order: the flatten path rotates
+            # per-VERTEX normals at load, which differs under
+            # non-uniform scale by the renormalization weighting —
+            # both are standard; divergence is angular noise only.
+            from .intersect import pallas_inst as _pi
+            ns = _pi.world_normal(ws.inst, ns, hit.inst, hmask)
         # Analytic primitives (ids past the padded tri range,
         # ``intersect_primitives`` index_offset contract) have no vertex
         # attributes: shade with the intersector's analytic normal
@@ -499,6 +517,11 @@ def _make_whitted_step(ws: WhittedScene, cfg: RenderConfig, closest_fn,
             # ONB axis.
             n_id = props["ntex_id"]
             tan = V3(tri_rows[:, 16], tri_rows[:, 17], tri_rows[:, 18])
+            if ws.inst is not None:
+                # Mesh-space tangent -> world (covariant: the FORWARD
+                # linear part, not the normal matrix).
+                from .intersect import pallas_inst as _pi
+                tan = _pi.world_tangent(ws.inst, tan, hit.inst)
             tan = tan - ns * v3.dot(ns, tan)
             t_len2 = v3.dot(tan, tan)
             onb_t, _, _ = v3.onb_from_normal(ns)
@@ -706,7 +729,15 @@ def render_whitted_wavefront(ws: WhittedScene, cam: CameraArrays,
     indices reuse DoneReason slots: [miss, depth-capped, absorbed
     (opaque direct-lit hit — whitted's normal termination), 0, 0]."""
     geom = ws.geom
-    closest_fn, occluded_fn = get_intersectors(geom, cfg)
+    if ws.inst is not None:
+        # Instanced scene (IAS analog): the two-level pallas_inst sweep
+        # returns world hits + winning instance ids; mesh-space vertex
+        # attributes rotate into world inside the step.
+        from .intersect import pallas_inst
+        closest_fn, occluded_fn = pallas_inst.get_intersectors(
+            geom, ws.inst, cfg)
+    else:
+        closest_fn, occluded_fn = get_intersectors(geom, cfg)
     occ_att_fn = _make_occlusion(ws, cfg)
     depth_cap = min(cfg.max_depth, MAX_TRACE_DEPTH)
     step_fn = _make_whitted_step(ws, cfg, closest_fn, occ_att_fn,
