@@ -425,7 +425,8 @@ def cone(r=0.3, h=2.0, n=16):
     return v, norms, uvs, np.array(idx, np.uint16)
 
 
-def build_forest(out_dir: str, n_trees=500, seed=9):
+def build_forest(out_dir: str, n_trees=500, seed=9,
+                 filename="forest.gltf"):
     """forest.gltf: ONE ~1k-tri tree mesh instanced ``n_trees`` times
     over a ground plane via node TRS — the reference's shared-mesh IAS
     workload (``sutil/Scene.cpp:1134-1213``). tpu_pt flattens instances
@@ -526,7 +527,7 @@ def build_forest(out_dir: str, n_trees=500, seed=9):
             dict(type="point", color=[1.0, 0.98, 0.9], intensity=4.0)])),
         extensionsUsed=["KHR_lights_punctual"],
     )
-    path = os.path.join(out_dir, "forest.gltf")
+    path = os.path.join(out_dir, filename)
     with open(path, "w") as f:
         json.dump(doc, f)
     print(f"wrote {path} ({n_trees} tree instances)")

@@ -56,9 +56,12 @@ from .pallas_bf import (CLUSTER, RAY_TILE_C, VMEM_LIMIT, _BIG_IDX,
 # launch (the point of the design). 8192 rows = 512 KB — the same
 # single-slab budget the dense small-scene kernels use (TRI_SLAB).
 INST_MAX_ROWS = int(os.environ.get("TPT_INST_ROWS", 8192))
-# Instance bound: the [I, 16] transform table is VMEM-resident and the
-# schedule build runs a dense [N, I] slab pass per call.
-INST_MAX_INST = int(os.environ.get("TPT_INST_MAX", 4096))
+# Instance bound: the [I, 16] transform table is VMEM-resident (16384
+# rows = 1 MB) and the schedule build runs a dense [N, I] slab pass per
+# call (the flat one-level schedule; past this a parent-box hierarchy
+# over instance groups would be needed, the cbin two-level build's
+# shape).
+INST_MAX_INST = int(os.environ.get("TPT_INST_MAX", 16384))
 
 
 @struct.dataclass

@@ -8,21 +8,28 @@ metallic-roughness materials (base color / metallic / roughness / emissive
 factors, baseColorTexture, alpha modes, double-sided), KHR_lights_punctual
 point lights, and cameras.
 
-Design difference from the reference: instead of a two-level GAS+IAS
-(per-mesh GAS instanced under ``buildInstanceAccel``, ``Scene.cpp:1134``),
-instances are flattened — triangles are pre-transformed into world space at
-load time and one LBVH covers the whole scene. That trades instancing
-memory for a traversal with no transform indirection, which suits the
-TPU's dense wavefront far better. The shared-mesh half of the IAS IS
-kept: meshes decode once and each instance pays only its transform
-(``_decoded_mesh`` cache), so a 500-instance forest loads in O(mesh +
-instances) time (``assets/forest.gltf``, ~0.5M world tris, loads in a
-few seconds). The true two-level alternative — per-(ray, instance)
-ray transforms inside the sweep — was costed and rejected: it inserts
-a transform gather into the hot clustered sweep whose throughput is
-already bound by the measured 26x tile-union redundancy
-(ARCHITECTURE.md big-scene bound), while the flatten's memory cost
-(~324 B/tri measured) only binds past the explicit guardrail below.
+Geometry contracts (the reference keeps a two-level GAS+IAS — per-mesh
+GAS instanced under ``buildInstanceAccel``, ``Scene.cpp:1134``):
+
+- ``instancing="flatten"`` (the default under the guardrail): instances
+  are flattened — triangles are pre-transformed into world space at
+  load time and one table/LBVH covers the whole scene. That trades
+  instancing memory for a traversal with no transform indirection,
+  which suits the TPU's dense wavefront. The shared-mesh half of the
+  IAS IS kept: meshes decode once and each instance pays only its
+  transform (``_decoded_mesh`` cache), so a 500-instance forest loads
+  in O(mesh + instances) time (``assets/forest.gltf``, ~0.5M world
+  tris).
+- ``instancing="instanced"``: the TRUE two-level shape
+  (``intersect.pallas_inst``) — unique meshes stay VMEM-resident in
+  mesh space, instances are the outer sweep level with in-kernel
+  inverse-3x4 ray transforms. Memory scales O(unique mesh +
+  instances): this is how assets PAST the flatten guardrail render at
+  all, and the forest loads ~19x faster (0.7 s vs 13.3 s measured).
+- ``instancing="auto"``: flatten inside the ``max_flat_tris``
+  guardrail (its transform-free sweep keeps the measured edge there);
+  past it, eligible assets are rescued by the instanced contract
+  instead of raising.
 """
 
 from __future__ import annotations
