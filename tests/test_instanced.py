@@ -261,6 +261,32 @@ def test_whitted_image_instanced_matches_flatten(tmp_path):
         > 0.08
 
 
+def test_sharded_instanced_matches_plain(tmp_path):
+    """The instanced whitted step inside ``shard_map`` (8x1 tile mesh
+    on the virtual-device conftest) is bitwise the plain frame — the
+    pallas_inst kernels compose with the multi-device tile sharding
+    exactly like the other backends (test_dist's whitted case,
+    instanced edition)."""
+    from tpu_pt.scene.gltf import load_gltf
+    from tpu_pt.whitted import render_whitted_frame
+    from tpu_pt import dist
+    from tpu_pt.render import init_accum
+    path = _write_instanced_city(tmp_path, n_inst=6)
+    ws = load_gltf(path, instancing="instanced")
+    cam = CameraArrays.from_camera(Camera(
+        eye=np.array([0.0, 7.0, 14.0], np.float32),
+        lookat=np.array([0.0, 0.0, 0.0], np.float32), fov_y=45.0))
+    cfg = tpu_pt.RenderConfig(width=32, height=24, spp=1, max_depth=2,
+                              background=(0.2, 0.3, 0.5))
+    accum = init_accum(cfg)
+    _, img_plain, _ = render_whitted_frame(ws, cam, cfg, 0, accum)
+    mesh = dist.device_mesh(8, 1)
+    step = dist.make_sharded_renderer(ws, cfg, mesh)
+    accum_s = dist.init_accum_sharded(cfg, mesh)
+    _, img_shard, _ = step(cam, 0, accum_s)
+    assert np.array_equal(np.asarray(img_plain), np.asarray(img_shard))
+
+
 def test_forced_instancing_rejects_ineligible(tmp_path):
     """extras primitives make an asset ineligible; forcing raises."""
     from tpu_pt.scene.gltf import load_gltf
