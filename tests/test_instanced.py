@@ -127,13 +127,16 @@ def test_closest_matches_flatten(inst_pair):
     np.testing.assert_allclose(np.asarray(hi.t)[m], np.asarray(hf.t)[m],
                                rtol=0, atol=2e-4)
     assert (np.asarray(hi.mat)[m] == np.asarray(hf.mat)[m]).all()
-    # World geometric normals align (the mirrored instance included —
-    # the orientation sign rides the normal matrix).
+    # World geometric normals align INCLUDING SIGN (the mirrored
+    # instance is the point: cross(Me1, Me2) = det(M) (M^-T) cross(e1,
+    # e2), and build_instance_table folds sign(det) into the normal
+    # matrix — a signless |dot| here would let an orientation bug
+    # through).
     ni = np.stack([np.asarray(c) for c in
                    (hi.normal.x, hi.normal.y, hi.normal.z)], 1)
     nf = np.stack([np.asarray(c) for c in
                    (hf.normal.x, hf.normal.y, hf.normal.z)], 1)
-    dots = np.abs((ni[m] * nf[m]).sum(1))
+    dots = (ni[m] * nf[m]).sum(1)
     assert dots.min() > 0.9999
     # Barycentrics agree (same unique-mesh triangle parameterization).
     np.testing.assert_allclose(np.asarray(hi.u)[m], np.asarray(hf.u)[m],
@@ -285,6 +288,43 @@ def test_sharded_instanced_matches_plain(tmp_path):
     accum_s = dist.init_accum_sharded(cfg, mesh)
     _, img_shard, _ = step(cam, 0, accum_s)
     assert np.array_equal(np.asarray(img_plain), np.asarray(img_shard))
+
+
+def test_path_tracer_load_scene_never_rescues(tmp_path, monkeypatch):
+    """``tpu_pt.load_scene`` (the PATH TRACER's loader) forces the
+    flatten contract: an over-guardrail glTF still raises the loud
+    guardrail error instead of silently handing the path tracer
+    mesh-space unique geometry with the instance transforms dropped
+    (the whitted pipeline is the instanced contract's consumer)."""
+    path = _write_instanced_city(tmp_path)
+    monkeypatch.setenv("TPT_MAX_FLAT_TRIS", "10")
+    with pytest.raises(ValueError, match="instance flattening"):
+        tpu_pt.load_scene(path)
+
+
+def test_instanced_load_ignores_flatten_bound(tmp_path):
+    """The flatten guardrail does not apply to instanced emission —
+    nothing is flattened, so a bound below the UNIQUE mesh size must
+    not spuriously raise (the unique rows have their own bound,
+    TPT_INST_ROWS)."""
+    from tpu_pt.scene.gltf import load_gltf
+    path = _write_instanced_city(tmp_path)
+    ws = load_gltf(path, max_flat_tris=10, instancing="instanced")
+    assert ws.inst is not None and ws.inst.count == 12
+    assert int(np.asarray(ws.geom.tri_valid).sum()) == 12
+
+
+def test_inst_rows_two_level_matches_gather():
+    """The large-table (hi, lo) split select is exactly the gather."""
+    rng = np.random.default_rng(2)
+    tbl = jnp.asarray(rng.normal(size=(4096, 9)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 4096, 1024).astype(np.int32))
+    got = np.asarray(pi._inst_rows(tbl, ids))
+    want = np.asarray(tbl)[np.asarray(ids)]
+    assert np.array_equal(got, want)
+    # And the small-table direct path too.
+    got_s = np.asarray(pi._inst_rows(tbl[:512], ids % 512))
+    assert np.array_equal(got_s, np.asarray(tbl)[:512][np.asarray(ids) % 512])
 
 
 def test_forced_instancing_rejects_ineligible(tmp_path):

@@ -156,9 +156,10 @@ def _render_whitted_cli(args) -> int:
                             up=np.asarray(up, np.float32),
                             fov_y=fov, aspect=args.width / args.height)
         else:
-            # Default camera: frame the scene bounds.
-            v = np.asarray(ws.geom.tri_v0)[np.asarray(ws.geom.tri_valid)]
-            lo, hi = v.min(axis=0), v.max(axis=0)
+            # Default camera: frame the scene's WORLD bounds (instanced
+            # scenes' geom is mesh-space — world_bounds aggregates the
+            # instance boxes).
+            lo, hi = ws.world_bounds()
             c = 0.5 * (lo + hi)
             ext = float(np.linalg.norm(hi - lo))
             camera = Camera(eye=c + np.array([0.7, 0.5, 0.9]) * ext,

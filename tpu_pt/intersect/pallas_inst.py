@@ -418,14 +418,45 @@ def _occluded_call_inst(rays, tris, boxes, ixf, cand, tmin: float):
 
 
 def _inst_rows(tbl: jnp.ndarray, inst: jnp.ndarray) -> jnp.ndarray:
-    """Exact one-hot row select ``tbl[inst]`` (HIGHEST-precision matmul:
-    0/1 times f32, one nonzero term per row — bitwise the gather). The
-    instance tables are small ([I, <=16]), so the [N, I] one-hot is the
-    affordable direct form (``whitted._select_rows``'s small branch)."""
-    oh = (inst[:, None] == jnp.arange(tbl.shape[0],
-                                      dtype=inst.dtype)[None, :]
-          ).astype(tbl.dtype)
-    return jnp.matmul(oh, tbl, precision=jax.lax.Precision.HIGHEST)
+    """Exact one-hot row select ``tbl[inst]`` on the MXU.
+
+    Small tables take one HIGHEST-precision [N, I] matmul (0/1 times
+    f32, one nonzero term per row — bitwise the gather). Past the
+    direct bound the [N, I] one-hot stops being affordable (a 16k-
+    instance table at a 262k-lane wavefront would be a ~17 GB operand),
+    so large tables split the id as (hi, lo) over a [H, 128, C]
+    reshape — the exact two-level bf16-split select
+    ``_lean_resolve_packed`` uses for 100k-row triangle tables, at
+    [N, H] + [N, 128C] cost instead."""
+    i_rows, c = tbl.shape
+    if i_rows <= 2048:
+        oh = (inst[:, None] == jnp.arange(i_rows,
+                                          dtype=inst.dtype)[None, :]
+              ).astype(tbl.dtype)
+        return jnp.matmul(oh, tbl, precision=jax.lax.Precision.HIGHEST)
+    h = (i_rows + 127) // 128
+    if h * 128 != i_rows:
+        tbl = jnp.pad(tbl, ((0, h * 128 - i_rows), (0, 0)))
+    hi = inst // 128
+    lo = inst % 128
+    oh_hi = (hi[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]
+             ).astype(jnp.bfloat16)
+    tblr = tbl.reshape(h, 128 * c)
+    # Three accumulated bf16-split matmuls reconstruct all 24
+    # significand bits exactly; the optimization_barrier pins each
+    # f32->bf16 rounding against --xla_allow_excess_precision (the
+    # _lean_resolve_packed hazard).
+    out = jnp.zeros((inst.shape[0], 128 * c), jnp.float32)
+    rem = tblr
+    for _ in range(3):
+        part = jax.lax.optimization_barrier(rem.astype(jnp.bfloat16))
+        rem = rem - part.astype(jnp.float32)
+        out = out + jnp.matmul(oh_hi, part,
+                               preferred_element_type=jnp.float32)
+    out = out.reshape(-1, 128, c)
+    oh_lo = (lo[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]
+             ).astype(jnp.float32)
+    return jnp.sum(out * oh_lo[:, :, None], axis=1)
 
 
 def _mesh_space_rays(table: InstanceTable, origins: V3, dirs: V3,

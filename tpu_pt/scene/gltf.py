@@ -181,6 +181,20 @@ class WhittedScene:
     # world-space flattened scene (the default path).
     inst: object | None = None
 
+    def world_bounds(self):
+        """(lo, hi) world-space scene AABB as numpy [3] arrays.
+
+        Flattened geometry spans it directly; instanced scenes (whose
+        ``geom`` is MESH-space) aggregate the instances' world boxes.
+        Every camera/extent consumer must use this instead of reading
+        ``geom.tri_v0`` bounds (the CLI default camera once framed the
+        unique mesh at its local origin for rescued scenes)."""
+        if self.inst is not None:
+            bx = np.asarray(self.inst.boxes)[:self.inst.count]
+            return bx[:, 0:3].min(axis=0), bx[:, 3:6].max(axis=0)
+        v = np.asarray(self.geom.tri_v0)[np.asarray(self.geom.tri_valid)]
+        return v.min(axis=0), v.max(axis=0)
+
 
 def _default_whitted_tables(n_mats: int):
     return dict(
@@ -382,7 +396,7 @@ _BYTES_PER_FLAT_TRI = 324
 _MAX_FLAT_TRIS_DEFAULT = 4_000_000
 
 
-def _instancing_eligible(doc, g, inst_records, decoded_mesh):
+def _instancing_eligible(doc, inst_records, decoded_mesh):
     """(ok, reason) — can this asset keep its instances (two-level
     ``pallas_inst`` traversal) instead of flattening?
 
@@ -521,9 +535,16 @@ def load_gltf(path: str, default_lights: bool = True,
         mesh_cache[mesh_idx] = prims_out
         return prims_out
 
-    def emit_mesh(mesh_idx: int, xform: np.ndarray):
+    def emit_mesh(mesh_idx: int, xform: np.ndarray, guard: bool = True):
         for pos, idx, nrm, uv, mat in _decoded_mesh(mesh_idx):
-            _flat_guard(idx.shape[0])
+            if guard:
+                _flat_guard(idx.shape[0])
+            else:
+                # Instanced emission: nothing is flattened — the bound
+                # does not apply (the eligibility check already bounded
+                # the UNIQUE rows), but flat_count still tracks the
+                # running triangle offset for mesh_ranges.
+                flat_count[0] += idx.shape[0]
             world_pos = ml.transform_points(xform, pos)
             tv = world_pos[idx]                      # [t, 3, 3]
             if nrm is None:
@@ -578,7 +599,7 @@ def load_gltf(path: str, default_lights: bool = True,
     inst_reject = None
     if instancing != "flatten" and inst_records:
         use_inst, inst_reject = _instancing_eligible(
-            doc, g, inst_records, _decoded_mesh)
+            doc, inst_records, _decoded_mesh)
         inst_note["reason"] = inst_reject
         if instancing == "auto" and use_inst:
             # Auto only rescues loads the flatten guardrail would
@@ -604,7 +625,7 @@ def load_gltf(path: str, default_lights: bool = True,
             if mesh_idx in mesh_slots:
                 continue
             lo = flat_count[0]
-            emit_mesh(mesh_idx, ml.mat4_identity())
+            emit_mesh(mesh_idx, ml.mat4_identity(), guard=False)
             mesh_slots[mesh_idx] = len(mesh_ranges)
             mesh_ranges.append((lo, flat_count[0]))
             pts = np.concatenate([p[0] for p in _decoded_mesh(mesh_idx)])

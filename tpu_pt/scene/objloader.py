@@ -282,7 +282,12 @@ def load_scene(path: str, light: AreaLight | None = None,
                                build_bvh=build_bvh)
     if path.lower().endswith((".gltf", ".glb")):
         from .gltf import load_gltf
-        ws = load_gltf(path)
+        # The path tracer consumes world-space flattened geometry only:
+        # force the flatten contract so an instanced/auto-rescued load
+        # can never hand it mesh-space unique geometry with the
+        # transforms dropped (the guardrail error stays loud here; the
+        # instanced contract is the WHITTED pipeline's, ws.inst).
+        ws = load_gltf(path, instancing="flatten")
         scene = ws.geom
         if light is not None:
             scene = scene.replace(light=light)

@@ -188,15 +188,9 @@ def run_viewer(scene_path: str, args) -> int:
         from tpu_pt.whitted import render_whitted_frame
         scene = load_gltf(scene_path,
                           instancing=getattr(args, "instancing", None))
-        if scene.inst is not None:
-            # Instanced scene: geom is mesh-space; the world extent for
-            # the trackball comes from the instances' world AABBs.
-            bx = np.asarray(scene.inst.boxes)[:scene.inst.count]
-            lo, hi = bx[:, 0:3].min(axis=0), bx[:, 3:6].max(axis=0)
-        else:
-            v = np.asarray(scene.geom.tri_v0)[
-                np.asarray(scene.geom.tri_valid)]
-            lo, hi = v.min(axis=0), v.max(axis=0)
+        # World bounds for the trackball (instanced scenes' geom is
+        # mesh-space; world_bounds aggregates the instance boxes).
+        lo, hi = scene.world_bounds()
         c = 0.5 * (lo + hi)
         ext = float(np.linalg.norm(hi - lo))
         if scene.camera:
