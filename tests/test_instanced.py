@@ -327,6 +327,80 @@ def test_inst_rows_two_level_matches_gather():
     assert np.array_equal(got_s, np.asarray(tbl)[:512][np.asarray(ids) % 512])
 
 
+def _write_gpu_instanced(tmp_path, n=40):
+    """glTF using EXT_mesh_gpu_instancing: one triangle, n instances
+    with per-instance TRANSLATION + ROTATION + SCALE accessors."""
+    rng = np.random.default_rng(9)
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tr = (rng.random((n, 3)).astype(np.float32) * 20 - 10)
+    ang = rng.random(n).astype(np.float32) * np.pi
+    rot = np.stack([np.zeros(n, np.float32), np.sin(ang / 2),
+                    np.zeros(n, np.float32), np.cos(ang / 2)], 1)  # xyzw
+    sc = (0.5 + rng.random((n, 3)).astype(np.float32))
+    blob = pos.tobytes() + tr.tobytes() + rot.tobytes() + sc.tobytes()
+    off = [0, pos.nbytes, pos.nbytes + tr.nbytes,
+           pos.nbytes + tr.nbytes + rot.nbytes]
+    doc = dict(
+        asset=dict(version="2.0"), scene=0,
+        scenes=[dict(nodes=[0])],
+        nodes=[dict(mesh=0, extensions=dict(EXT_mesh_gpu_instancing=dict(
+            attributes=dict(TRANSLATION=1, ROTATION=2, SCALE=3))))],
+        meshes=[dict(primitives=[dict(attributes=dict(POSITION=0))])],
+        accessors=[
+            dict(bufferView=0, componentType=5126, count=3, type="VEC3"),
+            dict(bufferView=1, componentType=5126, count=n, type="VEC3"),
+            dict(bufferView=2, componentType=5126, count=n, type="VEC4"),
+            dict(bufferView=3, componentType=5126, count=n, type="VEC3"),
+        ],
+        bufferViews=[
+            dict(buffer=0, byteOffset=off[0], byteLength=pos.nbytes),
+            dict(buffer=0, byteOffset=off[1], byteLength=tr.nbytes),
+            dict(buffer=0, byteOffset=off[2], byteLength=rot.nbytes),
+            dict(buffer=0, byteOffset=off[3], byteLength=sc.nbytes),
+        ],
+        buffers=[dict(byteLength=len(blob),
+                      uri="data:application/octet-stream;base64,"
+                          + base64.b64encode(blob).decode())],
+        extensionsUsed=["EXT_mesh_gpu_instancing"],
+    )
+    path = tmp_path / "gpu_inst.gltf"
+    path.write_text(json.dumps(doc))
+    return str(path), tr, ang, sc
+
+
+def test_ext_mesh_gpu_instancing(tmp_path):
+    """EXT_mesh_gpu_instancing expands into instance records consumed
+    by BOTH geometry contracts: the flatten materializes n world
+    triangles at the composed T*R*S placements, the instanced contract
+    keeps one unique triangle + an n-row table — and they agree."""
+    from tpu_pt.scene.gltf import load_gltf
+    path, tr, ang, sc = _write_gpu_instanced(tmp_path, n=40)
+    ws_f = load_gltf(path, instancing="flatten")
+    assert int(np.asarray(ws_f.geom.tri_valid).sum()) == 40
+    # Each flattened v0 is the instance's T * R * S applied to (0,0,0)
+    # = the translation itself.
+    v0 = np.asarray(ws_f.geom.tri_v0)[:40]
+    np.testing.assert_allclose(np.sort(v0[:, 0]), np.sort(tr[:, 0]),
+                               atol=1e-5)
+    ws_i = load_gltf(path, instancing="instanced")
+    assert ws_i.inst is not None and ws_i.inst.count == 40
+    assert int(np.asarray(ws_i.geom.tri_valid).sum()) == 1
+    # Closest-hit agreement between contracts over aimed rays.
+    insts = [(0, np.eye(4)) for _ in range(40)]
+    for k in range(40):
+        m = np.eye(4)
+        m[:3, 3] = tr[k]
+        insts[k] = (0, m)
+    O, D = _aimed_rays(insts, 256, seed=4)
+    hi_ = pi.intersect_closest(ws_i.geom, ws_i.inst, O, D)
+    hf_ = moller.intersect_closest(ws_f.geom, O, D)
+    assert (np.asarray(hi_.hit) == np.asarray(hf_.hit)).all()
+    m_ = np.asarray(hi_.hit)
+    if m_.any():
+        np.testing.assert_allclose(np.asarray(hi_.t)[m_],
+                                   np.asarray(hf_.t)[m_], atol=2e-4)
+
+
 def test_forced_instancing_rejects_ineligible(tmp_path):
     """extras primitives make an asset ineligible; forcing raises."""
     from tpu_pt.scene.gltf import load_gltf

@@ -319,6 +319,49 @@ class _Gltf:
         return np.ascontiguousarray(out)
 
 
+def _gpu_instance_matrices(g, ext: dict, parent: np.ndarray):
+    """``EXT_mesh_gpu_instancing`` -> per-instance world matrices.
+
+    The extension carries per-instance TRANSLATION/ROTATION/SCALE
+    accessors on a mesh node (the interchange format real instanced
+    assets use — forests, cities — instead of thousands of nodes); the
+    instance transform composes as nodeWorld @ T @ R @ S per element
+    (spec: the node's own TRS applies first, then each instance's).
+    Rotation accessors may be normalized int8/int16 per the spec;
+    floats pass through."""
+    attrs = ext.get("attributes", {})
+    if not attrs:
+        return []
+
+    def acc(name, width):
+        if name not in attrs:
+            return None
+        a = g.accessor(attrs[name]).reshape(-1, width)
+        if a.dtype in (np.int8, np.int16):
+            # KHR normalized signed: max(x / (2^(b-1) - 1), -1).
+            a = np.maximum(
+                a.astype(np.float32)
+                / np.float32(np.iinfo(a.dtype).max), -1.0)
+        return a.astype(np.float32)
+
+    tr = acc("TRANSLATION", 3)
+    rot = acc("ROTATION", 4)
+    sc = acc("SCALE", 3)
+    n = max(x.shape[0] for x in (tr, rot, sc) if x is not None)
+    out = []
+    for i in range(n):
+        m = ml.mat4_identity()
+        if sc is not None:
+            m = ml.mat4_scale(sc[i]) @ m
+        if rot is not None:
+            x, y, z, w = rot[i]            # glTF stores xyzw
+            m = ml.quat_to_mat4([w, x, y, z]) @ m
+        if tr is not None:
+            m = ml.mat4_translate(tr[i]) @ m
+        out.append(parent @ m)
+    return out
+
+
 def _node_matrix(node: dict) -> np.ndarray:
     if "matrix" in node:
         return np.asarray(node["matrix"], np.float32).reshape(4, 4).T
@@ -571,8 +614,16 @@ def load_gltf(path: str, default_lights: bool = True,
         node = doc["nodes"][node_idx]
         xform = parent @ _node_matrix(node)
         if "mesh" in node:
-            mesh_uses[node["mesh"]] = mesh_uses.get(node["mesh"], 0) + 1
-            inst_records.append((node["mesh"], xform.copy()))
+            gpu_ext = node.get("extensions", {}).get(
+                "EXT_mesh_gpu_instancing")
+            if gpu_ext:
+                mats = _gpu_instance_matrices(g, gpu_ext, xform)
+            else:
+                mats = [xform.copy()]
+            mesh_uses[node["mesh"]] = (mesh_uses.get(node["mesh"], 0)
+                                       + len(mats))
+            for m in mats:
+                inst_records.append((node["mesh"], m))
         if "camera" in node:
             cameras.append((node["camera"], xform.copy()))
         light_ref = node.get("extensions", {}).get(
