@@ -800,7 +800,12 @@ def test_forest_instancing(tmp_path):
     import make_gltf_assets
     make_gltf_assets.build_forest(str(tmp_path), n_trees=60)
     from tpu_pt.scene.gltf import load_gltf
-    ws = load_gltf(str(tmp_path / "forest.gltf"))
+    # Default "auto" picks the instanced contract here: amplification
+    # ~60x at ~59k flattened tris crosses the measured-faster
+    # thresholds (TPT_INST_AUTO_AMP/MIN).
+    ws_auto = load_gltf(str(tmp_path / "forest.gltf"))
+    assert ws_auto.inst is not None and ws_auto.inst.count == 121
+    ws = load_gltf(str(tmp_path / "forest.gltf"), instancing="flatten")
     # ground (2) + 60 x (trunk 24 + canopy 960) world triangles.
     assert ws.geom.num_tris == 2 + 60 * (24 + 960)
     v0 = np.asarray(ws.geom.tri_v0)

@@ -26,10 +26,13 @@ GAS instanced under ``buildInstanceAccel``, ``Scene.cpp:1134``):
   inverse-3x4 ray transforms. Memory scales O(unique mesh +
   instances): this is how assets PAST the flatten guardrail render at
   all, and the forest loads ~19x faster (0.7 s vs 13.3 s measured).
-- ``instancing="auto"``: flatten inside the ``max_flat_tris``
-  guardrail (its transform-free sweep keeps the measured edge there);
-  past it, eligible assets are rescued by the instanced contract
-  instead of raising.
+- ``instancing="auto"``: the measured-faster contract per scene —
+  instanced when the asset is eligible AND either the flatten would
+  blow the ``max_flat_tris`` guardrail (rescue) or the instancing
+  amplification is high (>= ``TPT_INST_AUTO_AMP`` = 8x at >=
+  ``TPT_INST_AUTO_MIN`` = 32k flattened tris, where the instanced
+  sweep measured 5.7x the flatten); low-amplification scenes keep the
+  flatten's transform-free traversal.
 """
 
 from __future__ import annotations
@@ -496,9 +499,11 @@ def load_gltf(path: str, default_lights: bool = True,
       O(unique mesh + instances). Requires an eligible asset (triangle
       meshes only — no extras prims/curves, no textured-alpha
       materials, unique mesh rows within the VMEM bound).
-    - ``"auto"``: flatten, EXCEPT when the flatten would blow the
-      ``max_flat_tris`` guardrail and the asset is instancing-eligible
-      — then the instanced path rescues the load instead of raising."""
+    - ``"auto"``: the measured-faster contract per scene (module
+      docstring): instanced for eligible assets past the guardrail
+      (rescue) OR at high instancing amplification
+      (``TPT_INST_AUTO_AMP``/``TPT_INST_AUTO_MIN``); flatten
+      otherwise."""
     if max_flat_tris is None:
         max_flat_tris = int(os.environ.get("TPT_MAX_FLAT_TRIS",
                                            _MAX_FLAT_TRIS_DEFAULT))
@@ -653,13 +658,24 @@ def load_gltf(path: str, default_lights: bool = True,
             doc, inst_records, _decoded_mesh)
         inst_note["reason"] = inst_reject
         if instancing == "auto" and use_inst:
-            # Auto only rescues loads the flatten guardrail would
-            # refuse; under the bound the flatten's transform-free
-            # traversal keeps its measured edge (module docstring).
+            # Auto picks the measured-faster contract: past the
+            # guardrail the instanced table is the only way to load at
+            # all, and BELOW it high-amplification scenes still win big
+            # through the instanced sweep (forest: 12.47 vs 2.18
+            # Mrays/s, 19x faster load — PERF.json whitted_forest*).
+            # Low-amplification scenes keep the flatten's transform-
+            # free traversal. Thresholds are env-tunable.
             flat_total = sum(
                 sum(p[1].shape[0] for p in _decoded_mesh(m))
                 for m, _ in inst_records)
-            use_inst = flat_total > max_flat_tris
+            unique_total = sum(
+                sum(p[1].shape[0] for p in _decoded_mesh(m))
+                for m in {mi for mi, _ in inst_records})
+            amp = flat_total / max(unique_total, 1)
+            auto_amp = float(os.environ.get("TPT_INST_AUTO_AMP", "8"))
+            auto_min = int(os.environ.get("TPT_INST_AUTO_MIN", "32768"))
+            use_inst = (flat_total > max_flat_tris
+                        or (amp >= auto_amp and flat_total >= auto_min))
         if instancing == "instanced" and not use_inst:
             raise ValueError(
                 f"{os.path.basename(path)}: instancing requested but "
