@@ -401,6 +401,48 @@ def test_ext_mesh_gpu_instancing(tmp_path):
                                    np.asarray(hf_.t)[m_], atol=2e-4)
 
 
+def test_alpha_shadow_instanced_matches_flatten(assets_dir):
+    """Textured-alpha scenes are instancing-eligible: the fractional
+    shadow split builds SUBSET instance tables (opaque boolean sweep +
+    alpha closest-hit march through pallas_inst), and the rendered
+    image matches the flattened contract."""
+    from tpu_pt.scene.gltf import load_gltf
+    from tpu_pt.whitted import render_whitted_wavefront
+    path = str(assets_dir / "alpha_shadow.gltf")
+    ws_f = load_gltf(path, instancing="flatten")
+    ws_i = load_gltf(path, instancing="instanced")
+    assert ws_i.inst is not None and ws_i.alpha_occ is not None
+    assert ws_i.alpha_occ.inst is not None
+    assert ws_i.alpha_occ.occ_inst is not None
+    cam_t = ws_f.camera
+    if cam_t:
+        eye, lookat, up, fov = cam_t
+        cam = CameraArrays.from_camera(Camera(
+            eye=np.asarray(eye, np.float32),
+            lookat=np.asarray(lookat, np.float32),
+            up=np.asarray(up, np.float32), fov_y=fov))
+    else:
+        lo, hi = ws_f.world_bounds()
+        c = 0.5 * (lo + hi)
+        ext = float(np.linalg.norm(hi - lo))
+        cam = CameraArrays.from_camera(Camera(
+            eye=(c + np.array([0.6, 0.8, 1.0]) * ext).astype(np.float32),
+            lookat=c.astype(np.float32), fov_y=40.0))
+    cfg = tpu_pt.RenderConfig(width=40, height=30, spp=1, max_depth=3,
+                              background=(0.1, 0.15, 0.25))
+    a, _ = render_whitted_wavefront(ws_f, cam, cfg, 0, 40 * 30, 0)
+    b, _ = render_whitted_wavefront(ws_i, cam, cfg, 0, 40 * 30, 0)
+    a = np.asarray(a).reshape(30, 40, 3)
+    b = np.asarray(b).reshape(30, 40, 3)
+    assert np.isfinite(b).all()
+    rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+    assert rmse < 2e-3, rmse
+    # The scene's alpha shadows are actually in frame: images deviate
+    # from the flat background somewhere.
+    assert (np.abs(a - np.array([0.1, 0.15, 0.25])).max(-1)
+            > 0.05).mean() > 0.05
+
+
 def test_forced_instancing_rejects_ineligible(tmp_path):
     """extras primitives make an asset ineligible; forcing raises."""
     from tpu_pt.scene.gltf import load_gltf

@@ -39,6 +39,10 @@ asserts the images match bitwise:
      (pallas_inst mesh-space rows + per-instance ray transforms vs the
      flattened world table); near-equal: every plane test's fp
      association differs
+ 17. textured-alpha scene through the instanced contract ~= its
+     flatten — the fractional shadow split's SUBSET instance tables
+     (opaque boolean sweep + alpha closest-hit march through
+     pallas_inst)
 
 Cases 12-13 are the only on-TPU coverage of the ``_with_primitives`` /
 ``_with_curves`` min-t combine paths (round-3 VERDICT weak #5): the
@@ -235,6 +239,13 @@ def main():
     ibase = render(p("ibase"), f12, whitted=True, inst="flatten")
     check_close("instanced (IAS) sweep ~= world-space flatten (forest)",
                 ibase, render(p("iinst"), f12, whitted=True,
+                              inst="instanced"))
+
+    # Case 17: the textured-alpha scene through the INSTANCED contract
+    # (subset instance tables: opaque boolean sweep + alpha march,
+    # scene/gltf._subset_instance_table) against its flatten.
+    check_close("instanced alpha shadow split ~= flatten (alpha scene)",
+                abase, render(p("ainst"), alpha, whitted=True,
                               inst="instanced"))
 
     print("all equivalences hold" if not fails

@@ -99,6 +99,12 @@ class AlphaOccluders:
     geom: SceneArrays
     uv: jnp.ndarray
     max_hits: int = struct.field(pytree_node=False, default=4)
+    # Instanced-contract twins (``WhittedScene.inst`` scenes): subset
+    # instance tables sharing the scene's transforms but addressing the
+    # opaque / alpha subset cluster ranges (``_subset_instance_table``).
+    # None on flattened scenes.
+    occ_inst: object | None = None
+    inst: object | None = None
 
 
 @struct.dataclass
@@ -188,10 +194,14 @@ class WhittedScene:
         """(lo, hi) world-space scene AABB as numpy [3] arrays.
 
         Flattened geometry spans it directly; instanced scenes (whose
-        ``geom`` is MESH-space) aggregate the instances' world boxes.
-        Every camera/extent consumer must use this instead of reading
-        ``geom.tri_v0`` bounds (the CLI default camera once framed the
-        unique mesh at its local origin for rescued scenes)."""
+        ``geom`` is MESH-space) aggregate the instances' world boxes —
+        CONSERVATIVE for rotated instances (an axis-aligned mesh AABB
+        pushed through a rotation inflates up to sqrt(3)), so default
+        cameras frame instanced scenes slightly wider than the same
+        scene flattened. Every camera/extent consumer must use this
+        instead of reading ``geom.tri_v0`` bounds (the CLI default
+        camera once framed the unique mesh at its local origin for
+        rescued scenes)."""
         if self.inst is not None:
             bx = np.asarray(self.inst.boxes)[:self.inst.count]
             return bx[:, 0:3].min(axis=0), bx[:, 3:6].max(axis=0)
@@ -322,6 +332,34 @@ class _Gltf:
         return np.ascontiguousarray(out)
 
 
+def _subset_instance_table(instances, mesh_ranges, sel, tv):
+    """Instance table over a TRIANGLE SUBSET of the unique meshes.
+
+    The fractional-shadow split (AlphaOccluders) divides the unique
+    geometry into opaque and alpha-class rows; each subset renders
+    through its own ``pallas_inst`` table sharing the scene's instance
+    transforms but addressing the subset's cluster ranges (subset
+    triangles keep their relative order, so ranges are exclusive-cumsum
+    slices). Meshes whose subset is empty collapse to a far-point
+    mesh AABB — their world boxes fail every slab test and the kernel
+    loops zero clusters."""
+    from ..intersect import pallas_inst
+    sel = np.asarray(sel, bool)
+    cum = np.concatenate([[0], np.cumsum(sel)])
+    sub_ranges, sub_aabbs = [], []
+    for lo, hi in mesh_ranges:
+        slo, shi = int(cum[lo]), int(cum[hi])
+        sub_ranges.append((slo, shi))
+        if shi > slo:
+            pts = tv[lo:hi][sel[lo:hi]].reshape(-1, 3)
+            sub_aabbs.append((pts.min(axis=0), pts.max(axis=0)))
+        else:
+            far = np.full(3, 3e37, np.float32)
+            sub_aabbs.append((far, far))
+    return pallas_inst.build_instance_table(sub_ranges, sub_aabbs,
+                                            instances)
+
+
 def _gpu_instance_matrices(g, ext: dict, parent: np.ndarray):
     """``EXT_mesh_gpu_instancing`` -> per-instance world matrices.
 
@@ -447,20 +485,15 @@ def _instancing_eligible(doc, inst_records, decoded_mesh):
     ``pallas_inst`` traversal) instead of flattening?
 
     Ineligible: extras prims/curves (analytic geometry has no
-    mesh-space table), textured alpha materials (the fractional shadow
-    split builds world-space subsets), singular instance transforms,
-    or unique-mesh/instance counts past the VMEM-resident bounds."""
+    mesh-space table), singular instance transforms, or unique-mesh/
+    instance counts past the VMEM-resident bounds. Textured alpha
+    materials ARE eligible — the fractional shadow split builds subset
+    instance tables (``_subset_instance_table``)."""
     from ..intersect import pallas_inst
     if doc.get("extras", {}).get("tpu_pt_primitives"):
         return False, "asset declares extras analytic primitives"
     if doc.get("extras", {}).get("tpu_pt_curves"):
         return False, "asset declares extras curves"
-    for m in doc.get("materials", []):
-        has_tex = m.get("pbrMetallicRoughness", {}).get(
-            "baseColorTexture") is not None
-        if has_tex and m.get("alphaMode", "OPAQUE") != "OPAQUE":
-            return False, ("textured alpha material (fractional shadow "
-                           "split needs the world-space flatten)")
     if len(inst_records) > pallas_inst.INST_MAX_INST:
         return False, (f"{len(inst_records)} instances > "
                        f"TPT_INST_MAX={pallas_inst.INST_MAX_INST}")
@@ -894,6 +927,7 @@ def load_gltf(path: str, default_lights: bool = True,
                       & (tables["tex_id"] >= 0))
     tri_alpha = alpha_mat_mask[np.clip(tmat, 0, n_m - 1)]
     occ_geom = alpha_geom = alpha_uv = None
+    occ_inst_tbl = alpha_inst_tbl = None
     if tri_alpha.any():
         def _sub_geom(sel):
             sverts = tv[sel].reshape(-1, 3)
@@ -903,7 +937,7 @@ def load_gltf(path: str, default_lights: bool = True,
                                       light=default_cornell_light(),
                                       return_host=True)
         occ_geom, occ_host = _sub_geom(~tri_alpha)
-        if lights_pos:
+        if lights_pos and not use_inst:
             from .arrays import _host_light, nee_occluder_index
             o_refr = occ_host["mat_bsdf"][occ_host["mat_id"]] \
                 == BSDF_REFRACTION
@@ -919,6 +953,18 @@ def load_gltf(path: str, default_lights: bool = True,
         n_a = int(tri_alpha.sum())
         alpha_uv = np.zeros((alpha_geom.num_tris_padded, 6), np.float32)
         alpha_uv[:n_a] = tuv[tri_alpha].reshape(n_a, 6)
+        if use_inst:
+            # Instanced contract: the split happens at the UNIQUE-mesh
+            # level (tv/tmat ARE the unique meshes here), and the two
+            # subsets get their own instance tables SHARING the scene's
+            # transforms but carrying subset cluster ranges + subset
+            # mesh AABBs (empty subsets collapse to far-point boxes so
+            # they never enter a candidate list).
+            _insts = [(mesh_slots[m], xf) for m, xf in inst_records]
+            occ_inst_tbl = _subset_instance_table(
+                _insts, mesh_ranges, ~tri_alpha, tv)
+            alpha_inst_tbl = _subset_instance_table(
+                _insts, mesh_ranges, tri_alpha, tv)
 
     # Analytic primitives from the document's application-specific
     # ``extras`` (valid glTF 2.0: extras carry arbitrary JSON). The
@@ -1023,12 +1069,15 @@ def load_gltf(path: str, default_lights: bool = True,
         alpha_occ=None if occ_geom is None else AlphaOccluders(
             occ_geom=occ_geom, geom=alpha_geom,
             uv=jnp.asarray(alpha_uv),
-            # Each alpha triangle can be hit at most once per segment,
-            # so n_alpha marches are exact; the knob caps the unrolled
+            occ_inst=occ_inst_tbl, inst=alpha_inst_tbl,
+            # Each alpha triangle can be hit at most once per segment
+            # — PER INSTANCE on instanced scenes — so n_alpha (x
+            # instances) marches are exact; the knob caps the unrolled
             # march for alpha-heavy scenes (foliage) — hits past the
             # cap go unaccounted (their <= 1 factors are skipped), a
             # small bias toward brighter shadows.
-            max_hits=min(int(tri_alpha.sum()),
+            max_hits=min(int(tri_alpha.sum())
+                         * (len(inst_records) if use_inst else 1),
                          int(os.environ.get("TPT_ALPHA_OCC_K", "8")
                              or 8))),
     )

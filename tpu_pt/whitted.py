@@ -59,9 +59,8 @@ def _make_occlusion(ws: WhittedScene, cfg: RenderConfig):
     ao = ws.alpha_occ
     if ao is None:
         if ws.inst is not None:
-            # Instanced scenes are textured-alpha-free by eligibility
-            # (scene/gltf._instancing_eligible), so shadows stay the
-            # boolean sweep — through the two-level instanced kernel.
+            # Alpha-free instanced scene: shadows are the boolean
+            # sweep through the two-level instanced kernel.
             from .intersect import pallas_inst
             _, occluded_fn = pallas_inst.get_intersectors(
                 ws.geom, ws.inst, cfg)
@@ -69,8 +68,19 @@ def _make_occlusion(ws: WhittedScene, cfg: RenderConfig):
             _, occluded_fn = get_intersectors(ws.geom, cfg)
         return lambda o, d, tmax: jnp.where(occluded_fn(o, d, tmax),
                                             0.0, 1.0)
-    _, occ_opaque = get_intersectors(ao.occ_geom, cfg)
-    closest_alpha, _ = get_intersectors(ao.geom, cfg, want_uv=True)
+    if ws.inst is not None:
+        # Instanced contract: the opaque/alpha subsets sweep through
+        # their own instance tables (shared transforms, subset cluster
+        # ranges — scene/gltf._subset_instance_table); the march below
+        # is contract-agnostic.
+        from .intersect import pallas_inst
+        _, occ_opaque = pallas_inst.get_intersectors(
+            ao.occ_geom, ao.occ_inst, cfg)
+        closest_alpha, _ = pallas_inst.get_intersectors(
+            ao.geom, ao.inst, cfg)
+    else:
+        _, occ_opaque = get_intersectors(ao.occ_geom, cfg)
+        closest_alpha, _ = get_intersectors(ao.geom, cfg, want_uv=True)
 
     def occ_att(o, d, tmax):
         trans = jnp.where(occ_opaque(o, d, tmax), 0.0, 1.0)
