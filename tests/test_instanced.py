@@ -443,6 +443,39 @@ def test_alpha_shadow_instanced_matches_flatten(assets_dir):
             > 0.05).mean() > 0.05
 
 
+def test_foliage_instanced_matches_flatten(assets_dir):
+    """The combined workload the instanced contract exists for:
+    alpha-MASKED leaf cards on instanced trees (assets/foliage.gltf —
+    601 instances, 34 unique tris, 12 of them alpha-class). Both
+    contracts render the same image, leaves included."""
+    from tpu_pt.scene.gltf import load_gltf
+    from tpu_pt.whitted import render_whitted_wavefront
+    path = str(assets_dir / "foliage.gltf")
+    ws_f = load_gltf(path, instancing="flatten")
+    ws_i = load_gltf(path, instancing="instanced")
+    assert ws_i.inst is not None and ws_i.inst.count == 601
+    assert ws_i.alpha_occ is not None
+    assert ws_i.alpha_occ.inst is not None
+    lo, hi = ws_f.world_bounds()
+    c = 0.5 * (lo + hi)
+    ext = float(np.linalg.norm(hi - lo))
+    cam = CameraArrays.from_camera(Camera(
+        eye=(c + np.array([0.25, 0.18, 0.35]) * ext).astype(np.float32),
+        lookat=c.astype(np.float32), fov_y=45.0))
+    cfg = tpu_pt.RenderConfig(width=48, height=36, spp=1, max_depth=2,
+                              background=(0.5, 0.7, 0.9))
+    a, _ = render_whitted_wavefront(ws_f, cam, cfg, 0, 48 * 36, 0)
+    b, _ = render_whitted_wavefront(ws_i, cam, cfg, 0, 48 * 36, 0)
+    a = np.asarray(a).reshape(36, 48, 3)
+    b = np.asarray(b).reshape(36, 48, 3)
+    assert np.isfinite(b).all()
+    rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+    assert rmse < 2e-3, rmse
+    # Leaf cards are visible (green-dominant pixels in frame).
+    green = ((a[..., 1] > a[..., 0]) & (a[..., 1] > a[..., 2])).mean()
+    assert green > 0.03, green
+
+
 def test_forced_instancing_rejects_ineligible(tmp_path):
     """extras primitives make an asset ineligible; forcing raises."""
     from tpu_pt.scene.gltf import load_gltf

@@ -406,6 +406,160 @@ def build_alpha(out_dir: str):
     print(f"wrote {path}")
 
 
+def leaf_png(path, res=64):
+    """RGBA leaf-card texture: green RGB, alpha a centered disc (255
+    inside radius 0.45, 0 outside) — alpha-MASK foliage cards."""
+    from tpu_pt import film
+    img = np.zeros((res, res, 4), np.uint8)
+    img[..., 0] = 40
+    img[..., 1] = 150
+    img[..., 2] = 45
+    yy, xx = np.mgrid[0:res, 0:res]
+    u = (xx + 0.5) / res - 0.5
+    v = (yy + 0.5) / res - 0.5
+    img[..., 3] = np.where(u * u + v * v < 0.45 ** 2, 255, 0)
+    film.write_png(path, img)
+
+
+def vquad(size=1.0, y0=0.0):
+    """Vertical unit-UV quad in the XZ=0 plane, facing +Z, base at y0."""
+    s = size / 2
+    verts = np.array([(-s, y0, 0), (s, y0, 0), (s, y0 + size, 0),
+                      (-s, y0 + size, 0)], np.float32)
+    norms = np.array([(0, 0, 1)] * 4, np.float32)
+    uvs = np.array([(0, 1), (1, 1), (1, 0), (0, 0)], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    return verts, norms, uvs, idx
+
+
+def crossed_leaves(n_cards=6, size=3.2, y0=3.4):
+    """Foliage canopy: n vertical leaf cards crossed around +Y."""
+    vs, ns, uvs, idx = [], [], [], []
+    base = 0
+    for i in range(n_cards):
+        a = math.pi * i / n_cards
+        c, s = math.cos(a), math.sin(a)
+        v, n, uv, ix = vquad(size, y0)
+        r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        vs.append(v @ r.T)
+        ns.append(n @ r.T)
+        uvs.append(uv)
+        idx.append(ix.astype(np.int64) + base)
+        base += v.shape[0]
+    return (np.concatenate(vs), np.concatenate(ns),
+            np.concatenate(uvs),
+            np.concatenate(idx).astype(np.uint16))
+
+
+def build_foliage(out_dir: str, n_trees=300, seed=11,
+                  filename="foliage.gltf"):
+    """foliage.gltf: the alpha-masked instanced-foliage workload — the
+    scene class the instanced contract + fractional shadow split exist
+    for. One trunk mesh + one leaf-CARD canopy mesh (6 crossed quads,
+    baseColorTexture with a disc alpha, alphaMode MASK) instanced
+    ``n_trees`` times over a ground plane; shadows through the leaf
+    cards must pass outside the discs (MASK below cutoff) and block
+    inside them."""
+    os.makedirs(out_dir, exist_ok=True)
+    leaf_png(os.path.join(out_dir, "leaf.png"))
+    meshes_np = [plane(200.0), cone(0.5, 3.6, 10), crossed_leaves()]
+    blob = b""
+    buffer_views = []
+    accessors = []
+
+    def add_accessor(arr, target, ctype, atype):
+        nonlocal blob
+        off = len(blob)
+        blob += arr.tobytes()
+        while len(blob) % 4:
+            blob += b"\0"
+        buffer_views.append(dict(buffer=0, byteOffset=off,
+                                 byteLength=arr.nbytes, target=target))
+        acc = dict(bufferView=len(buffer_views) - 1, componentType=ctype,
+                   count=arr.shape[0], type=atype)
+        if atype == "VEC3":
+            acc["min"] = [float(x) for x in arr.min(axis=0)]
+            acc["max"] = [float(x) for x in arr.max(axis=0)]
+        accessors.append(acc)
+        return len(accessors) - 1
+
+    prim_sets = []
+    for v, n, uv, idx in meshes_np:
+        pos_a = add_accessor(v, 34962, 5126, "VEC3")
+        nrm_a = add_accessor(n, 34962, 5126, "VEC3")
+        uv_a = add_accessor(uv, 34962, 5126, "VEC2")
+        idx_a = add_accessor(idx.reshape(-1, 1), 34963, 5123, "SCALAR")
+        prim_sets.append(dict(
+            attributes=dict(POSITION=pos_a, NORMAL=nrm_a,
+                            TEXCOORD_0=uv_a),
+            indices=idx_a))
+    meshes = [
+        dict(name="ground", primitives=[dict(**prim_sets[0], material=0)]),
+        dict(name="trunk", primitives=[dict(**prim_sets[1], material=1)]),
+        dict(name="leaves", primitives=[dict(**prim_sets[2], material=2)]),
+    ]
+    materials = [
+        dict(name="Ground", pbrMetallicRoughness=dict(
+            baseColorFactor=[0.35, 0.32, 0.25, 1.0],
+            metallicFactor=0.0, roughnessFactor=0.95)),
+        dict(name="Bark", pbrMetallicRoughness=dict(
+            baseColorFactor=[0.32, 0.2, 0.1, 1.0],
+            metallicFactor=0.0, roughnessFactor=0.9)),
+        dict(name="Leaves", alphaMode="MASK", alphaCutoff=0.5,
+             doubleSided=True,
+             pbrMetallicRoughness=dict(
+                 baseColorFactor=[1.0, 1.0, 1.0, 1.0],
+                 baseColorTexture=dict(index=0),
+                 metallicFactor=0.0, roughnessFactor=0.8)),
+    ]
+
+    rng = np.random.RandomState(seed)
+    nodes = [dict(mesh=0, name="ground")]
+    tree_nodes = []
+    for i in range(n_trees):
+        x = float(rng.uniform(-90, 90))
+        z = float(rng.uniform(-90, 90))
+        s = float(rng.uniform(0.7, 1.5))
+        a = float(rng.uniform(0, math.pi))
+        nodes.append(dict(
+            mesh=1, name=f"tree{i}",
+            translation=[x, 0.0, z],
+            rotation=[0.0, math.sin(a / 2), 0.0, math.cos(a / 2)],
+            scale=[s, s, s],
+            children=[],
+        ))
+        tree_nodes.append(len(nodes) - 1)
+    for ti in tree_nodes:
+        nodes.append(dict(mesh=2, name=f"leaves_of_{ti}"))
+        nodes[ti]["children"] = [len(nodes) - 1]
+    nodes.append(dict(name="light", translation=[50.0, 80.0, 30.0],
+                      extensions=dict(KHR_lights_punctual=dict(light=0))))
+
+    doc = dict(
+        asset=dict(version="2.0", generator="tpu_pt make_gltf_assets"),
+        scene=0,
+        scenes=[dict(nodes=[0] + tree_nodes + [len(nodes) - 1])],
+        nodes=nodes,
+        meshes=meshes,
+        materials=materials,
+        textures=[dict(source=0, sampler=0)],
+        samplers=[dict(wrapS=33071, wrapT=33071)],
+        images=[dict(uri="leaf.png")],
+        buffers=[dict(byteLength=len(blob),
+                      uri="data:application/octet-stream;base64,"
+                          + base64.b64encode(blob).decode())],
+        bufferViews=buffer_views,
+        accessors=accessors,
+        extensions=dict(KHR_lights_punctual=dict(lights=[
+            dict(type="point", color=[1.0, 0.98, 0.9], intensity=4.0)])),
+        extensionsUsed=["KHR_lights_punctual"],
+    )
+    path = os.path.join(out_dir, filename)
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    print(f"wrote {path} ({n_trees} foliage tree instances)")
+
+
 def cone(r=0.3, h=2.0, n=16):
     """Open cone (trunk): n side triangles + base fan."""
     verts = [(0.0, h, 0.0), (0.0, 0.0, 0.0)]
@@ -645,5 +799,7 @@ if __name__ == "__main__":
         build_big(os.path.abspath(out))
     elif "--forest" in sys.argv:
         build_forest(os.path.abspath(out))
+    elif "--foliage" in sys.argv:
+        build_foliage(os.path.abspath(out))
     else:
         build(os.path.abspath(out))
