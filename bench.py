@@ -97,7 +97,15 @@ def main():
     print(json.dumps(payload))
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import perflib
-    perflib.record("headline_cornell", payload)
+    # Only the CANONICAL workload updates the manifest: a BENCH_* -
+    # customized run (smoke sizes, spp sweeps, alternate scenes) is a
+    # probe — recording it would replace the 1024^2 headline with e.g.
+    # a 256^2 smoke number under the same key (which once happened).
+    canonical = (size == 1024 and spp == 16 and depth == 8
+                 and sched == "pixelq"
+                 and obj.endswith("cornell_box_mixed.obj"))
+    if canonical:
+        perflib.record("headline_cornell", payload)
 
 
 if __name__ == "__main__":

@@ -89,7 +89,11 @@ def main():
     import perflib
     key = ("whitted_pbr" if scene_name in ("pbr_test",)
            else f"whitted_{scene_name}")
-    perflib.record(key + ("_inst" if instanced else ""), payload)
+    # Canonical-config runs only (same hazard as bench.py's headline:
+    # a BENCH_W_SIZE smoke run must not replace the 512^2 manifest
+    # entry under the same key).
+    if size == 512 and spp == 8 and depth == 8 and sched == "pixelq":
+        perflib.record(key + ("_inst" if instanced else ""), payload)
 
 
 if __name__ == "__main__":
