@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--instancing", default=None,
+                    choices=["auto", "flatten", "instanced"],
+                    help="glTF geometry contract (load_gltf)")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +52,7 @@ def main():
         from tpu_pt.camera import Camera
         from tpu_pt.scene.gltf import load_gltf
         from tpu_pt.whitted import render_whitted_frame as render_fn
-        scene = load_gltf(args.scene)
+        scene = load_gltf(args.scene, instancing=args.instancing)
         cam = CameraArrays.from_camera(Camera(
             eye=np.array([6.0, 4.5, 7.0], np.float32),
             lookat=np.array([0.0, 0.8, 0.0], np.float32), fov_y=40.0))
