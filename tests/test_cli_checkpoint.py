@@ -196,6 +196,32 @@ def test_cli_whitted_stats_checkpoint_resume(tmp_path, assets_dir):
                                   film.read_png(str(out12)))
 
 
+def test_cli_whitted_instanced_checkpoint_resume(tmp_path, assets_dir):
+    """Checkpoint/resume through the INSTANCED contract is bit-exact
+    too (the checkpoint stores accum/cfg/camera; the scene reloads by
+    path with the same --instancing flag)."""
+    scene = str(assets_dir / "foliage.gltf")
+    ck = tmp_path / "wi.npz"
+    out2 = tmp_path / "ib.png"
+    r = _run_cli(["render", scene, "-o", str(tmp_path / "ia.png"),
+                  "--width", "32", "--height", "24", "--spp", "1",
+                  "--frames", "1", "--depth", "2",
+                  "--instancing", "instanced",
+                  "--checkpoint", str(ck)], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    r = _run_cli(["render", scene, "-o", str(out2), "--frames", "1",
+                  "--instancing", "instanced",
+                  "--resume", str(ck)], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    out12 = tmp_path / "ic.png"
+    r = _run_cli(["render", scene, "-o", str(out12), "--width", "32",
+                  "--height", "24", "--spp", "1", "--frames", "2",
+                  "--depth", "2", "--instancing", "instanced"], tmp_path)
+    assert r.returncode == 0, r.stderr[-800:]
+    np.testing.assert_array_equal(film.read_png(str(out2)),
+                                  film.read_png(str(out12)))
+
+
 def test_cli_whitted_validate(tmp_path, assets_dir):
     r = _run_cli(["render", str(assets_dir / "pbr_test.gltf"),
                   "-o", str(tmp_path / "v.png"), "--width", "24",
